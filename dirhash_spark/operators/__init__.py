@@ -1,0 +1,35 @@
+"""Operator modules — importing this package populates the query registry.
+
+Module map (SURVEY.md §2 rows in parentheses):
+  scans.py             B1-B4  scans/sources/sinks/projection + flagship
+  filters.py           B5-B7  predicates, IN/LIKE/BETWEEN, null semantics
+  joins.py             B8-B16 equi/broadcast/outer/semi/anti/cross/theta/asof
+  aggregates.py        B17-B23 hash agg, distinct, HLL, rollup/cube/sets, having
+  windows.py           B24-B30 ranking/analytic/frames, sorts, top-k
+  setops.py            B31-B33 union/intersect/except
+  functions.py         B34-B38 string/datetime/math/array/JSON scalar fns
+  dirhash_columnar.py  B39-B41 columnar twins of the reference pipeline
+  dedup.py             B42-B43 + simhash / ngram-jaccard / embedding near-dup
+  similarity.py        B44 + LSH-bucketed ANN
+  text.py              B45 + lang-id / quality / token counting / fingerprint
+  udfs.py              B46-B48 UDF / pandas-UDAF / mapInPandas UDTF surface
+  event_windows.py     B49-B52 event-time windows (batch-checkable forms)
+  multimodal.py        binary-column plumbing (decode stub, frame sampling)
+"""
+
+from . import (  # noqa: F401
+    scans,
+    filters,
+    joins,
+    aggregates,
+    windows,
+    setops,
+    functions,
+    dirhash_columnar,
+    dedup,
+    similarity,
+    text,
+    udfs,
+    event_windows,
+    multimodal,
+)

@@ -1,0 +1,170 @@
+"""Aggregation operators (SURVEY §2.B B17-B23).
+
+Scale notes: every ``groupBy().agg()`` compiles to partial (map-side)
+aggregation + one shuffle on the group key + final aggregation — the
+shuffle carries *aggregated* partials, not raw rows.  Rollup/cube expand
+grouping sets before the shuffle; AQE coalesces the post-shuffle
+partitions when group cardinality is small.  DuckDB's ``sum(INTEGER)``
+returns HUGEINT, so integer sums are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog, register_views
+from ..registry import query
+
+
+@query(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: hash aggregate with sum/avg/min/max/count (TPC-H Q1 shape)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: exact distinct aggregate (expands to a two-phase plan:
+    de-dup on (group, value), then count — Catalyst handles the
+    expansion; at scale prefer approx_count_distinct, see B19)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: approximate count-distinct (HyperLogLog++).  rows-only check:
+    Spark's HLL++ and DuckDB's HLL give different estimates by design.
+    This is the 100 TB path for cardinality: constant memory per group
+    vs. the exact distinct's shuffle of every distinct value."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: rollup — region/nation hierarchy totals + grand total."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: cube — all 2^2 grouping-set combinations."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: explicit grouping sets via SQL (the DataFrame API has no
+    grouping-sets verb; spark.sql is the idiomatic route)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15 AND sum(o_totalprice) > 100000
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: post-aggregation filter (HAVING)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_total_raw"),
+        )
+        .where((F.col("n_orders") >= 15) & (F.col("_total_raw") > 100000))
+        .select("o_custkey", "n_orders", F.round("_total_raw", 2).alias("total"))
+    )

@@ -1,0 +1,170 @@
+"""Scalar function library (SURVEY §2.B B34-B38): strings, date/time,
+math + conditional, arrays, JSON.
+
+Everything here is a built-in ``pyspark.sql.functions`` expression —
+JVM-side, codegen-friendly, never a Python UDF.  Cross-engine gotchas
+handled explicitly: DuckDB's ``year()`` returns BIGINT (cast to INT on
+both sides), ``datediff`` argument order differs, JSON scalars are
+extracted unquoted and cast to concrete types on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           trim(p_name) AS name_trimmed,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           CAST(length(p_name) AS INT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: string scalar functions (concat/upper/substr/trim/regexp/lpad)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim("p_name").alias("name_trimmed"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch95,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+    tags=("function", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: date/time functions (year/month/date_trunc/datediff/cast).
+
+    Spark ``datediff(end, start)`` vs DuckDB ``datediff('day', start,
+    end)`` — argument order flipped deliberately to mean the same thing.
+    """
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")).alias(
+            "days_since_epoch95"
+        ),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@query(
+    "fn_math_cond",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 30000.0), 2) AS abs_diff,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(power(1.0 + l_tax, 2), 6) AS tax_sq,
+           CASE WHEN l_quantity > 40 THEN 'bulk'
+                WHEN l_quantity > 15 THEN 'mid'
+                ELSE 'small' END AS qty_class,
+           coalesce(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def fn_math_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: math (round/abs/pow/floor) + conditional (CASE, coalesce)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000.0), 2).alias("abs_diff"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 15, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 4) AS min_val,
+           round(CAST(list_sort(embedding)[len(embedding)] AS DOUBLE), 4) AS max_val,
+           round(CAST(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS head_sum
+    FROM embeddings
+    """,
+    tags=("function", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37: array functions over the embedding column (size/element_at/
+    array_sort/slice/aggregate)."""
+    cat = Catalog(spark, sf_dir)
+    emb = F.col("embedding")
+    return cat.embeddings.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 4).alias("first_val"),
+        F.round(F.array_min(emb).cast("double"), 4).alias("min_val"),
+        F.round(F.array_max(emb).cast("double"), 4).alias("max_val"),
+        F.round(
+            F.aggregate(
+                F.slice(emb, 1, 4),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            4,
+        ).alias("head_sum"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           (CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0) AS k_mod10
+    FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38: JSON scalar extraction from ``events.props`` (cast to a
+    concrete type on both sides — extraction returns strings)."""
+    cat = Catalog(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return cat.events.select(
+        "event_id",
+        k.alias("k_value"),
+        ((k % 10) == 0).alias("k_mod10"),
+    )

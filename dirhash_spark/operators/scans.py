@@ -1,0 +1,136 @@
+"""Scans, sources, sinks, projection (SURVEY §2.B B1-B4) + flagship query.
+
+Scale notes: all scans are plain ``spark.read`` file sources — Catalyst
+pushes predicates and prunes columns into the parquet reader (visible as
+``PushedFilters``/``ReadSchema`` in ``.explain("formatted")``).  The sink
+writes partitioned parquet the same way a 1000-executor job would (one
+file per task, no driver funnel).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import query
+
+# Committed engine-owned CSV fixture (NOT the reference's iris.csv).
+CSV_FIXTURE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data", "sensors.csv")
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    The star join from SURVEY §7 M0 — fact table joins dimensions
+    (broadcast: nation/region are tiny, customer comfortably under the
+    64 MB threshold at bench SF), then partial+final hash aggregation.
+    """
+    cat = Catalog(spark, sf_dir)
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev")
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT n_name AS nation, r_name AS region,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+query("flagship_revenue_by_nation", oracle=FLAGSHIP_ORACLE, tags=("flagship", "join", "agg"))(flagship)
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size >= 25",
+    tags=("scan",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: parquet scan with pushed-down filter + pruned columns.
+
+    Reference analog: the fixed-binary/listing sources (dirhash.py:277-286,
+    339-386); here the source is columnar so the filter and the 3-column
+    projection reach the reader.
+    """
+    cat = Catalog(spark, sf_dir)
+    return cat.part.where(F.col("p_size") >= 25).select("p_partkey", "p_name", "p_retailprice")
+
+
+@query(
+    "scan_csv_infer",
+    oracle=f"SELECT sensor_id, room, reading, CAST(is_active AS BOOLEAN) AS is_active FROM read_csv('{CSV_FIXTURE}', header=true) ORDER BY sensor_id",
+    tags=("scan",),
+)
+def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: CSV scan with header + schema inference (REF-adjacent: the
+    reference's docker smoke hashes a CSV directory, README.md:63-65)."""
+    df = spark.read.option("header", True).option("inferSchema", True).csv(CSV_FIXTURE)
+    return df.select(
+        F.col("sensor_id").cast("bigint").alias("sensor_id"),
+        F.col("room").cast("string").alias("room"),
+        F.col("reading").cast("double").alias("reading"),
+        F.col("is_active").cast("boolean").alias("is_active"),
+    )
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+    tags=("sink",),
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: parquet sink (write, then scan back — REF analog: archive sink,
+    dirhash.py:558-578).  Round-trips a filtered projection through a
+    temp parquet dataset; the returned DataFrame reads from the sink, so
+    a value match proves the write path preserved data exactly."""
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "lineitem_mod10")
+    subset = cat.lineitem.where(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    subset.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "project_rename",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS customer_name,
+           round(c_acctbal, 2) AS balance, c_mktsegment AS segment
+    FROM customer
+    """,
+    tags=("projection",),
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: projection + rename (REF analog A3: tagging chunks with their
+    path is a projection, dirhash.py:392-402)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.round(F.col("c_acctbal"), 2).alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )

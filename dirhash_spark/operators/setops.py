@@ -1,0 +1,66 @@
+"""Set operators (SURVEY §2.B B31-B33).
+
+REF analog A4: the reference folds per-file RDD unions (bag semantics,
+dirhash.py:404-406).  Distinct set ops add the dedup shuffle on top.
+``df.subtract`` is SQL's distinct EXCEPT; ``exceptAll`` would be the bag
+variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import query
+
+
+@query(
+    "set_union_dist",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: union distinct (bag union + dedup shuffle)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: intersect (distinct semantics, like SQL INTERSECT)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.where(F.col("c_acctbal") > 9000).select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.supplier.where(F.col("s_acctbal") > 5000).select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33: except (distinct semantics; ``subtract`` == SQL EXCEPT)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.supplier.where(F.col("s_acctbal") > 8000).select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)

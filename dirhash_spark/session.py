@@ -1,0 +1,72 @@
+"""SparkSession factory and runtime-conf normalization.
+
+The engine must work both when it owns the session (CLI, tests, bench) and
+when a host harness hands it an already-built ``SparkSession``.  Everything
+the engine depends on is therefore a *runtime-settable* SQL conf, applied
+idempotently by :func:`configure` — never a static builder-only conf.
+
+Scale notes (local[32] here, 1000-executor cluster in spirit):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic broadcast decisions replace any hand-tuned partition counts.
+- ``spark.sql.session.timeZone=UTC``: deterministic timestamp semantics
+  (the DuckDB oracle compares naive UTC values).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the fixture parquet files
+  carry TIMESTAMP(NANOS) columns which Spark has no native type for; the
+  catalog reads them as int64 nanos and converts with integer division
+  (``ts div 1000`` — float division would lose precision above 2^53).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs every engine entry point applies to whatever session it got.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas UDF / mapInPandas boundary (vectorized transfer).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/part at test SF) should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A host may have locked a conf; the engine degrades gracefully.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "dirhash_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a session tuned for the engine.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32 to mirror
+    the driver environment); shuffle partitions follow the core count so a
+    single local run neither under-splits nor drowns in tiny tasks — on a
+    real cluster AQE coalescing makes the initial number non-critical.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
