@@ -1,0 +1,73 @@
+"""CLI entry point (REF A12, dirhash.py:582-687).
+
+Usage mirrors the reference:
+  python -m dirhash_spark.dirhash.cli DIR                    # print hash
+  ... --check v1-sha256-128M-<hex>                           # verify, exit 0/1
+  ... --check-name                                           # expected = basename(DIR)
+  ... --block-size 32M --hash-algorithm sha3_256
+  ... --move-to-archive /archive [--softlink]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .archive import move_folder_to_hashed_archive
+from .codec import DEFAULT_BLOCK_SIZE
+from .hashdir import hash_directory
+from .verify import verify_directory_hash
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dirhash_spark",
+        description="Create and verify hash values for contents of entire directories, in parallel with PySpark.",
+    )
+    p.add_argument("directory", help="directory to hash")
+    group = p.add_mutually_exclusive_group()
+    group.add_argument("--check", metavar="HASH", help="verify against this v1 hash string")
+    group.add_argument(
+        "--check-name",
+        action="store_true",
+        help="verify against the directory's basename (self-describing archive dirs)",
+    )
+    p.add_argument("--block-size", default=DEFAULT_BLOCK_SIZE, help="chunk size, e.g. 128M")
+    p.add_argument("--hash-algorithm", default="sha256")
+    p.add_argument("--move-to-archive", metavar="ARCHIVE_DIR")
+    p.add_argument("--softlink", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..session import get_spark
+
+    spark = get_spark("dirhash_cli")
+    try:
+        if args.check or args.check_name:
+            expected = args.check or os.path.basename(args.directory.rstrip("/"))
+            result = verify_directory_hash(spark, args.directory, expected)
+            if result:
+                print(f"OK {result.actual_hash_value}")
+                return 0
+            print(f"MISMATCH expected={expected} actual={result.actual_hash_value}")
+            return 1
+
+        hash_string = hash_directory(
+            spark, args.directory, args.hash_algorithm, args.block_size
+        )
+        print(hash_string)
+        if args.move_to_archive:
+            target = move_folder_to_hashed_archive(
+                args.directory, hash_string, args.move_to_archive, softlink=args.softlink
+            )
+            print(f"archived: {target}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,6 +19,7 @@ Module map (SURVEY.md §2 rows in parentheses):
 
 from . import (  # noqa: F401
     scans,
+    dirhash_pipeline,
     filters,
     joins,
     aggregates,

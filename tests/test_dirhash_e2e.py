@@ -1,0 +1,200 @@
+"""End-to-end dirhash pipeline tests on the FIXTURES.md F1 tree.
+
+The expected final digest is recomputed *independently* in pure Python
+from the documented v1 composition (the same strategy as the reference's
+own E2E test, dirhash_test.py:226-296) — the Spark pipeline must agree
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from dirhash_spark.dirhash.chunks import read_chunks
+from dirhash_spark.dirhash.hashdir import hash_directory, hash_directory_raw
+from dirhash_spark.dirhash.listing import list_entries
+from dirhash_spark.dirhash.verify import (
+    HashComparisonResult,
+    verify_directory_hash,
+    verify_raw_directory_hash,
+)
+
+ZEROS_SIZE = 1 * 2**20  # multi-chunk binary file (1 MiB of zeros)
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    """FIXTURES.md F1: space-in-name file, empty file, empty dir,
+    multi-chunk binary, small text files."""
+    root = tmp_path_factory.mktemp("dirhash_tree") / "fixture"
+    files = {
+        "1M Zeros.bin": b"\x00" * ZEROS_SIZE,
+        "dir/empty_file.txt": b"",
+        "dir/subdir1/hello_world.html": b"<html><body>Hello, World!</body></html>",
+        "dir/subdir1/loremipsum.txt": b"Lorem ipsum dolor sit amet, consetetur sadipscing elitr.",
+        "dir/subdir2/my_passwords.txt": b"123456\npassword\nqwerty\nadmin\n1968\n",
+        "dir/subdir3/abc.txt": b"abc",
+    }
+    for rel, content in files.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(content)
+    (root / "dir" / "emptysubdir").mkdir()
+    return str(root), files
+
+
+def spec_hash(root: str, files: dict[str, bytes], blocksize: int, algo: str = "sha256") -> str:
+    """Independent pure-Python v1 digest (no engine imports)."""
+    entries = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        for d in dirnames:
+            entries.append(os.path.relpath(os.path.join(dirpath, d), root) + "/")
+        for f in filenames:
+            entries.append(os.path.relpath(os.path.join(dirpath, f), root))
+    chunks = []
+    for rel in sorted(files):
+        content = files[rel]
+        for i in range(0, (len(content) + blocksize - 1) // blocksize):
+            block = content[i * blocksize : (i + 1) * blocksize]
+            pre = rel.encode() + b"\x00" + str(i).encode() + b"\x00" + block
+            chunks.append(((rel, i), getattr(hashlib, algo)(pre).digest()))
+    chunks.sort(key=lambda t: t[0])
+    h = getattr(hashlib, algo)()
+    entries.sort()
+    h.update(str(len(entries)).encode() + b"\x00")
+    h.update("\x00".join(entries).encode() + b"\x00")
+    for _, d in chunks:
+        h.update(d)
+    return h.hexdigest()
+
+
+def test_listing_conventions(tree):
+    root, files = tree
+    entries = list_entries(root)
+    rels = sorted(e.relative_path for e in entries)
+    assert "dir/" in rels
+    assert "dir/emptysubdir/" in rels
+    assert "dir/empty_file.txt" in rels
+    assert "1M Zeros.bin" in rels
+    assert len(rels) == len(files) + 5  # 5 dirs: dir + emptysubdir + subdir1..3
+
+
+def test_chunking_goldens(spark, tree):
+    root, _ = tree
+    entries = [e for e in list_entries(root) if e.relative_path == "dir/subdir3/abc.txt"]
+    for bs, expected in [
+        (1, [(0, b"a"), (1, b"b"), (2, b"c")]),
+        (2, [(0, b"ab"), (1, b"c")]),
+        (1024, [(0, b"abc")]),
+    ]:
+        rows = (
+            read_chunks(spark, entries, bs)
+            .orderBy("block_num")
+            .collect()
+        )
+        got = [(r["block_num"], bytes(r["content"])) for r in rows]
+        assert got == expected, f"blocksize={bs}"
+
+
+def test_empty_file_zero_chunks(spark, tree):
+    root, _ = tree
+    entries = [e for e in list_entries(root) if e.relative_path == "dir/empty_file.txt"]
+    assert read_chunks(spark, entries, 1024).count() == 0
+
+
+def test_multiblock_chunking(spark, tree):
+    root, _ = tree
+    entries = [e for e in list_entries(root) if e.relative_path == "1M Zeros.bin"]
+    bs = 32 * 1024
+    rows = read_chunks(spark, entries, bs).collect()
+    assert len(rows) == ZEROS_SIZE // bs
+    assert all(len(r["content"]) == bs for r in rows)
+
+
+def test_e2e_matches_spec(spark, tree):
+    root, files = tree
+    bs = 32 * 1024
+    expected = spec_hash(root, files, bs)
+    assert hash_directory_raw(spark, root, "sha256", bs) == expected
+    # trailing-slash invariance (dirhash_test.py:275-279)
+    assert hash_directory_raw(spark, root + "/", "sha256", bs) == expected
+
+
+def test_e2e_short_last_block(spark, tree):
+    """Blocksize that doesn't divide file sizes → short final blocks."""
+    root, files = tree
+    bs = 7
+    assert hash_directory_raw(spark, root, "sha256", bs) == spec_hash(root, files, bs)
+
+
+@pytest.mark.parametrize("algo", ["sha512", "sha3_256", "blake2b"])
+def test_e2e_other_algorithms(spark, tree, algo):
+    root, files = tree
+    bs = 64 * 1024
+    assert hash_directory_raw(spark, root, algo, bs) == spec_hash(root, files, bs, algo)
+
+
+def test_verify_roundtrip(spark, tree):
+    root, _ = tree
+    hs = hash_directory(spark, root, "sha256", "32k")
+    assert hs.startswith("v1-sha256-32k-")
+    res = verify_directory_hash(spark, root, hs)
+    assert res and res.match
+    bad = hs[:-8] + "00000000"
+    res2 = verify_directory_hash(spark, root, bad)
+    assert not res2
+    assert res2.actual_hash_value == hs.rsplit("-", 1)[1]
+
+
+def test_verify_raw(spark, tree):
+    root, files = tree
+    bs = 32 * 1024
+    expected = spec_hash(root, files, bs)
+    assert verify_raw_directory_hash(spark, root, expected, "sha256", bs)
+    assert not verify_raw_directory_hash(spark, root, "0" * 64, "sha256", bs)
+
+
+def test_comparison_result_semantics():
+    a = HashComparisonResult(True, "x")
+    b = HashComparisonResult(True, "x")
+    c = HashComparisonResult(False, "y")
+    assert a == b and a != c
+    assert bool(a) and not bool(c)
+    assert a == True and c == False  # noqa: E712  (reference API contract)
+
+
+def test_empty_directory_tree(spark, tmp_path):
+    root = tmp_path / "empty"
+    root.mkdir()
+    expected = hashlib.sha256(b"0\x00\x00").hexdigest()
+    assert hash_directory_raw(spark, str(root), "sha256", 1024) == expected
+
+
+def test_archive_roundtrip(spark, tmp_path):
+    from dirhash_spark.dirhash.archive import move_folder_to_hashed_archive
+
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "sub" / "f.txt").write_text("hello")
+    hs = hash_directory(spark, str(src), "sha256", "1k")
+
+    archive = tmp_path / "archive"
+    target = move_folder_to_hashed_archive(str(src), hs, str(archive), softlink=True)
+    assert os.path.isdir(target) and os.path.basename(target) == hs
+    assert os.path.islink(src)  # softlink left behind
+    # root bypasses permission checks, so inspect the mode bits directly
+    import stat
+
+    mode = os.stat(os.path.join(target, "sub", "f.txt")).st_mode
+    assert not (mode & (stat.S_IWUSR | stat.S_IWGRP | stat.S_IWOTH))
+    # verify the archived dir against its own name (--check-name semantics)
+    res = verify_directory_hash(spark, target, os.path.basename(target))
+    assert res.match
+    # restore writability so pytest can clean tmp
+    for dirpath, dirnames, filenames in os.walk(target):
+        for n in dirnames + filenames:
+            os.chmod(os.path.join(dirpath, n), 0o755)
+    os.chmod(target, 0o755)
