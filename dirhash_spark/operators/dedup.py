@@ -1,1 +1,315 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for LLM-data pipelines (SURVEY §2.B B42-B43 +
+north-star extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of each variant at 100 TB):
+- exact: one shuffle on a 32-byte content hash — the cheapest possible
+  dedup; always run it first to shrink the corpus.
+- MinHash+LSH: near-dup without O(n²) — signatures are embarrassingly
+  parallel (Arrow-batched pandas), candidate generation is an equi-join
+  on (band, band_hash) buckets, so cost is driven by bucket collision
+  counts, not corpus size².
+- SimHash: one 64-bit fingerprint per doc, entirely JVM-side; banding
+  on 16-bit quarters finds candidates with ≤3 differing bands, exact
+  hamming check via xor+bit_count.
+- n-gram Jaccard: the exact verifier to run on *candidate pairs only*
+  (here bounded by a same-source/nearby-id candidate window so the
+  oracle stays O(bounded pairs)).
+- embedding cosine: exact pairwise within a blocking key (label) —
+  the brute-force baseline; the LSH-bucketed ANN in similarity.py is
+  the scale path.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from ..catalog import Catalog
+from ..registry import query
+
+# Shared normalization (Spark expr and DuckDB SQL must stay in lockstep).
+_NORM_SPARK = lambda c: F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " "), r" +", " "))  # noqa: E731
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: exact dedup by content hash — keeper = lowest doc_id per
+    hash.  One shuffle on the 32-byte digest regardless of corpus size."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    SELECT sha256({_NORM_SQL}) AS content_hash,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text normalization (lowercase, strip
+    punctuation, collapse whitespace) — catches trivially-reformatted
+    copies before any fuzzy pass."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(F.sha2(_NORM_SPARK(F.col("text")), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------- MinHash+LSH
+
+_N_HASHES = 64
+_N_BANDS = 16  # 16 bands × 4 rows
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_SHINGLE_K = 5
+_MERSENNE = (1 << 61) - 1
+
+_rng = np.random.RandomState(42)
+_MH_A = _rng.randint(1, _MERSENNE, size=_N_HASHES, dtype=np.int64)
+_MH_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64)
+
+_SIG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("band_id", LongType(), False),
+        StructField("band_hash", LongType(), False),
+    ]
+)
+
+
+def _minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """text → (doc_id, band_id, band_hash) rows.  numpy-vectorized over
+    the shingle axis; deterministic (crc32 shingle hashing, fixed seed
+    permutations)."""
+    for pdf in batches:
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            t = " ".join(str(text).lower().split())
+            if len(t) < _SHINGLE_K:
+                shingles = {t}
+            else:
+                shingles = {t[i : i + _SHINGLE_K] for i in range(len(t) - _SHINGLE_K + 1)}
+            x = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                dtype=np.int64,
+                count=len(shingles),
+            )
+            # sig[i] = min over shingles of (a_i*x + b_i) mod p
+            sig = ((_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % _MERSENNE).min(axis=1)
+            for band in range(_N_BANDS):
+                chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
+                band_hash = int(zlib.crc32(chunk.tobytes()))
+                out_doc.append(int(doc_id))
+                out_band.append(band)
+                out_hash.append(band_hash)
+        yield pd.DataFrame({"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash})
+
+
+@query("dedup_minhash", oracle=None, tags=("dedup", "lsh"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43: MinHash+LSH near-dup candidates.  Pipeline: shingle →
+    64-perm minhash signature → 16 banded bucket keys → self-equi-join
+    on (band_id, band_hash) → distinct candidate pairs with the number
+    of agreeing bands (more bands ⇒ higher Jaccard estimate).
+
+    rows-only check: DuckDB can't replay the permutation sketch; the
+    estimator itself is validated in tests against exact Jaccard.
+    """
+    cat = Catalog(spark, sf_dir)
+    sig = cat.documents.select("doc_id", "text").mapInPandas(_minhash_bands, _SIG_SCHEMA)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+@query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint per document computed fully
+    JVM-side (token → xxhash64 → per-bit vote via bitwise ops inside an
+    aggregate over the token array), candidates = pairs sharing any
+    16-bit quarter, verified by exact hamming distance (xor+bit_count).
+
+    rows-only: the fingerprint construction is engine-specific.
+    """
+    cat = Catalog(spark, sf_dir)
+    tokens = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    toks = cat.documents.select("doc_id", hashes.alias("hashes"))
+
+    # Per-bit votes: count tokens with bit i set minus tokens with it
+    # clear; fingerprint bit i = 1 iff the vote is positive.  The 64 bit
+    # positions are unrolled statically (shift amounts must be literals).
+    def vote(i: int):
+        return F.aggregate(
+            F.col("hashes"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    fps = toks.select("doc_id", fp.alias("fp"))
+
+    # Band on 16-bit quarters; docs agreeing on any quarter are candidates.
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright(F.col("fp"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.band_id", "band.band_val")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= 12)
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             list_distinct([substr(t, g, 3) FOR g IN generate_series(1, greatest(len(t) - 2, 1))]) AS grams
+      FROM (SELECT doc_id, source, {_NORM_SQL} AS t FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+    FROM n a JOIN n b
+      ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 10
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-trigram Jaccard over a bounded candidate window
+    (same source, nearby ids) — the precise verifier stage that LSH
+    candidates would feed at scale.  Entirely JVM-side array ops."""
+    cat = Catalog(spark, sf_dir)
+    norm = _NORM_SPARK(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1))),
+            lambda i: norm.substr(i, F.lit(3)),
+        )
+    )
+    n = cat.documents.select("doc_id", "source", grams.alias("grams"))
+    a, b = n.alias("a"), n.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.doc_id") - F.col("a.doc_id") <= 10),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (label) —
+    brute-force exact baseline; dot products via zip_with/aggregate stay
+    in the JVM.  The label block bounds the quadratic term; at 100 TB
+    replace the block with LSH buckets (see sim_ann_lsh)."""
+    cat = Catalog(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = cat.embeddings.select("vec_id", "label", v.alias("v"), norm.alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )

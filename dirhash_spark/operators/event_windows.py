@@ -1,1 +1,131 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time windows, batch-checkable forms (SURVEY §2.B B49-B52).
+
+These run the *batch* equivalents of the streaming operators so the
+DuckDB oracle can verify window semantics exactly; the Structured
+Streaming path (readStream/writeStream, watermarks, stateful dedup) over
+the same expressions lives in ``dirhash_spark.streaming`` with its own
+smoke tests — Spark's unified API makes the window expressions
+identical in both modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import query
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49: tumbling 1-hour window aggregate (same F.window expression a
+    streaming query uses; epoch-aligned like DuckDB's time_bucket)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH halves AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS half_start, value FROM events
+    ),
+    expanded AS (
+      SELECT half_start AS window_start, value FROM halves
+      UNION ALL
+      SELECT half_start - INTERVAL '30 minutes' AS window_start, value FROM halves
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50: sliding window (1 hour every 30 minutes) — each event lands
+    in exactly two windows; the oracle expands the two half-aligned
+    window starts explicitly."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51: gap-based session windows (10-minute gap) per user.  Spark's
+    session_window end = last event + gap; the oracle reconstructs the
+    same islands with lag + running sum."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("stream_watermark_dedup", oracle=None, tags=("streaming", "stateful"))
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52 batch stand-in: event dedup on (user_id, event_type) — the
+    same dropDuplicates that runs stateful under a watermark in the
+    streaming smoke test (tests/test_streaming.py).  rows-only: keeper
+    choice within a duplicate group is nondeterministic by design."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )

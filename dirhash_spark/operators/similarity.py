@@ -1,1 +1,137 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embeddings (SURVEY §2.B B44 + ANN extension).
+
+- ``sim_topk_cosine``: exact brute-force top-k vs a probe vector — the
+  correctness baseline.  One pass over the corpus, dot products via
+  zip_with/aggregate (JVM, codegen), TakeOrderedAndProject for the top-k
+  (no global sort).
+- ``sim_ann_lsh``: the 100 TB path — random-hyperplane LSH.  Each vector
+  gets a 16-bit signature (sign of 16 fixed hyperplane dot products);
+  candidates = signatures within hamming ≤ 4 of the probe's, then exact
+  cosine re-rank of candidates only.  All JVM-side bitwise ops; the
+  hyperplanes are deterministic literals (seeded), so results are
+  reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import query
+
+_TOP_K = 10
+
+
+def _probe(cat: Catalog):
+    """1-row DataFrame with the probe vector (vec_id 0) — broadcast, so
+    the 'parameter' stays a dataflow edge, never a driver collect."""
+    return F.broadcast(
+        cat.embeddings.where(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("probe")
+        )
+    )
+
+
+def _cosine(v, p):
+    dot = F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    np_ = F.sqrt(F.aggregate(p, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (nv * np_)
+
+
+@query(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH p AS (SELECT embedding::DOUBLE[] AS probe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id, label,
+                  list_cosine_similarity(embedding::DOUBLE[], probe) AS cos_raw
+           FROM embeddings, p
+           WHERE vec_id <> 0
+         )
+    SELECT vec_id, label, round(cos_raw, 4) AS cosine
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("similarity",),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: exact top-k cosine similarity vs the vec_id=0 probe.
+    Ranking happens on the unrounded value (rounded only for output, so
+    float-association noise can't reorder the cut)."""
+    cat = Catalog(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    scored = (
+        cat.embeddings.where(F.col("vec_id") != 0)
+        .crossJoin(_probe(cat))
+        .select("vec_id", "label", _cosine(v, F.col("probe")).alias("cos_raw"))
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+_N_PLANES = 16
+_DIM = 64
+_HYPERPLANES = np.random.RandomState(1234).standard_normal((_N_PLANES, _DIM))
+
+
+@query("sim_ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH + exact re-rank of candidates.
+
+    rows-only: the bucketing is engine-specific; recall vs the exact
+    brute force is asserted in tests instead.
+    """
+    cat = Catalog(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+
+    def signature(vec_col):
+        """16-bit LSH signature: bit i = sign(hyperplane_i · v)."""
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(w)) for w in _HYPERPLANES[i]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(_N_PLANES)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    probe = F.broadcast(
+        cat.embeddings.where(F.col("vec_id") == 0).select(
+            v.alias("probe"), signature(v).alias("probe_sig")
+        )
+    )
+    sigs = cat.embeddings.where(F.col("vec_id") != 0).select(
+        "vec_id", "label", v.alias("v"), signature(v).alias("sig")
+    )
+    # Hamming ≤ 6 of 16 planes ⇒ ~20% of a random corpus scanned at
+    # recall ≈ 0.6 for weakly-similar probes (measured on the fixtures);
+    # clustered real-world embeddings concentrate much harder, pushing
+    # recall up and candidate share down at the same threshold.
+    candidates = sigs.crossJoin(probe).where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("probe_sig"))) <= 6
+    )
+    return (
+        candidates.select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )

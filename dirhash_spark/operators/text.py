@@ -1,1 +1,170 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis for LLM-data pipelines (SURVEY §2.B B45 + north-star
+extensions): tokenization/word count, token counting (whitespace +
+BPE-ish regex), language-ID heuristic, quality scoring, document
+fingerprinting.
+
+All operators are pure ``pyspark.sql.functions`` expressions — no Python
+UDFs — so they run inside whole-stage codegen and scale linearly with a
+single scan (word count adds one shuffle for its groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import query
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+_BPE_RE = r"\w+|[^\w\s]"
+_FP_MOD = 2147483647  # 2^31 - 1
+
+
+@query(
+    "text_tokens",
+    oracle=r"""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45: tokenize + corpus word count (explode → groupBy; the partial
+    aggregation squashes the token stream before the shuffle)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens and a BPE-ish
+    regex tokenization (word runs + single punctuation marks) — the two
+    standard budget estimators for LLM training data."""
+    cat = Catalog(spark, sf_dir)
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    return cat.documents.select("doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+
+
+@query(
+    "text_lang_id",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round(CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                 / greatest(len(toks), 1), 4) AS stopword_ratio,
+           CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                     / greatest(len(toks), 1) >= 0.05
+                THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM t
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: ratio of English stopword hits among
+    tokens → 'en'/'unk'.  (An n-gram profile per language drops in the
+    same shape: per-token membership test + ratio threshold.)"""
+    cat = Catalog(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    ratio = hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+    return cat.documents.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unk").alias("pred_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio_raw
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(alpha_ratio_raw, 4) AS alpha_ratio,
+           round(least(1.0, n_tokens / 50.0) * alpha_ratio_raw, 4) AS quality_score,
+           (n_chars >= 100 AND alpha_ratio_raw >= 0.8) AS keep
+    FROM q
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, token count, alphabetic-character ratio,
+    a composite score, and the keep/drop decision a filtering pipeline
+    would apply."""
+    cat = Catalog(spark, sf_dir)
+    n_chars = F.length("text")
+    n_tokens = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z ]", "")).cast("double") / F.greatest(
+        n_chars, F.lit(1)
+    )
+    score = F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * alpha
+    return cat.documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(alpha, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+        ((n_chars >= 100) & (alpha >= 0.8)).alias("keep"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(unicode(text[g]) AS BIGINT) FOR g IN generate_series(1, length(text))]),
+             (a, b) -> (a * 131 + b) % {_FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling polynomial hash over the character
+    stream (h ← h·131 + code  mod 2³¹−1) — the primitive behind
+    winnowing/rolling-window fingerprints, as one JVM-side aggregate."""
+    cat = Catalog(spark, sf_dir)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),
+    )
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % F.lit(_FP_MOD)
+    )
+    return cat.documents.where(F.length("text") > 0).select("doc_id", fp.alias("fingerprint"))

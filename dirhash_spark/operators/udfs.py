@@ -1,1 +1,118 @@
-"""Placeholder — populated in a later milestone."""
+"""UDF surfaces (SURVEY §2.B B46-B48): row UDF, pandas UDAF, mapInPandas
+UDTF.
+
+These exist to prove the extension surface, with the cost model stated:
+a row-at-a-time Python UDF (B46) pays per-row serialization — fine for
+a demo, wrong for a hot path; the pandas UDAF (B47) and mapInPandas
+UDTF (B48) move data via Arrow in columnar batches (~10-100× faster) and
+are the sanctioned shapes for custom logic the built-ins can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import Catalog
+from ..registry import query
+
+
+@query(
+    "udf_python",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier
+    FROM customer
+    """,
+    tags=("udf",),
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46: scalar Python UDF (row-at-a-time; the slow path, kept tiny)."""
+    cat = Catalog(spark, sf_dir)
+
+    @F.udf(returnType=StringType())
+    def tier(bal: float) -> str:
+        if bal < 0:
+            return "debtor"
+        if bal < 5000:
+            return "standard"
+        return "premium"
+
+    return cat.customer.select("c_custkey", tier("c_acctbal").alias("tier"))
+
+
+@query(
+    "udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf"),
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47: grouped-agg pandas UDAF (Arrow batches; quantity-weighted
+    mean price per return flag)."""
+    cat = Catalog(spark, sf_dir)
+
+    @F.pandas_udf(DoubleType())
+    def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return (
+        cat.lineitem.groupBy("l_returnflag")
+        .agg(weighted_mean("l_extendedprice", "l_quantity").alias("_w"))
+        .select("l_returnflag", F.round("_w", 4).alias("weighted_price"))
+    )
+
+
+_EXPAND_SCHEMA = StructType(
+    [
+        StructField("n_nationkey", IntegerType(), False),
+        StructField("seq", LongType(), False),
+        StructField("tag", StringType(), False),
+    ]
+)
+
+
+@query(
+    "udtf_map_in_pandas",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(unnest(generate_series(0, n_nationkey % 3)) AS BIGINT) AS seq,
+           n_name || '#' || CAST(unnest(generate_series(0, n_nationkey % 3)) AS VARCHAR) AS tag
+    FROM nation
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48: table function via mapInPandas — each input row yields
+    1..3 output rows (the 1→N shape of decoders, frame samplers,
+    chunkers)."""
+    cat = Catalog(spark, sf_dir)
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, seqs, tags = [], [], []
+            for key, name in zip(pdf["n_nationkey"], pdf["n_name"]):
+                for i in range(int(key) % 3 + 1):
+                    keys.append(int(key))
+                    seqs.append(i)
+                    tags.append(f"{name}#{i}")
+            yield pd.DataFrame({"n_nationkey": keys, "seq": seqs, "tag": tags})
+
+    return cat.nation.select("n_nationkey", "n_name").mapInPandas(expand, _EXPAND_SCHEMA)

@@ -1,0 +1,64 @@
+"""Streaming transformations over an events stream.
+
+Each function takes any events-shaped DataFrame — batch or streaming —
+and returns the transformed DataFrame; callers attach sources and sinks.
+Watermarks bound state: a 1000-executor job processing a firehose keeps
+per-window partial aggregates / dedup keys only until the watermark
+passes, then emits and drops them.
+
+Scale notes: streaming aggregation state is partitioned by the group key
+(window, user) across executors exactly like a batch shuffle; the
+watermark delay is the knob trading late-data tolerance for state size.
+``dropDuplicates`` under a watermark keeps one key per (user, type)
+until expiry — bounded by key cardinality, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """B49: per-hour event counts with a watermark for late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """B50: 1-hour windows sliding every 30 minutes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """B51: gap-based session windows per user (stateful merge of
+    overlapping session fragments across micro-batches)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def watermark_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """B52: stateful exactly-once-per-key dedup under a watermark —
+    late duplicates beyond the watermark are dropped with their state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])

@@ -1,0 +1,94 @@
+"""Quality tests for the approximate LLM-pipeline operators (the ones the
+DuckDB oracle can't check): MinHash/LSH sensitivity, ANN recall vs the
+exact baseline, multimodal plumbing invariants."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from dirhash_spark.operators.dedup import _minhash_bands
+from dirhash_spark.operators.multimodal import fake_decode
+from dirhash_spark.operators.similarity import sim_ann_lsh, sim_topk_cosine
+from dirhash_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden outside the house"
+)
+NEAR = BASE.replace("garden", "meadow")  # one word changed
+FAR = "completely different content about distributed query engines and columnar storage formats"
+
+
+def _bands(texts):
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = pd.concat(list(_minhash_bands(iter([pdf]))))
+    return {
+        doc: set(map(tuple, out[out.doc_id == doc][["band_id", "band_hash"]].values))
+        for doc in out.doc_id.unique()
+    }
+
+
+def test_minhash_lsh_sensitivity():
+    """Near-identical docs must collide in many bands; unrelated docs in
+    (almost) none — the property the LSH banding scheme exists for."""
+    bands = _bands([BASE, NEAR, FAR])
+    near_shared = len(bands[0] & bands[1])
+    far_shared = len(bands[0] & bands[2])
+    assert near_shared >= 4, f"near-dup pair shares only {near_shared} bands"
+    assert far_shared <= 1, f"unrelated pair shares {far_shared} bands"
+
+
+def test_minhash_deterministic():
+    assert _bands([BASE]) == _bands([BASE])
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    """LSH candidate generation must recover most of the exact top-10
+    (deterministic: fixed data, fixed hyperplanes)."""
+    exact = {r["vec_id"] for r in sim_topk_cosine(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in sim_ann_lsh(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall@10 = {recall}"
+
+
+def test_simhash_pairs_respect_threshold(spark, sf_dir):
+    rows = QUERIES["dedup_simhash"].fn(spark, sf_dir).collect()
+    assert all(r["hamming"] <= 12 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_minhash_pairs_shape(spark, sf_dir):
+    rows = QUERIES["dedup_minhash"].fn(spark, sf_dir).collect()
+    assert all(1 <= r["n_shared_bands"] <= 16 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_fake_decode_deterministic_and_bounded():
+    meta = fake_decode(b"some payload")
+    assert meta == fake_decode(b"some payload")
+    assert 16 <= meta["width"] <= 255 and 16 <= meta["height"] <= 255
+    assert meta["format"] in ("png", "jpeg", "webp")
+
+
+def test_decode_image_stub_raises():
+    import pytest
+
+    from dirhash_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_mm_frame_sample_expansion(spark, sf_dir):
+    df = QUERIES["mm_frame_sample"].fn(spark, sf_dir)
+    rows = df.limit(50).collect()
+    assert all(r["frame_idx"] % 4 == 0 for r in rows)
+    assert all(len(r["frame_bytes"]) <= 64 for r in rows)

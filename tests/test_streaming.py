@@ -1,0 +1,69 @@
+"""Structured Streaming smoke tests (SURVEY §5 / §2.B B49-B52).
+
+Strategy: feed the fixture events through a real streaming source (file
+source + availableNow trigger → deterministic, processes everything then
+stops), collect from a memory sink, and check against the batch
+equivalent of the same expression — proving the streaming path end to
+end (source → watermark → stateful op → sink) without wall-clock flakes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dirhash_spark.catalog import load_table
+from dirhash_spark.streaming import (
+    session_counts,
+    tumbling_counts,
+    watermark_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, sf_dir, tmp_path_factory):
+    """Events written to a parquet dir consumed as a stream."""
+    src = str(tmp_path_factory.mktemp("stream") / "events")
+    batch = load_table(spark, sf_dir, "events")
+    batch.write.mode("overwrite").parquet(src)
+    schema = batch.schema
+    return lambda: spark.readStream.schema(schema).parquet(src), batch
+
+
+def _run_to_memory(spark, streaming_df, name: str, output_mode: str):
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, stream_source):
+    make_stream, batch = stream_source
+    result = _run_to_memory(spark, tumbling_counts(make_stream()), "t_tumbling", "complete")
+    got = {(r["window_start"], r["n_events"], r["total_value"]) for r in result.collect()}
+    expected = {
+        (r["window_start"], r["n_events"], r["total_value"])
+        for r in tumbling_counts(batch).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_session_matches_batch(spark, stream_source):
+    make_stream, batch = stream_source
+    result = _run_to_memory(spark, session_counts(make_stream()), "t_session", "complete")
+    got = {tuple(r) for r in result.collect()}
+    expected = {tuple(r) for r in session_counts(batch).collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_watermark_dedup(spark, stream_source):
+    make_stream, batch = stream_source
+    result = _run_to_memory(spark, watermark_dedup(make_stream()), "t_dedup", "append")
+    # state-backed dedup must leave exactly one row per (user_id, event_type)
+    n_keys = batch.select("user_id", "event_type").distinct().count()
+    assert result.count() == n_keys
+    assert result.select("user_id", "event_type").distinct().count() == n_keys
