@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver collect bottleneck, mirroring a cluster write).  A short warmup
+query first absorbs JVM/codegen startup so per-query numbers reflect
+steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "agg_basic",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "win_running",
+    "topk_per_group",
+    "agg_rollup",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_cosine",
+    "text_tokens",
+    "text_quality",
+    "stream_session",
+    "merkle_fold_group",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from dirhash_spark.registry import all_queries
+    from dirhash_spark.session import get_spark
+
+    spark = get_spark("dirhash_spark_bench")
+    queries = all_queries()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warmup: JVM + codegen + parquet footer caches, plus the Python
+    # worker pool (numpy/pandas imports) used by Arrow-batched stages.
+    run(queries["agg_basic"].fn(spark, sf_dir))
+    run(queries["mm_meta_extract"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run(queries[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock (noop sink, local[%s])"
+                % os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -142,7 +142,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator itself is validated in tests against exact Jaccard.
     """
     cat = Catalog(spark, sf_dir)
-    sig = cat.documents.select("doc_id", "text").mapInPandas(_minhash_bands, _SIG_SCHEMA)
+    # One small parquet file would mean one Python worker doing all the
+    # shingling; spread the CPU-bound sketch across the cluster first.
+    n_parts = spark.sparkContext.defaultParallelism
+    sig = (
+        cat.documents.select("doc_id", "text")
+        .repartition(n_parts)
+        .mapInPandas(_minhash_bands, _SIG_SCHEMA)
+    )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -230,47 +237,82 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ n-gram Jaccard
 
 
+_JACCARD_WINDOW = 5
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH n AS (
-      SELECT doc_id, source,
+      SELECT doc_id,
              list_distinct([substr(t, g, 3) FOR g IN generate_series(1, greatest(len(t) - 2, 1))]) AS grams
-      FROM (SELECT doc_id, source, {_NORM_SQL} AS t FROM documents)
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
     FROM n a JOIN n b
-      ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 10
+      ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= {_JACCARD_WINDOW}
     """,
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-trigram Jaccard over a bounded candidate window
-    (same source, nearby ids) — the precise verifier stage that LSH
-    candidates would feed at scale.  Entirely JVM-side array ops."""
+    (ids within ±{window}) — the precise verifier stage that LSH
+    candidates would feed at scale.  Entirely JVM-side array ops.
+
+    Physical shape, two deliberate choices:
+    - The ±id window is a *range* predicate; alone it would force a
+      nested-loop over all pairs.  Banding ``doc_id div window`` and
+      exploding the probe side into [band, band+1] makes it one equi
+      join — only O(n·window) pairs materialize their gram arrays.
+    - The normalized text is materialized behind an exchange before the
+      trigram lambda runs.  Referencing the raw normalization
+      *expression* inside ``transform`` would make Catalyst re-evaluate
+      the regexp chain once per trigram (~300× per row — measured 98 s
+      vs 3 s at sf0.1); a repartition boundary pins it to a physical
+      column evaluated once per row, and doubles as the parallelism fix
+      for this byte-light/compute-heavy stage that AQE would otherwise
+      coalesce onto a single core.
+    """
     cat = Catalog(spark, sf_dir)
-    norm = _NORM_SPARK(F.col("text"))
+    n_parts = spark.sparkContext.defaultParallelism
+    base = (
+        cat.documents.select(
+            "doc_id",
+            F.expr(f"doc_id div {_JACCARD_WINDOW}").alias("band"),
+            _NORM_SPARK(F.col("text")).alias("t"),
+        )
+        .repartition(n_parts, "band")
+    )
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1))),
-            lambda i: norm.substr(i, F.lit(3)),
+            F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1))),
+            lambda i: F.col("t").substr(i, F.lit(3)),
         )
     )
-    n = cat.documents.select("doc_id", "source", grams.alias("grams"))
-    a, b = n.alias("a"), n.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    return a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("b.doc_id") - F.col("a.doc_id") <= 10),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    n = base.select("doc_id", "band", grams.alias("grams"))
+    a = n.select(
+        F.col("doc_id").alias("a_id"),
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("jband"),
+        F.col("grams").alias("a_grams"),
+    )
+    b = n.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band").alias("b_band"),
+        F.col("grams").alias("b_grams"),
+    )
+    inter = F.size(F.array_intersect(F.col("a_grams"), F.col("b_grams")))
+    union = F.size(F.array_union(F.col("a_grams"), F.col("b_grams")))
+    return (
+        a.repartition(n_parts, "jband")
+        .join(b.repartition(n_parts, "b_band"), F.col("jband") == F.col("b_band"))
+        .where((F.col("a_id") < F.col("b_id")) & (F.col("b_id") - F.col("a_id") <= _JACCARD_WINDOW))
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
     )
 
 

@@ -100,8 +100,13 @@ def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def binary_table(cat: Catalog) -> DataFrame:
     """documents → (doc_id, payload BINARY): the opaque-blob table shape
-    (payload = UTF-8 bytes of the text, standing in for media bytes)."""
-    return cat.documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    (payload = UTF-8 bytes of the text, standing in for media bytes).
+    Repartitioned so the downstream decode stages parallelize even when
+    the source is a single small file."""
+    n_parts = cat.spark.sparkContext.defaultParallelism
+    return cat.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).repartition(n_parts)
 
 
 @query("mm_meta_extract", oracle=None, tags=("multimodal",))
