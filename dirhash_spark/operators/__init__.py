@@ -15,6 +15,9 @@ Module map (SURVEY.md §2 rows in parentheses):
   udfs.py              B46-B48 UDF / pandas-UDAF / mapInPandas UDTF surface
   event_windows.py     B49-B52 event-time windows (batch-checkable forms)
   multimodal.py        binary-column plumbing (decode stub, frame sampling)
+  codec_queries.py     A8-A10 codec + verify exposure
+  joins_extra.py       scale-path as-of join (merge-sorted union form)
+  sources_extra.py     JSON/ORC/partitioned/bucketed sources and sinks
 """
 
 from . import (  # noqa: F401
@@ -33,4 +36,7 @@ from . import (  # noqa: F401
     udfs,
     event_windows,
     multimodal,
+    codec_queries,
+    joins_extra,
+    sources_extra,
 )
