@@ -115,8 +115,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).bucketBy(8, key).sortBy(key).saveAsTable(f"dirhash_bench.{name}")
     o = spark.table("dirhash_bench.orders_b")
     c = spark.table("dirhash_bench.customer_b")
+    # hint("merge"): at test SF Catalyst would broadcast the small side,
+    # hiding the point; at 100 TB neither side broadcasts, and the SMJ
+    # over co-bucketed scans runs with ZERO exchange before the join
+    # (asserted in tests/test_plans.py).
     return (
-        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        o.hint("merge")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

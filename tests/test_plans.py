@@ -1,0 +1,136 @@
+"""Physical-plan assertions — the scale contract.
+
+Correctness tests prove the operators compute the right answer at test
+SF; these tests prove the *plans* are the ones that survive 100 TB:
+filters and projections reach the parquet scan, small dimensions
+broadcast, bucketed joins skip their exchanges, aggregates combine
+map-side, and no row-at-a-time Python evaluation sneaks into the
+relational hot path.  A regression here is invisible to result-checking
+tests but turns a cluster-scale run from hours into days.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from dirhash_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    df = all_queries()[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    """Every join in the flagship is a broadcast hash join (orders,
+    customer, nation, region all fit under the threshold); a sort-merge
+    join here would mean shuffling the lineitem fact table 4 times."""
+    p = plan(spark, "flagship_revenue_by_nation", "simple")
+    assert p.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+
+
+def test_flagship_prunes_lineitem_columns(spark):
+    """The fact-table scan reads exactly the 3 columns the query needs
+    (of 16) — at 100 TB column pruning is the difference between
+    reading ~20 TB and reading 100 TB."""
+    p = plan(spark, "flagship_revenue_by_nation")
+    m = re.search(r"lineitem.*?ReadSchema: struct<([^>]*)>", p, re.S)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}
+
+
+def test_filter_reaches_parquet_scan(spark):
+    """Comparison predicates are pushed into the parquet reader
+    (row-group statistics skip data before it is ever decoded)."""
+    p = plan(spark, "filter_pred")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "GreaterThan(l_quantity" in m.group(1)
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """Reading back the hive-partitioned sink with a partition predicate
+    shows PartitionFilters — the scan lists only the matching directory
+    instead of the whole table."""
+    p = plan(spark, "sink_parquet_partitioned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "o_orderstatus" in m.group(1)
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both sides are bucketed on the join key, so the forced sort-merge
+    join runs with ZERO exchange before it — the only shuffle left is
+    the post-join aggregation.  This is the amortization bucketing buys:
+    the fact table's join shuffle is paid once at write time."""
+    p = plan(spark, "join_bucketed", "simple")
+    assert "SortMergeJoin" in p
+    assert "BroadcastExchange" not in p
+    # exactly one exchange: the groupBy(c_mktsegment) after the join
+    assert p.count("Exchange") == 1, p
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = plan(spark, "join_broadcast", "simple")
+    assert "BroadcastHashJoin" in p
+
+
+def test_agg_combines_map_side(spark):
+    """groupBy().agg() must plan partial (pre-shuffle) + final
+    aggregation so the exchange carries one row per (group, partition),
+    not one row per input row."""
+    p = plan(spark, "agg_basic")
+    assert "partial_sum" in p, p
+    # two HashAggregate nodes around one Exchange: partial below, final above
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("HashAggregate") == 2 and tree.count("Exchange") == 1, tree
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy().limit(k) plans TakeOrderedAndProject — each partition
+    keeps k rows and the driver merges, instead of a full global sort."""
+    p = plan(spark, "limit_topk", "simple")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dedup_exact_is_single_shuffle(spark):
+    """Exact dedup = one exchange on the 32-byte content hash; any
+    second shuffle would double the cost of the cheapest dedup pass."""
+    p = plan(spark, "dedup_exact", "simple")
+    assert p.count("Exchange") == 1, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "flagship_revenue_by_nation",
+        "join_inner_hash",
+        "agg_basic",
+        "win_running",
+        "dedup_exact",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "sim_topk_cosine",
+        "text_tokens",
+        "merkle_fold_group",
+    ],
+)
+def test_no_python_row_eval_in_hot_path(spark, name):
+    """The relational + JVM-expressible LLM ops must never fall back to
+    row-at-a-time Python evaluation (BatchEvalPython); Python appears
+    only in explicitly Arrow-batched operators (minhash sketch, UDF
+    surface queries)."""
+    p = plan(spark, name, "simple")
+    assert "BatchEvalPython" not in p
