@@ -18,6 +18,7 @@ Module map (SURVEY.md §2 rows in parentheses):
   codec_queries.py     A8-A10 codec + verify exposure
   joins_extra.py       scale-path as-of join (merge-sorted union form)
   sources_extra.py     JSON/ORC/partitioned/bucketed sources and sinks
+  skew.py              salted two-phase distinct + salted hot-key join
 """
 
 from . import (  # noqa: F401
@@ -39,4 +40,5 @@ from . import (  # noqa: F401
     codec_queries,
     joins_extra,
     sources_extra,
+    skew,
 )

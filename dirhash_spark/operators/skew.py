@@ -1,0 +1,98 @@
+"""Skew-mitigation patterns (north-star scale surface; no REF analog —
+the reference's only shuffle is a range sort of digests, dirhash.py:413).
+
+At 100 TB the failure mode of groupBy/join is not volume, it is the ONE
+reducer that receives a hot key while 999 executors idle.  Two manual
+patterns complement AQE's runtime skew-join splitting (enabled in
+session.py), and both are oracle-checked so the driver proves the
+rewritten plans keep exact semantics:
+
+- salted two-phase distinct: COUNT(DISTINCT x) BY hot_key normally
+  shuffles every row of a hot key to one reducer.  Salting by
+  ``hash(x) % S`` splits each group S ways; because the salt is a pure
+  function of the DISTINCT value, each distinct x lands in exactly one
+  (key, salt) cell, so the phase-2 SUM of per-cell exact distincts is
+  the exact global distinct — at 1/S the per-reducer load.
+
+- salted hot-key join: a large⋈large equi join on a low-cardinality key
+  puts each key on one reducer pair.  Replicating the build side S ways
+  (explode over salts) and salting probe rows by ``hash(row_id) % S``
+  turns each hot key into S balanced cells.  Cost: build side ×S — the
+  trade that wins when build ≪ probe but exceeds broadcast size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import query
+
+_SALTS = 16
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("skew", "agg"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via salted two-phase
+    aggregation (see module docstring for why this is exact)."""
+    cat = Catalog(spark, sf_dir)
+    salted = cat.events.select(
+        "event_type",
+        "user_id",
+        F.pmod(F.xxhash64("user_id"), F.lit(_SALTS)).alias("salt"),
+    )
+    per_cell = salted.groupBy("event_type", "salt").agg(
+        F.count_distinct("user_id").alias("cell_users")
+    )
+    return per_cell.groupBy("event_type").agg(F.sum("cell_users").alias("n_users"))
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH d AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round(e.value - d.type_avg, 4) AS over_avg
+    FROM events e JOIN d ON e.event_type = d.event_type
+    WHERE e.value > d.type_avg
+    """,
+    tags=("skew", "join"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key equi join, salted: events (probe, 5-value key = extreme
+    skew at scale) ⋈ per-type averages (build).  The build side is
+    exploded over all 16 salts, probe rows get ``hash(event_id) % 16``,
+    and the join key becomes (event_type, salt) — 5 hot cells become 80
+    balanced ones.  hint("merge") keeps the demo on the shuffle path
+    (Catalyst would broadcast the tiny build side here; at scale the
+    build side is the pre-aggregated-but-still-large case where salting
+    is the only lever).  The oracle is the unsalted join — proof the
+    rewrite is semantics-preserving."""
+    cat = Catalog(spark, sf_dir)
+    dim = cat.events.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
+    )
+    probe = cat.events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)).cast("int").alias("salt"),
+    )
+    return (
+        probe.hint("merge")
+        .join(dim_rep, ["event_type", "salt"])
+        .where(F.col("value") > F.col("type_avg"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") - F.col("type_avg"), 4).alias("over_avg"),
+        )
+    )
