@@ -85,14 +85,20 @@ def chunk_plan(spark: SparkSession, entries: list[Entry], blocksize: int) -> Dat
     )
 
 
+def open_for_range_read(full_path: str):
+    """Open a file for positioned reads.  Local paths use ``open``;
+    scheme paths (hdfs://, s3a://, ...) go through pyarrow's FileSystem
+    so the same pipeline runs on a cluster."""
+    if "://" in full_path:
+        import pyarrow.fs as pafs
+
+        fs, inner = pafs.FileSystem.from_uri(full_path)
+        return fs.open_input_file(inner)
+    return open(full_path, "rb")
+
+
 def _read_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Positioned range reads; file handles cached across rows of a batch.
-
-    Local paths use ``open``; scheme paths (hdfs://, s3a://, ...) go
-    through pyarrow's FileSystem so the same pipeline runs on a cluster.
-    """
-    import pyarrow.fs as pafs
-
+    """Positioned range reads; file handles cached across rows of a batch."""
     for pdf in batches:
         handles: dict[str, object] = {}
         try:
@@ -100,12 +106,7 @@ def _read_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for full_path, offset, length in zip(pdf["full_path"], pdf["offset"], pdf["length"]):
                 fh = handles.get(full_path)
                 if fh is None:
-                    if "://" in full_path:
-                        fs, inner = pafs.FileSystem.from_uri(full_path)
-                        fh = fs.open_input_file(inner)
-                    else:
-                        fh = open(full_path, "rb")
-                    handles[full_path] = fh
+                    fh = handles[full_path] = open_for_range_read(full_path)
                 fh.seek(int(offset))
                 contents.append(fh.read(int(length)))
             yield pd.DataFrame(

