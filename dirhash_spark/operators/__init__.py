@@ -19,6 +19,7 @@ Module map (SURVEY.md §2 rows in parentheses):
   joins_extra.py       scale-path as-of join (merge-sorted union form)
   sources_extra.py     JSON/ORC/partitioned/bucketed sources and sinks
   skew.py              salted two-phase distinct + salted hot-key join
+  reshape.py           pivot / unpivot / lateral explode / hash sampling
 """
 
 from . import (  # noqa: F401
@@ -41,4 +42,5 @@ from . import (  # noqa: F401
     joins_extra,
     sources_extra,
     skew,
+    reshape,
 )

@@ -1,0 +1,117 @@
+"""Reshaping operators (EXT; no REF analog — the reference's only shape
+change is chunk explosion, covered columnar by B40 chunk_split_text):
+pivot, unpivot/melt, lateral explode, deterministic hash sampling.
+
+Scale notes:
+- pivot with an explicit value list compiles to one pass of conditional
+  aggregates (no second job to discover values, no extra shuffle beyond
+  the groupBy);
+- unpivot is stack(): pure row-local projection, zero shuffle;
+- posexplode is a generator inside the scan stage — the blow-up happens
+  after pushdown/pruning, never before;
+- hash sampling (`xxhash64(key) % N``) is the scale-safe sample: it is
+  deterministic (reproducible experiments, exact oracle), pushes work to
+  every partition evenly, and unlike TABLESAMPLE keeps the same rows
+  under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import query
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_F,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns.  The explicit value list
+    ['F','O'] skips the extra distinct-values job Spark otherwise runs,
+    and keeps the plan a single groupBy pass."""
+    cat = Catalog(spark, sf_dir)
+    out = (
+        cat.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT s_suppkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'suppkey_x10', s_suppkey * 10.0 FROM supplier
+    )
+    """,
+    tags=("reshape", "unpivot"),
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns into (metric, val) rows via stack()
+    — a row-local generator, no shuffle."""
+    cat = Catalog(spark, sf_dir)
+    return cat.supplier.select(
+        "s_suppkey",
+        F.expr(
+            "stack(2, 'acctbal', s_acctbal, 'suppkey_x10', CAST(s_suppkey AS DOUBLE) * 10.0)"
+        ).alias("metric", "raw"),
+    ).select("s_suppkey", "metric", F.round("raw", 2).alias("val"))
+
+
+@query(
+    "reshape_posexplode",
+    oracle="""
+    SELECT vec_id, CAST(g.pos - 1 AS INT) AS pos,
+           round(CAST(g.x AS DOUBLE), 4) AS x
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS pos) g
+    WHERE vec_id % 100 = 0 AND g.pos <= 4
+    """,
+    tags=("reshape", "explode"),
+)
+def reshape_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position over the embedding array.  The
+    vec_id filter is applied before the generator, so pushdown bounds
+    the blow-up."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.embeddings.where(F.col("vec_id") % 100 == 0)
+        .select("vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "raw"))
+        .select("vec_id", "pos", F.round(F.col("raw").cast("double"), 4).alias("x"))
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_orderkey % 20 = 3
+    """,
+    tags=("sample",),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample by key residue — the reproducible sample
+    for experiment pipelines (same rows on every engine, every run,
+    every partitioning; exact-oracle-checkable, unlike TABLESAMPLE)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.where(F.col("o_orderkey") % 20 == 3).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
