@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the v1 codec and chunk planning.
+
+The reference's suite is example-based only (SURVEY §5); these pin the
+*invariants* behind the golden examples: codec round-trips over the full
+input domain, fold framing injectivity, and chunk-plan arithmetic for
+arbitrary file sizes — the places where an off-by-one would silently
+change every digest.
+"""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dirhash_spark.dirhash.codec import (
+    build_hash_string,
+    chunk_preimage,
+    fold_digest,
+    parse_blocksize,
+    parse_hash_string,
+    supported_algorithms,
+)
+
+SUFFIX_FACTOR = {"": 1, "k": 2**10, "K": 2**10, "M": 2**20, "G": 2**30}
+
+
+@given(n=st.integers(1, 1023), suffix=st.sampled_from(["", "k", "K", "M", "G"]))
+def test_blocksize_parse_full_domain(n, suffix):
+    assert parse_blocksize(f"{n}{suffix}") == n * SUFFIX_FACTOR[suffix]
+
+
+@given(n=st.integers(-5, 5000), suffix=st.sampled_from(["", "k", "K", "M", "G"]))
+def test_blocksize_rejects_out_of_range(n, suffix):
+    if not (1 <= n <= 1023):
+        with pytest.raises(ValueError):
+            parse_blocksize(f"{n}{suffix}")
+
+
+@given(
+    algo=st.sampled_from(supported_algorithms()),
+    n=st.integers(1, 1023),
+    suffix=st.sampled_from(["", "k", "K", "M", "G"]),
+    hexstr=st.text(alphabet="0123456789abcdef", min_size=2, max_size=128).filter(
+        lambda s: len(s) % 2 == 0
+    ),
+)
+def test_hash_string_roundtrip(algo, n, suffix, hexstr):
+    bs = f"{n}{suffix}"
+    back_algo, back_bs, back_hex = parse_hash_string(build_hash_string(algo, bs, hexstr))
+    assert (back_algo, back_bs, back_hex) == (algo, bs, hexstr)
+
+
+@given(
+    path=st.text(alphabet=string.ascii_letters + string.digits + "/._-", min_size=1, max_size=40),
+    num=st.integers(0, 2**40),
+    content=st.binary(max_size=256),
+)
+def test_chunk_preimage_framing(path, num, content):
+    """Preimage = path ‖ NUL ‖ ascii(num) ‖ NUL ‖ content, exactly —
+    and parseable back (path has no NULs, num is digits), so two
+    distinct (path, num, content) triples can never collide preimages."""
+    pre = chunk_preimage(path, num, content)
+    head, rest = pre.split(b"\x00", 1)
+    numpart, tail = rest.split(b"\x00", 1)
+    assert head.decode("utf-8") == path
+    assert int(numpart) == num
+    assert tail == content
+
+
+@given(
+    entries=st.lists(
+        st.text(alphabet=string.ascii_lowercase + "/._", min_size=1, max_size=20),
+        max_size=8,
+        unique=True,
+    ),
+    digests=st.lists(st.binary(min_size=32, max_size=32), max_size=6),
+)
+def test_fold_entry_order_invariance(entries, digests):
+    """fold_digest sorts the listing itself (dirhash.py:418): any input
+    permutation of entries yields the same digest, while chunk-digest
+    ORDER matters (the Merkle chain is order-dependent by design)."""
+    h1 = fold_digest("sha256", entries, digests)
+    h2 = fold_digest("sha256", list(reversed(entries)), digests)
+    assert h1 == h2
+    if list(reversed(digests)) != digests:
+        h3 = fold_digest("sha256", entries, list(reversed(digests)))
+        assert h3 != h1
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(0, 5000), min_size=1, max_size=4),
+    blocksize=st.integers(1, 1024),
+)
+def test_chunk_plan_arithmetic(spark, sizes, blocksize):
+    """For arbitrary file sizes: block offsets/lengths tile each file
+    exactly — contiguous indices from 0, every block full except a
+    short last one, lengths summing to the file size, empty files
+    absent (dirhash_test.py:205-208 semantics)."""
+    from dirhash_spark.dirhash.chunks import chunk_plan
+    from dirhash_spark.dirhash.listing import Entry
+
+    entries = [
+        Entry(relative_path=f"f{i}.bin", full_path=f"/nonexistent/f{i}.bin", size=s, is_dir=False)
+        for i, s in enumerate(sizes)
+    ]
+    rows = chunk_plan(spark, entries, blocksize).collect()
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r["path"], []).append(r)
+    assert set(by_file) == {f"f{i}.bin" for i, s in enumerate(sizes) if s > 0}
+    for i, s in enumerate(sizes):
+        if s == 0:
+            continue
+        blocks = sorted(by_file[f"f{i}.bin"], key=lambda r: r["block_num"])
+        assert [b["block_num"] for b in blocks] == list(range(len(blocks)))
+        assert all(b["offset"] == b["block_num"] * blocksize for b in blocks)
+        assert all(b["length"] == blocksize for b in blocks[:-1])
+        assert 1 <= blocks[-1]["length"] <= blocksize
+        assert sum(b["length"] for b in blocks) == s
