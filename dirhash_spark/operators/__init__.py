@@ -44,3 +44,4 @@ from . import (  # noqa: F401
     skew,
     reshape,
 )
+from ..streaming import stateful  # noqa: E402,F401  (registers stream_stateful_running)

@@ -24,7 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -151,3 +153,87 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the video-frame-extraction batch shape with a stubbed codec."""
     cat = Catalog(spark, sf_dir)
     return binary_table(cat).mapInPandas(_sample_frames, _FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("src_width", IntegerType(), False),
+        StructField("src_height", IntegerType(), False),
+        StructField("dst_width", IntegerType(), False),
+        StructField("dst_height", IntegerType(), False),
+        StructField("thumb_sha256", StringType(), False),
+    ]
+)
+
+
+def _resize_batches(target: int):
+    """Aspect-preserving resize plumbing; the pixel resample itself is a
+    deterministic fake (digest of payload + target box stands in for the
+    thumbnail bytes — a real codec plugs in at the marked line)."""
+
+    def inner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "src_width", "src_height", "dst_width", "dst_height", "thumb_sha256"
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = fake_decode(payload)
+                w, h = meta["width"], meta["height"]
+                scale = target / max(w, h)
+                dw, dh = max(1, round(w * scale)), max(1, round(h * scale))
+                # REAL CODEC GOES HERE: thumb = resample(payload, dw, dh)
+                thumb = hashlib.sha256(payload + f"{dw}x{dh}".encode()).hexdigest()
+                rows["doc_id"].append(int(doc_id))
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["dst_width"].append(dw)
+                rows["dst_height"].append(dh)
+                rows["thumb_sha256"].append(thumb)
+            yield pd.DataFrame(rows)
+
+    return inner
+
+
+@query("mm_resize", oracle=None, tags=("multimodal",))
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize to a 64px bounding box, aspect preserved —
+    dimension math real, resample stubbed (see module doc)."""
+    cat = Catalog(spark, sf_dir)
+    return binary_table(cat).mapInPandas(_resize_batches(64), _RESIZE_SCHEMA)
+
+
+_FEAT_DIM = 16
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("feature", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixed-dim feature vector per payload: L1-normalized 16-bucket byte
+    histogram, numpy-vectorized — the embedding-extraction batch shape
+    (swap the histogram for a model forward pass on a GPU executor)."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if arr.size == 0:
+                feats.append([0.0] * _FEAT_DIM)
+                continue
+            hist = np.bincount(arr >> 4, minlength=_FEAT_DIM).astype(np.float64)
+            feats.append((hist / hist.sum()).round(6).tolist())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "feature": feats})
+
+
+@query("mm_feature_extract", oracle=None, tags=("multimodal",))
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads → array<double> column,
+    ready for the similarity/dedup operators downstream."""
+    cat = Catalog(spark, sf_dir)
+    return binary_table(cat).mapInPandas(_feature_batches, _FEAT_SCHEMA)

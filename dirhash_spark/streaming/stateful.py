@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(north-star streaming surface; no REF analog — the reference has no
+streaming at all, SURVEY §2.B preamble).
+
+``running_totals`` keeps (count, sum) per user in the state store and
+emits the updated running totals on every trigger — the minimal shape of
+every custom sessionizer/enricher that outgrows the built-in window
+aggregates.  State is one 16-byte tuple per user: at 10^9 users that is
+~16 GB across the cluster's state stores, scaling with keys, not events.
+
+The registry entry runs the real streaming query (file source → state
+store → memory sink) to completion inside the callable and returns the
+sink table: the driver's oracle check then proves the stateful path
+computes exactly the batch aggregate — all events arrive in one trigger,
+so each user emits exactly one final row.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import Catalog
+from ..registry import query
+
+_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def running_totals(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum) with explicit state round-trip."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_totals_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File stream → applyInPandasWithState → streaming DataFrame."""
+    stream = spark.readStream.schema("user_id BIGINT, value DOUBLE").parquet(source_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        running_totals, _OUT_SCHEMA, _STATE_SCHEMA, "update", "NoTimeout"
+    )
+
+
+@query(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful stream over the events table (one trigger ⇒ one
+    final row per user) and return the sink contents."""
+    cat = Catalog(spark, sf_dir)
+    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "stateful_events")
+    cat.events.select("user_id", "value").write.mode("overwrite").parquet(src)
+    q = (
+        running_totals_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName("dirhash_stateful_running")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize: the memory-sink table is tied to the (now stopped)
+    # query; hand back an immutable snapshot.
+    return spark.createDataFrame(
+        spark.table("dirhash_stateful_running").collect(),
+        _OUT_SCHEMA,
+    )
