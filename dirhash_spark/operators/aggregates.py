@@ -168,3 +168,41 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_orders") >= 15) & (F.col("_total_raw") > 100000))
         .select("o_custkey", "n_orders", F.round("_total_raw", 2).alias("total"))
     )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear-interpolation).  Exact
+    percentile buffers each group's values — fine for bounded groups;
+    unbounded groups at scale should use approx_percentile (see
+    agg_approx_percentile, rows-only: t-digest internals differ)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("price_p99"),
+    )
+
+
+@query("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (constant memory per group) — the scale
+    path when groups are unbounded.  rows-only: the sketch is
+    engine-specific; accuracy vs the exact form is asserted in
+    tests/test_llm_ops.py-style bounds instead."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+    )

@@ -198,3 +198,44 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           round(first_value(value) OVER w, 3) AS first_val,
+           round(last_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 3) AS last_val,
+           round(nth_value(value, 2) OVER w, 3) AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "analytic"),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over each user's timeline.  last_value needs
+    the UNBOUNDED FOLLOWING frame (the default frame ends at CURRENT ROW,
+    where last_value degenerates to the row itself — a classic cross-
+    engine semantic trap both sides must spell out identically)."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cat.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 3).alias("first_val"),
+        F.round(F.last("value").over(w_full), 3).alias("last_val"),
+        F.round(F.nth_value("value", 2).over(w), 3).alias("second_val"),
+    )
