@@ -92,3 +92,17 @@ def test_mm_frame_sample_expansion(spark, sf_dir):
     rows = df.limit(50).collect()
     assert all(r["frame_idx"] % 4 == 0 for r in rows)
     assert all(len(r["frame_bytes"]) <= 64 for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF ANN must recover a meaningful share of the exact top-k even
+    on these near-uniform fixtures (the no-structure worst case, where
+    recall ≈ candidate share ≈ nprobe/K; clustered real embeddings do
+    far better).  Measured 0.5-0.6 at nprobe=6/16; bound set below the
+    noise floor."""
+    from dirhash_spark.operators.similarity import sim_ann_ivf
+
+    exact = {r["vec_id"] for r in sim_topk_cosine(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in sim_ann_ivf(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall@10 = {recall}"
