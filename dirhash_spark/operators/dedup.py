@@ -150,18 +150,31 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts)
         .mapInPandas(_minhash_bands, _SIG_SCHEMA)
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    # Candidate pairs via bucket-collect, NOT a self-join: a self-join
+    # would execute the sketch stage twice (both join inputs re-run the
+    # lineage) and shuffle the signatures twice.  Collecting each
+    # (band, hash) bucket's doc list is ONE sketch pass and ONE shuffle;
+    # the i<j pair expansion happens inside the bucket, whose size is
+    # bounded by the near-dup group size, not the corpus.
+    buckets = (
+        sig.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
 
 
 # ------------------------------------------------------------------- SimHash
