@@ -206,3 +206,24 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
     )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_ids,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group collected list, deterministically sorted then joined to
+    a string (collect_list order is partition-dependent; sort_array
+    pins it — and the string form hashes identically across engines)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("order_ids"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

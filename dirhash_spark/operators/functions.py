@@ -168,3 +168,40 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_value"),
         ((k % 10) == 0).alias("k_mod10"),
     )
+
+
+@query(
+    "fn_struct_nested",
+    oracle="""
+    WITH s AS (
+      SELECT {'key': o_orderkey,
+              'fin': {'price': round(o_totalprice, 2), 'status': o_orderstatus}} AS rec
+      FROM orders WHERE o_orderkey % 40 = 0
+    )
+    SELECT rec.key AS okey, rec.fin.price AS price, rec.fin.status AS status,
+           upper(rec.fin.status) AS status_u
+    FROM s
+    """,
+    tags=("functions", "struct"),
+)
+def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct build + field access (the parquet-nested-data
+    shape): pack two levels, project fields back out, compute on an
+    inner field.  Catalyst flattens the struct round-trip away —
+    the plan reads the 3 leaf columns only."""
+    cat = Catalog(spark, sf_dir)
+    packed = cat.orders.where(F.col("o_orderkey") % 40 == 0).select(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.struct(
+                F.round("o_totalprice", 2).alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("fin"),
+        ).alias("rec")
+    )
+    return packed.select(
+        F.col("rec.key").alias("okey"),
+        F.col("rec.fin.price").alias("price"),
+        F.col("rec.fin.status").alias("status"),
+        F.upper("rec.fin.status").alias("status_u"),
+    )

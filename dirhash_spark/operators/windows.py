@@ -239,3 +239,39 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("value").over(w_full), 3).alias("last_val"),
         F.round(F.nth_value("value", 2).over(w), 3).alias("second_val"),
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ), 2) AS hour_sum,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS hour_events
+    FROM events
+    """,
+    tags=("window", "frame", "range"),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user trailing-hour sum/count.  Unlike
+    ROWS frames this is value-based — all rows within 3600 *seconds*,
+    ties included as peers — so both engines must order by the same
+    numeric key (epoch seconds); ordering by raw timestamps would make
+    the frame bound interval-typed and engine-specific."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return cat.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
