@@ -2,6 +2,13 @@
 north-star extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup.
 
+Algorithms are the standard public constructions: MinHash resemblance
+sketching (Broder, "On the resemblance and containment of documents",
+1997) with banded LSH (Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3), and SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002; applied to web dedup in
+Manku/Jain/Das Sarma, WWW 2007).
+
 Scale design (the point of each variant at 100 TB):
 - exact: one shuffle on a 32-byte content hash — the cheapest possible
   dedup; always run it first to shrink the corpus.

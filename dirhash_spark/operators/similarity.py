@@ -4,6 +4,11 @@
   correctness baseline.  One pass over the corpus, dot products via
   zip_with/aggregate (JVM, codegen), TakeOrderedAndProject for the top-k
   (no global sort).
+Public constructions: random-hyperplane LSH (Charikar, STOC 2002);
+IVF coarse quantization (Jégou/Douze/Schmid, "Product quantization for
+nearest neighbor search", TPAMI 2011 — the inverted-file part, without
+the PQ residual codes).
+
 - ``sim_ann_lsh``: the 100 TB path — random-hyperplane LSH.  Each vector
   gets a 16-bit signature (sign of 16 fixed hyperplane dot products);
   candidates = signatures within hamming ≤ 4 of the probe's, then exact
