@@ -40,11 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """Run the CLI.  ``spark=None`` builds (and stops) a session, like
+    the reference's optional-SparkContext pattern (dirhash.py:326-332);
+    passing one in leaves its lifecycle to the caller."""
     args = build_parser().parse_args(argv)
-    from ..session import get_spark
+    owns_session = spark is None
+    if owns_session:
+        from ..session import get_spark
 
-    spark = get_spark("dirhash_cli")
+        spark = get_spark("dirhash_cli")
     try:
         if args.check or args.check_name:
             expected = args.check or os.path.basename(args.directory.rstrip("/"))
@@ -66,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"archived: {target}")
         return 0
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,68 @@
+"""CLI behavior (REF A12): exit codes, output format, verify modes,
+archive move + softlink — mirroring the reference's _main contract
+(dirhash.py:582-687): exit 0 on match/success, 1 on mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dirhash_spark.dirhash.cli import main
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    d = tmp_path / "data"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_bytes(b"alpha")
+    (d / "sub" / "b.bin").write_bytes(os.urandom(5000))
+    (d / "empty.txt").write_bytes(b"")
+    return str(d)
+
+
+def test_hash_prints_v1_string(spark, tree, capsys):
+    assert main([tree, "--block-size", "1k"], spark=spark) == 0
+    out = capsys.readouterr().out.strip()
+    assert out.startswith("v1-sha256-1k-")
+    int(out.rsplit("-", 1)[1], 16)  # hex payload
+
+
+def test_check_roundtrip_and_mismatch(spark, tree, capsys):
+    main([tree, "--block-size", "1k"], spark=spark)
+    good = capsys.readouterr().out.strip()
+
+    assert main([tree, "--check", good], spark=spark) == 0
+    assert capsys.readouterr().out.startswith("OK ")
+
+    bad = good[:-8] + "00000000"
+    assert main([tree, "--check", bad], spark=spark) == 1
+    assert "MISMATCH" in capsys.readouterr().out
+
+
+def test_check_is_algo_and_blocksize_aware(spark, tree, capsys):
+    """The expected string carries algo+blocksize; verify recomputes with
+    THOSE, not the defaults (dirhash.py:538-555)."""
+    assert main([tree, "--block-size", "2k", "--hash-algorithm", "sha3_256"], spark=spark) == 0
+    h = capsys.readouterr().out.strip()
+    assert h.startswith("v1-sha3_256-2k-")
+    assert main([tree, "--check", h], spark=spark) == 0
+
+
+def test_archive_move_and_check_name(spark, tree, tmp_path, capsys):
+    archive = str(tmp_path / "archive")
+    assert main([tree, "--block-size", "1k", "--move-to-archive", archive, "--softlink"], spark=spark) == 0
+    out = capsys.readouterr().out
+    hash_string = out.splitlines()[0].strip()
+    target = os.path.join(archive, hash_string)
+    assert os.path.isdir(target)
+    # chmod a-w (os.access is useless as root — check the mode bits)
+    import stat
+
+    mode = stat.S_IMODE(os.stat(os.path.join(target, "a.txt")).st_mode)
+    assert mode & 0o222 == 0, oct(mode)
+    assert os.path.islink(tree)  # --softlink replaces the source
+    # self-describing archive dir: basename == its own hash string
+    assert main([target, "--check-name"], spark=spark) == 0
+    assert capsys.readouterr().out.startswith("OK ")
