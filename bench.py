@@ -38,6 +38,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_tokens",
     "text_quality",
+    "pipeline_corpus_curation",
     "stream_session",
     "merkle_fold_group",
 ]

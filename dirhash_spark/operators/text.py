@@ -168,3 +168,70 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % F.lit(_FP_MOD)
     )
     return cat.documents.where(F.length("text") > 0).select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=r"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    deduped AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN keep k ON d.doc_id = k.doc_id
+    ),
+    metrics AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS n_words
+      FROM deduped
+    )
+    SELECT doc_id, n_chars, n_words,
+           round(CAST(n_chars AS DOUBLE) / n_words, 4) AS chars_per_word
+    FROM metrics
+    WHERE n_chars BETWEEN 50 AND 5000 AND n_words >= 10 AND doc_id % 5 = 0
+    """,
+    tags=("pipeline", "composed"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline — the end-to-end shape a training-data
+    run takes, as ONE declarative program Catalyst plans globally:
+
+        exact dedup (keep lowest doc_id per content hash)
+        → quality metrics (chars, words, chars/word)
+        → quality filter (length + word-count bands)
+        → deterministic 20% sample (key residue)
+
+    ONE scan and ONE shuffle total: dedup is row_number() over the
+    content hash rather than groupBy + join-back — the join-back form
+    needs either a second scan or a broadcast of the keeper set, and
+    the keeper set is O(corpus), which does not broadcast at 100 TB.
+    Each stage is also available as its own operator (dedup_exact,
+    text_quality, sample_hash_deterministic) — this query is the proof
+    they compose without materialization boundaries."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        cat.documents.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    metrics = deduped.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+    )
+    return metrics.where(
+        F.col("n_chars").between(50, 5000)
+        & (F.col("n_words") >= 10)
+        & (F.col("doc_id") % 5 == 0)
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 4).alias("chars_per_word"),
+    )
