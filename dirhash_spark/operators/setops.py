@@ -64,3 +64,25 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cat.customer.select(F.col("c_nationkey").alias("nationkey"))
     s = cat.supplier.where(F.col("s_acctbal") > 8000).select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REF A4 semantics: bag union (the reference folds per-file RDDs
+    with plain `union`, dirhash.py:404-406 — duplicates preserved).
+    Counted per key so the oracle can hash-compare multiplicities.
+    No shuffle for the union itself; only the verification groupBy."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
