@@ -235,3 +235,61 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+_KNN_K = 5
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], p.pv) AS cos_raw
+      FROM embeddings e CROSS JOIN p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, rnk, round(cos_raw, 4) AS cosine FROM (
+      SELECT probe_id, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_KNN_K}
+    """,
+    tags=("similarity", "knn"),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: exact top-{_KNN_K} neighbors for EVERY probe in a probe
+    set (every 100th vector) — the batch form of similarity search
+    (dataset linkage, recommendation candidates), vs sim_topk_cosine's
+    single probe.
+
+    Physical shape: broadcast the bounded probe set against the corpus
+    (corpus shuffles zero times), score JVM-side, then one window pass
+    partitioned by probe.  At 100 TB with a LARGE probe set, replace
+    the broadcast with the IVF route: assign both sides to centroid
+    lists and swap the cross join for an equi join on list id."""
+    cat = Catalog(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    probes = F.broadcast(
+        cat.embeddings.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"), v.alias("pv")
+        )
+    )
+    scored = (
+        cat.embeddings.crossJoin(probes)
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _cosine(v, F.col("pv")).alias("cos_raw"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _KNN_K)
+        .select("probe_id", "vec_id", "rnk", F.round("cos_raw", 4).alias("cosine"))
+    )
