@@ -128,3 +128,58 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "sink_parquet_clustered",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, round(l_extendedprice, 2) AS price
+    FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+    """,
+    tags=("sink", "layout"),
+)
+def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-sizing + clustering at write time — the other half of the
+    100 TB layout story (sink_parquet_partitioned handles pruning):
+
+    - ``repartition(8)`` caps the file count (a daily 100 TB append with
+      default parallelism writes millions of small files; explicit
+      repartition → files sized to maxPartitionBytes for readers);
+    - ``sortWithinPartitions(l_shipdate)`` clusters each file's row
+      groups by ship date, so parquet min/max row-group statistics turn
+      later date-range scans into row-group skips — z-order-lite, zero
+      extra shuffle (the sort rides the repartition exchange).
+    """
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "lineitem_clustered")
+    (
+        cat.lineitem.select(
+            "l_orderkey", "l_linenumber", "l_shipdate", F.round("l_extendedprice", 2).alias("price")
+        )
+        .repartition(8)
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).where(F.col("l_shipdate") >= "1995-01-01")
+
+
+@query("scan_binary_file", oracle=None, tags=("scan", "binary"))
+def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in binaryFile source over the fixture tree (REF
+    A1/A2 analog: whole-file bytes + metadata in one recursive scan;
+    the chunked path in dirhash/chunks.py is for files larger than one
+    task should hold).  modificationTime excluded (not reproducible)."""
+    from .dirhash_pipeline import HASHTREE
+
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(HASHTREE)
+        .select(
+            F.regexp_replace("path", r"^file:.*?/hashtree/", "").alias("rel_path"),
+            "length",
+            F.sha2("content", 256).alias("content_sha256"),
+        )
+        .orderBy("rel_path")
+    )

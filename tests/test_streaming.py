@@ -67,3 +67,45 @@ def test_streaming_watermark_dedup(spark, stream_source):
     n_keys = batch.select("user_id", "event_type").distinct().count()
     assert result.count() == n_keys
     assert result.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_streaming_sliding_matches_batch(spark, stream_source):
+    from dirhash_spark.streaming import sliding_counts
+
+    make_stream, batch = stream_source
+    result = _run_to_memory(spark, sliding_counts(make_stream()), "t_sliding", "complete")
+    got = {tuple(r) for r in result.collect()}
+    expected = {tuple(r) for r in sliding_counts(batch).collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_stateful_running_totals(spark, stream_source, tmp_path_factory):
+    """applyInPandasWithState path: final per-user state must equal the
+    batch aggregate (single availableNow pass ⇒ one emission per user)."""
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.streaming.stateful import running_totals_stream
+
+    _, batch = stream_source
+    src = str(tmp_path_factory.mktemp("stateful") / "events")
+    batch.select("user_id", "value").write.mode("overwrite").parquet(src)
+    q = (
+        running_totals_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_stateful").collect()
+    }
+    expected = {
+        (r["user_id"], r["n"], r["t"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
