@@ -134,3 +134,22 @@ def test_no_python_row_eval_in_hot_path(spark, name):
     surface queries)."""
     p = plan(spark, name, "simple")
     assert "BatchEvalPython" not in p
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE must be live, not just configured: after execution the final
+    plan shows AQEShuffleRead coalescing the static shuffle-partition
+    count down to what the data needs — the mechanism that makes the
+    initial spark.sql.shuffle.partitions non-critical at any scale."""
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.catalog import Catalog
+
+    df = (
+        Catalog(spark, SF)
+        .orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:500]
