@@ -7,12 +7,18 @@ patterns complement AQE's runtime skew-join splitting (enabled in
 session.py), and both are oracle-checked so the driver proves the
 rewritten plans keep exact semantics:
 
-- salted two-phase distinct: COUNT(DISTINCT x) BY hot_key normally
-  shuffles every row of a hot key to one reducer.  Salting by
-  ``hash(x) % S`` splits each group S ways; because the salt is a pure
-  function of the DISTINCT value, each distinct x lands in exactly one
-  (key, salt) cell, so the phase-2 SUM of per-cell exact distincts is
-  the exact global distinct — at 1/S the per-reducer load.
+- salted two-phase distinct: salting by ``hash(x) % S`` splits each
+  group S ways; because the salt is a pure function of the DISTINCT
+  value, each distinct x lands in exactly one (key, salt) cell, so the
+  phase-2 SUM of per-cell exact distincts is the exact global distinct
+  — at 1/S the per-reducer load.  Measured caveat (scripts/
+  skew_bench.py): for plain COUNT(DISTINCT) Catalyst's distinct-
+  aggregate rewrite already de-skews (it shuffles on (key, value)
+  first), so manual salting buys nothing there; the pattern pays for
+  aggregation STATE the planner cannot rewrite — collect_set/
+  collect_list, exact medians, custom UDAF accumulators — where it
+  measured 2.0x at 10M rows/32 cores, and the naive form's hot reducer
+  does not get faster with more executors.
 
 - salted hot-key join: a large⋈large equi join on a low-cardinality key
   puts each key on one reducer pair.  Replicating the build side S ways
