@@ -205,3 +205,50 @@ def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.fin.status").alias("status"),
         F.upper("rec.fin.status").alias("status_u"),
     )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(o_orderdate - INTERVAL 1 WEEK AS DATE) AS minus_1w,
+           last_day(o_orderdate) AS month_end
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+    tags=("functions", "datetime", "interval"),
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic: add_months (end-of-month clamping
+    matches SQL INTERVAL MONTH addition in both engines), day-based
+    date_sub, last_day."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.where(F.col("o_orderkey") % 30 == 0).select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.date_sub("o_orderdate", 7).alias("minus_1w"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(MAP {o_orderstatus: round(o_totalprice, 2)}['F'][1], -1.0) AS f_price,
+           cardinality(MAP {o_orderstatus: round(o_totalprice, 2)}) AS n_keys
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+    tags=("functions", "map"),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type: build a map column, look up a key with a null-safe
+    default, take its cardinality (the map-column shape of sparse
+    feature/attribute data in parquet)."""
+    cat = Catalog(spark, sf_dir)
+    m = F.create_map(F.col("o_orderstatus"), F.round("o_totalprice", 2))
+    return cat.orders.where(F.col("o_orderkey") % 30 == 0).select(
+        "o_orderkey",
+        F.coalesce(F.element_at(m, "F"), F.lit(-1.0)).alias("f_price"),
+        F.size(m).alias("n_keys"),
+    )

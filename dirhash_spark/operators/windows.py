@@ -275,3 +275,29 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("hour_sum"),
         F.count(F.lit(1)).over(w).alias("hour_events"),
     )
+
+
+@query(
+    "win_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "rank"),
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position windows: percent_rank, cume_dist, ntile over
+    account balance within each nation (unique tie-break key keeps both
+    engines' orderings identical)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cat.customer.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
