@@ -3,9 +3,10 @@ change is chunk explosion, covered columnar by B40 chunk_split_text):
 pivot, unpivot/melt, lateral explode, deterministic hash sampling.
 
 Scale notes:
-- pivot with an explicit value list compiles to one pass of conditional
-  aggregates (no second job to discover values, no extra shuffle beyond
-  the groupBy);
+- pivot with an explicit value list skips the distinct-values discovery
+  job and plans two bounded aggregations (map-side-combined group on
+  both keys, then the pivot aggregate) — both exchanges carry one row
+  per group;
 - unpivot is stack(): pure row-local projection, zero shuffle;
 - posexplode is a generator inside the scan stage — the blow-up happens
   after pushdown/pruning, never before;

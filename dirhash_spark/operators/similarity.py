@@ -268,11 +268,14 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dataset linkage, recommendation candidates), vs sim_topk_cosine's
     single probe.
 
-    Physical shape: broadcast the bounded probe set against the corpus
-    (corpus shuffles zero times), score JVM-side, then one window pass
-    partitioned by probe.  At 100 TB with a LARGE probe set, replace
-    the broadcast with the IVF route: assign both sides to centroid
-    lists and swap the cross join for an equi join on list id."""
+    Physical shape: broadcast the bounded probe set against the corpus,
+    score JVM-side, then one window pass partitioned by probe.  The
+    embedding vectors never shuffle; the single exchange (ranking, on
+    probe_id) carries slim (probe_id, vec_id, score) tuples — still
+    |corpus|x|probes| of them, so at 100 TB with a large probe set,
+    replace the broadcast with the IVF route: assign both sides to
+    centroid lists and swap the cross join for an equi join on list id,
+    which bounds scored pairs to same-list candidates."""
     cat = Catalog(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     probes = F.broadcast(

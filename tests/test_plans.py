@@ -153,3 +153,35 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:500]
+
+
+def test_knn_join_embeddings_never_shuffle(spark):
+    """k-NN join: the probe set broadcasts and the ranking exchange is
+    the ONLY shuffle — it carries slim (probe_id, vec_id, score) tuples,
+    never the embedding vectors (shuffling vectors would move the whole
+    corpus per ranking pass)."""
+    p = plan(spark, "sim_knn_join", "simple")
+    assert "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    m = re.search(r"Exchange hashpartitioning\(probe_id[^\n]*", p)
+    assert m is not None, p  # the one shuffle is on probe_id, post-scoring
+
+
+def test_pivot_is_two_bounded_aggregations(spark):
+    """pivot with an explicit value list plans exactly two aggregation
+    passes (group on both keys map-side-reduced first, then the pivot
+    aggregate) and NO distinct-values discovery job; both exchanges
+    carry one row per group, not per input row."""
+    p = plan(spark, "agg_pivot")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "partial_sum" in p, p  # map-side combine before the first exchange
+
+
+def test_curation_pipeline_is_single_shuffle(spark):
+    """The composed dedup→filter→sample pipeline must stay one scan +
+    one shuffle (the window over the content hash); a join-back dedup
+    would show a second exchange or a broadcast here."""
+    p = plan(spark, "pipeline_corpus_curation", "simple")
+    assert p.count("Exchange") == 1, p
+    assert "BroadcastExchange" not in p
