@@ -252,3 +252,29 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at(m, "F"), F.lit(-1.0)).alias("f_price"),
         F.size(m).alias("n_keys"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey << 2 AS shifted,
+           xor(o_orderkey, 21845) AS xored,
+           bit_count(CAST(o_orderkey AS BIGINT)) AS popcount
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+    tags=("functions", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar ops (the building blocks the SimHash/LSH operators
+    lean on): and, shift, xor, population count."""
+    cat = Catalog(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return cat.orders.where(k % 30 == 0).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftleft(k, 2).alias("shifted"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.bit_count(k).alias("popcount"),
+    )
