@@ -183,3 +183,56 @@ def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_path")
     )
+
+
+def _morton16(a, b):
+    """Interleave the low 16 bits of two int columns into a 32-bit
+    Morton (Z-order) code, JVM-side: bit i of a → bit 2i, bit i of b →
+    bit 2i+1.  Unrolled statically (shift amounts must be literals)."""
+    code = F.lit(0).cast("long")
+    for i in range(16):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return code
+
+
+@query(
+    "sink_parquet_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_no,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+    """,
+    tags=("sink", "layout", "zorder"),
+)
+def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: sort the write by the Morton interleave of
+    (custkey, order day), so parquet row groups are tight in BOTH
+    dimensions at once — min/max statistics then skip row groups for
+    range predicates on either column, where a single-column sort only
+    helps its own column.  This is the manual form of Delta/Iceberg
+    OPTIMIZE ZORDER BY, built from plain bitwise expressions.  The
+    oracle checks the clustering is semantics-neutral (same rows back
+    under a custkey range scan)."""
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_zorder")
+    day_no = F.unix_date(F.to_date("o_orderdate")).cast("long")
+    base = cat.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day_no.alias("day_no"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    (
+        base.withColumn("z", _morton16(F.col("o_custkey").cast("long"), F.col("day_no")))
+        .repartition(8)
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).where(F.col("o_custkey").between(100, 200))
