@@ -62,6 +62,8 @@ def main() -> int:
     run(queries["agg_basic"].fn(spark, sf_dir))
     run(queries["mm_meta_extract"].fn(spark, sf_dir))
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         run(queries[name].fn(spark, sf_dir))  # warm: plan compile + codegen
@@ -72,6 +74,10 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # Drain accumulated garbage outside any timed window so one
+        # query's allocations never bill the next query's measurement.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
