@@ -185,3 +185,12 @@ def test_curation_pipeline_is_single_shuffle(spark):
     p = plan(spark, "pipeline_corpus_curation", "simple")
     assert p.count("Exchange") == 1, p
     assert "BroadcastExchange" not in p
+
+
+def test_clustered_sink_readback_pushes_date_filter(spark):
+    """The clustered sink's read-back pushes the ship-date predicate to
+    the parquet reader, where the write-time sortWithinPartitions makes
+    row-group min/max statistics actually selective."""
+    p = plan(spark, "sink_parquet_clustered")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_shipdate" in m.group(1), p
