@@ -246,11 +246,11 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            round(sum(value) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ), 2) AS hour_sum,
            count(*) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS hour_events
     FROM events
@@ -260,9 +260,11 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time RANGE frame: per-user trailing-hour sum/count.  Unlike
     ROWS frames this is value-based — all rows within 3600 *seconds*,
-    ties included as peers — so both engines must order by the same
-    numeric key (epoch seconds); ordering by raw timestamps would make
-    the frame bound interval-typed and engine-specific."""
+    ties included as peers — so both engines must order by the SAME
+    numeric key: whole epoch seconds, explicitly floored on the DuckDB
+    side (its epoch() keeps sub-second fractions while Spark's
+    unix_timestamp truncates — at sf0.1 one event pair straddled a
+    fractional-second frame boundary and the engines disagreed)."""
     cat = Catalog(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -281,8 +283,8 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_percent_rank",
     oracle="""
     SELECT c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
+           floor(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000) / 1000000 AS cume,
            ntile(4) OVER w AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -292,12 +294,16 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-position windows: percent_rank, cume_dist, ntile over
     account balance within each nation (unique tie-break key keeps both
-    engines' orderings identical)."""
+    engines' orderings identical).  The ratios are FLOOR-scaled, not
+    rounded: k/n produces exact decimal halves (e.g. 41/640 =
+    0.0640625) where Spark rounds half-up and DuckDB half-even — floor
+    of the same IEEE double is tie-free on both."""
     cat = Catalog(spark, sf_dir)
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    scale = F.lit(1000000)
     return cat.customer.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.floor(F.percent_rank().over(w) * scale) / scale).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * scale) / scale).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
