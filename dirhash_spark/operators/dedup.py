@@ -269,8 +269,8 @@ _JACCARD_WINDOW = 5
       FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+           floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) * 10000) / 10000 AS jaccard
     FROM n a JOIN n b
       ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= {_JACCARD_WINDOW}
     """,
@@ -331,7 +331,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a_id").alias("doc_a"),
             F.col("b_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            (F.floor(inter.cast("double") / union * 10000) / 10000).alias("jaccard"),
         )
     )
 

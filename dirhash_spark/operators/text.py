@@ -75,8 +75,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, lang,
-           round(CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-                 / greatest(len(toks), 1), 4) AS stopword_ratio,
+           floor(CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                 / greatest(len(toks), 1) * 10000) / 10000 AS stopword_ratio,
            CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
                      / greatest(len(toks), 1) >= 0.05
                 THEN 'en' ELSE 'unk' END AS pred_lang
@@ -96,7 +96,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.documents.select(
         "doc_id",
         "lang",
-        F.round(ratio, 4).alias("stopword_ratio"),
+        (F.floor(ratio * 10000) / 10000).alias("stopword_ratio"),
         F.when(ratio >= 0.05, "en").otherwise("unk").alias("pred_lang"),
     )
 
@@ -113,8 +113,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_chars, n_tokens,
-           round(alpha_ratio_raw, 4) AS alpha_ratio,
-           round(least(1.0, n_tokens / 50.0) * alpha_ratio_raw, 4) AS quality_score,
+           floor(alpha_ratio_raw * 10000) / 10000 AS alpha_ratio,
+           floor(least(1.0, n_tokens / 50.0) * alpha_ratio_raw * 10000) / 10000 AS quality_score,
            (n_chars >= 100 AND alpha_ratio_raw >= 0.8) AS keep
     FROM q
     """,
@@ -135,8 +135,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(alpha, 4).alias("alpha_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        (F.floor(alpha * 10000) / 10000).alias("alpha_ratio"),
+        (F.floor(score * 10000) / 10000).alias("quality_score"),
         ((n_chars >= 100) & (alpha >= 0.8)).alias("keep"),
     )
 
@@ -188,7 +188,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM deduped
     )
     SELECT doc_id, n_chars, n_words,
-           round(CAST(n_chars AS DOUBLE) / n_words, 4) AS chars_per_word
+           floor(CAST(n_chars AS DOUBLE) / n_words * 10000) / 10000 AS chars_per_word
     FROM metrics
     WHERE n_chars BETWEEN 50 AND 5000 AND n_words >= 10 AND doc_id % 5 = 0
     """,
@@ -233,5 +233,5 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         "n_words",
-        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 4).alias("chars_per_word"),
+        (F.floor(F.col("n_chars").cast("double") / F.col("n_words") * 10000) / 10000).alias("chars_per_word"),
     )

@@ -58,7 +58,7 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_price
+           floor(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 10000) / 10000 AS weighted_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -76,7 +76,7 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.lineitem.groupBy("l_returnflag")
         .agg(weighted_mean("l_extendedprice", "l_quantity").alias("_w"))
-        .select("l_returnflag", F.round("_w", 4).alias("weighted_price"))
+        .select("l_returnflag", (F.floor(F.col("_w") * 10000) / 10000).alias("weighted_price"))
     )
 
 
