@@ -236,3 +236,26 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).where(F.col("o_custkey").between(100, 200))
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) || '|' || lang AS value
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    tags=("scan", "text"),
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source round-trip: write one line per record, read
+    back with spark.read.text (the raw-corpus ingestion shape — one
+    line = one value column, parsing deferred to expressions)."""
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "docs_txt")
+    (
+        cat.documents.where(F.col("doc_id") % 10 == 0)
+        .select(F.concat_ws("|", F.col("doc_id").cast("string"), "lang").alias("value"))
+        .write.mode("overwrite")
+        .text(out)
+    )
+    return spark.read.text(out)
