@@ -82,3 +82,55 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("dirhash_stateful_running").collect(),
         _OUT_SCHEMA,
     )
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the production pattern for writing streams to
+    systems without a native streaming sink (upserts, merges, JDBC):
+    each micro-batch arrives as a plain DataFrame with an id, and the
+    callback writes it transactionally.  Here: tumbling hourly counts
+    appended to parquet per batch; the oracle proves the sink's final
+    contents equal the batch aggregate (one availableNow trigger ⇒ one
+    append of the complete result)."""
+    from .ops import tumbling_counts
+
+    cat = Catalog(spark, sf_dir)
+    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "fb_events_src")
+    dst = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "fb_counts")
+    cat.events.select("event_id", "ts", "user_id", "value").write.mode(
+        "overwrite"
+    ).parquet(src)
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dst)
+
+    # TIMESTAMP, not NTZ: withWatermark requires an event-time column of
+    # TIMESTAMP type (session timezone is pinned UTC so values agree).
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    ).parquet(src)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return spark.read.parquet(dst)
