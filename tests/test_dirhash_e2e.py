@@ -198,3 +198,28 @@ def test_archive_roundtrip(spark, tmp_path):
         for n in dirnames + filenames:
             os.chmod(os.path.join(dirpath, n), 0o755)
     os.chmod(target, 0o755)
+
+
+def test_single_byte_corruption_changes_hash(spark, tmp_path):
+    """Flipping ONE content byte anywhere in the tree must change the
+    final digest (the content-addressing property the verify/archive
+    workflow depends on), and verify must reject the stale hash."""
+    import os
+
+    from dirhash_spark.dirhash.verify import verify_directory_hash
+
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.bin").write_bytes(bytes(range(256)) * 64)
+    (root / "sub" / "b.bin").write_bytes(b"spark" * 1000)
+
+    before = hash_directory(spark, str(root), "sha256", "1k")
+
+    data = bytearray((root / "sub" / "b.bin").read_bytes())
+    data[2049] ^= 0x01  # middle of the third 1k chunk
+    (root / "sub" / "b.bin").write_bytes(bytes(data))
+
+    after = hash_directory(spark, str(root), "sha256", "1k")
+    assert after != before
+    assert not verify_directory_hash(spark, str(root), before)
+    assert verify_directory_hash(spark, str(root), after)
