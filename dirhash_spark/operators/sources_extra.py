@@ -259,3 +259,43 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(out)
     )
     return spark.read.text(out)
+
+
+@query(
+    "sink_upsert_parquet",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 100 = 0
+                THEN round(o_totalprice + 1000, 2)
+                ELSE round(o_totalprice, 2) END AS totalprice,
+           CASE WHEN o_orderkey % 100 = 0 THEN 'updated' ELSE 'base' END AS src
+    FROM orders
+    """,
+    tags=("sink", "upsert"),
+)
+def sink_upsert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/merge on plain parquet — the pattern when no transactional
+    table format is available: updates ⟕-anti the base (keep unmatched
+    base rows), union the updates, rewrite.  One shuffle-free anti join
+    when updates broadcast (they usually do: updates ≪ base); at table
+    scale, partition the base and rewrite ONLY partitions containing
+    updated keys (partition pruning bounds the rewrite, not the table).
+    The oracle is the merged state."""
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_upserted")
+    base = cat.orders.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), F.lit("base").alias("src")
+    )
+    updates = (
+        cat.orders.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 1000, 2).alias("totalprice"),
+            F.lit("updated").alias("src"),
+        )
+    )
+    merged = base.join(
+        F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).unionByName(updates)
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
