@@ -1,0 +1,33 @@
+"""bench.py output contract — the driver parses ONE JSON line from
+stdout per run; a silent format regression would lose the round's
+performance record, so the contract is tested end-to-end (subprocess,
+tiny SF).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_one_valid_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    d = json.loads(lines[0])
+    assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
+    assert d["unit"] == "sec" and d["sf"] == 0.001
+    assert len(d["queries"]) >= 15
+    assert all(isinstance(v, (int, float)) and v >= 0 for v in d["queries"].values())
+    assert abs(d["value"] - round(sum(d["queries"].values()), 3)) < 0.01
