@@ -42,7 +42,8 @@ _ALGO_CANONICAL = (
 )
 
 _BLOCKSIZE_RE = re.compile(r"^(\d+)([kKMG]?)$")
-_HEX_RE = re.compile(r"^[0-9a-f]+$")
+# Mixed-case hex, matching the reference's [0-9a-fA-F]+ (dirhash.py:256).
+_HEX_RE = re.compile(r"^[0-9a-fA-F]+$")
 
 
 def supported_algorithms() -> tuple[str, ...]:
@@ -77,8 +78,8 @@ def parse_blocksize(blocksize: str) -> int:
 
 
 def build_hash_string(algo: str, blocksize: str, hex_digest: str) -> str:
-    """``v1-<algo>-<blocksize>-<hex>`` (dirhash.py:250-253)."""
-    return f"v1-{algo}-{blocksize}-{hex_digest}"
+    """``v1-<algo>-<blocksize>-<hex>``, algo lowercased (dirhash.py:250-253)."""
+    return f"v1-{algo.lower()}-{blocksize}-{hex_digest}"
 
 
 def parse_hash_string(hash_string: str) -> tuple[str, str, str]:

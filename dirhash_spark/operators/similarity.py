@@ -11,7 +11,7 @@ the PQ residual codes).
 
 - ``sim_ann_lsh``: the 100 TB path — random-hyperplane LSH.  Each vector
   gets a 16-bit signature (sign of 16 fixed hyperplane dot products);
-  candidates = signatures within hamming ≤ 4 of the probe's, then exact
+  candidates = signatures within hamming ≤ 6 of the probe's, then exact
   cosine re-rank of candidates only.  All JVM-side bitwise ops; the
   hyperplanes are deterministic literals (seeded), so results are
   reproducible across runs and engines.
