@@ -27,8 +27,8 @@ HEADLINE = [
     "agg_basic",
     "join_inner_hash",
     "join_broadcast",
-    "join_asof",
-    "join_asof_merge",
+    "join_asof",           # scale-safe merge form (renamed in round 3)
+    "join_asof_pairwise",  # pairwise witness (was "join_asof" pre-rename)
     "win_running",
     "topk_per_group",
     "agg_rollup",

@@ -41,9 +41,11 @@ _ALGO_CANONICAL = (
     "blake2s",
 )
 
-_BLOCKSIZE_RE = re.compile(r"^(\d+)([kKMG]?)$")
+# \A..\Z anchoring (not ^..$): a trailing newline must NOT be accepted,
+# matching the reference's anchoring (dirhash.py:256).
+_BLOCKSIZE_RE = re.compile(r"\A(\d+)([kKMG]?)\Z")
 # Mixed-case hex, matching the reference's [0-9a-fA-F]+ (dirhash.py:256).
-_HEX_RE = re.compile(r"^[0-9a-fA-F]+$")
+_HEX_RE = re.compile(r"\A[0-9a-fA-F]+\Z")
 
 
 def supported_algorithms() -> tuple[str, ...]:
@@ -86,7 +88,9 @@ def parse_hash_string(hash_string: str) -> tuple[str, str, str]:
     """Validate and split a v1 hash string → (algo, blocksize, hex).
 
     Mirrors dirhash.py:259-274: version must be 'v1', algo must pass the
-    whitelist, blocksize must parse, digest must be lowercase hex.
+    whitelist, blocksize must parse, digest must be mixed-case hex with
+    no surrounding whitespace (``\\A..\\Z`` anchoring, so a trailing
+    newline is rejected like the reference's regex).
     """
     parts = hash_string.split("-")
     if len(parts) != 4:

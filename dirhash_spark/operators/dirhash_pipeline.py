@@ -2,10 +2,12 @@
 
 These run on the committed fixture tree ``data/hashtree`` (sf_dir is
 ignored — the reference's domain is directories, not tables).  DuckDB
-cannot replay positioned file reads, so these are rows-only checks; the
-byte-exact semantics are pinned by tests/test_dirhash_e2e.py against an
-independent pure-Python fold, and the columnar twins (B39-B41) carry the
-SQL oracles.
+cannot replay positioned file reads, so most of these are rows-only
+checks; the byte-exact semantics are pinned by tests/test_dirhash_e2e.py
+against an independent pure-Python fold, and the columnar twins
+(B39-B41) carry the SQL oracles.  ``dirhash_tree_fold`` is the
+exception: DuckDB's ``read_blob`` can see the same files, so the
+per-subtree rollup carries an exact oracle.
 """
 
 from __future__ import annotations
@@ -60,6 +62,114 @@ def dirhash_chunk_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = read_chunks(spark, entries, 4096)
     return chunk_digests(chunks, "sha256").select(
         "path", "block_num", F.hex(F.col("digest")).alias("digest_hex")
+    )
+
+
+#: Blocksize for the tree fold — larger than the biggest fixture file so
+#: each file is exactly one chunk; that keeps the DuckDB oracle (which
+#: cannot split blobs positionally) byte-equivalent to the Spark plan.
+#: The multi-chunk path is oracled separately by chunk_split_text (B40)
+#: and golden-tested in tests/test_dirhash_e2e.py.
+_TREE_FOLD_BLOCK = 128 * 1024
+
+
+@query(
+    "dirhash_tree_fold",
+    oracle=f"""
+    WITH files AS (
+      SELECT replace(filename, '{HASHTREE}/', '') AS path, size,
+             CASE WHEN size > 0 THEN
+               sha256(concat(replace(filename, '{HASHTREE}/', ''), chr(0), '0', chr(0),
+                             hex(content)))
+             END AS digest
+      FROM read_blob('{HASHTREE}/**')
+    )
+    SELECT split_part(path, '/', 1) AS subtree,
+           count(*) AS n_files,
+           sha256(concat(
+             CAST(count(*) AS VARCHAR), chr(0),
+             string_agg(path, chr(0) ORDER BY path), chr(0),
+             coalesce(string_agg(digest, '' ORDER BY path), '')
+           )) AS subtree_digest
+    FROM files
+    GROUP BY split_part(path, '/', 1)
+    """,
+    tags=("dirhash", "merkle"),
+)
+def dirhash_tree_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subdirectory Merkle rollup: the reference's single driver-side
+    final fold (dirhash.py:422-441) generalized to a distributed groupBy
+    over the first path segment — one digest per top-level subtree
+    instead of one for the whole root.
+
+    Framing per subtree mirrors the v1 fold: ``ascii(n_files) ‖ NUL ‖
+    NUL-join(sorted file paths) ‖ NUL ‖ chunk digests in (path, num)
+    order``; empty files contribute to the listing but zero chunks
+    (dirhash_test.py:205-208 semantics).  Deviations from the byte-exact
+    v1 codec (hex-encoded content in the chunk preimage, hex instead of
+    raw digest bytes in the fold, files-only listing) exist solely so the
+    DuckDB oracle — whose sha256 takes VARCHAR, not BLOB — can compute
+    the identical value; the byte-exact fold is covered by
+    tests/test_dirhash_e2e.py.
+
+    Scale shape: per-chunk digests reduce content map-side; only 64-byte
+    digest strings shuffle to the subtree groups — the same
+    "hash before shuffle" physical plan as the reference (dirhash.py:
+    412-413), but with the fold itself distributed per group instead of
+    driver-side.
+    """
+    entries = [e for e in list_entries(HASHTREE) if not e.is_dir]
+    files_df = spark.createDataFrame(
+        [(e.relative_path, int(e.size)) for e in entries], "path STRING, size BIGINT"
+    )
+    chunks = read_chunks(spark, entries, _TREE_FOLD_BLOCK)
+    digests = chunks.select(
+        "path",
+        "block_num",
+        F.sha2(
+            F.concat(
+                F.col("path"),
+                F.lit("\x00"),
+                F.col("block_num").cast("string"),
+                F.lit("\x00"),
+                F.hex(F.col("content")),
+            ),
+            256,
+        ).alias("digest"),
+    )
+    return (
+        files_df.join(digests, "path", "left")
+        .withColumn("subtree", F.split_part(F.col("path"), F.lit("/"), F.lit(1)))
+        .groupBy("subtree")
+        .agg(
+            F.countDistinct("path").alias("n_files"),
+            F.array_sort(F.collect_set("path")).alias("entry_list"),
+            F.array_sort(F.collect_list(F.struct("path", "block_num", "digest"))).alias(
+                "chunks_sorted"
+            ),
+        )
+        .select(
+            "subtree",
+            "n_files",
+            F.sha2(
+                F.concat(
+                    F.col("n_files").cast("string"),
+                    F.lit("\x00"),
+                    F.array_join(F.col("entry_list"), "\x00"),
+                    F.lit("\x00"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.filter(
+                                F.col("chunks_sorted"), lambda s: s["digest"].isNotNull()
+                            ),
+                            lambda s: s["digest"],
+                        ),
+                    ),
+                ),
+                256,
+            ).alias("subtree_digest"),
+        )
     )
 
 

@@ -7,10 +7,11 @@ Scale notes per join:
   BroadcastHashJoin with zero shuffle of the fact side;
 - theta/range joins deliberately keep one side tiny (a VALUES dim) so the
   planner picks BroadcastNestedLoopJoin — the only sane physical shape;
-- the as-of join is written join+window here (clear oracle equivalence);
-  the 100 TB shape is the union-merge (tag both streams, one window over
+- the as-of join here is the pairwise join+window form (clear oracle
+  equivalence witness); the registered ``join_asof`` is the union-merge
+  form in joins_extra.py (tag both streams, one window over
   ``user, time`` with last_value IGNORE NULLS) which shuffles each input
-  exactly once — documented in :func:`join_asof`.
+  exactly once — see :func:`join_asof_pairwise`.
 """
 
 from __future__ import annotations
@@ -207,7 +208,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_asof",
+    "join_asof_pairwise",
     oracle="""
     WITH ranked AS (
       SELECT e.event_id, o.o_orderkey, o.o_orderdate,
@@ -223,16 +224,18 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "asof"),
 )
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B16: as-of join — for each event, the latest order of the same user
-    with ``o_orderdate <= ts`` (ties broken by highest orderkey).
+def join_asof_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 (pairwise form): as-of join — for each event, the latest order
+    of the same user with ``o_orderdate <= ts`` (ties broken by highest
+    orderkey).
 
-    Written join+row_number for exact oracle equivalence.  At 100 TB the
-    better shape is the union-merge as-of: tag both inputs, union, one
-    window ``PARTITION BY user ORDER BY time`` carrying
-    ``last_value(order_cols) IGNORE NULLS`` — a single shuffle of each
-    input and no row multiplication (the join form multiplies each event
-    by that user's full order history before pruning to rn=1).
+    Written join+row_number as the readable equivalence witness: it
+    multiplies each event by that user's full order history before
+    pruning to rn=1, so a skewed power-user produces an unbounded
+    intermediate at scale.  The registered ``join_asof`` is therefore
+    the union-merge form (joins_extra.py) — single shuffle per input,
+    no row multiplication; both share this oracle so the driver proves
+    them equivalent.
     """
     cat = Catalog(spark, sf_dir)
     joined = cat.events.join(

@@ -1,12 +1,13 @@
 """Scale-path join variants.
 
-``join_asof_merge`` is the union-merge as-of join: the shape that
-survives 100 TB.  The join+row_number form (joins.py) multiplies each
-event by the user's whole order history before pruning; this form tags
-both inputs, unions them, and runs ONE window pass per user over the
-merged timeline — each input shuffles exactly once and no intermediate
-blow-up exists.  Both forms share the same oracle, so the driver proves
-them equivalent.
+``join_asof`` (registered here) is the union-merge as-of join: the
+shape that survives 100 TB.  The pairwise join+row_number form
+(joins.py, registered as ``join_asof_pairwise``) multiplies each event
+by the user's whole order history before pruning; this form tags both
+inputs, unions them, and runs ONE window pass per user over the merged
+timeline — each input shuffles exactly once and no intermediate blow-up
+exists.  Both forms share the same oracle, so the driver proves them
+equivalent.
 """
 
 from __future__ import annotations
@@ -20,11 +21,11 @@ from ..registry import REGISTRY, query
 
 
 @query(
-    "join_asof_merge",
-    oracle=None,  # set below: shares join_asof's oracle
+    "join_asof",
+    oracle=None,  # set below: shares join_asof_pairwise's oracle
     tags=("join", "asof", "scale"),
 )
-def join_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via merge-sorted union (see module docstring).
 
     Mechanics: orders become (user, time=o_orderdate, order payload)
@@ -34,7 +35,7 @@ def join_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     order at-or-before its timestamp; the is_event=1 sort position puts
     an order *at* the same instant before the event (<= semantics), and
     orderkey ordering resolves same-date ties to the highest key —
-    matching join_asof exactly.
+    matching join_asof_pairwise exactly.
     """
     cat = Catalog(spark, sf_dir)
     orders = cat.orders.select(
@@ -73,4 +74,4 @@ def join_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same semantics, same oracle: the driver verifies both physical forms
 # against one SQL definition.
-REGISTRY["join_asof_merge"].oracle = REGISTRY["join_asof"].oracle
+REGISTRY["join_asof"].oracle = REGISTRY["join_asof_pairwise"].oracle

@@ -18,8 +18,44 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..registry import query
 
-# Committed engine-owned CSV fixture (NOT the reference's iris.csv).
-CSV_FIXTURE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data", "sensors.csv")
+# Committed engine-owned CSV fixtures (NOT the reference's iris.csv).
+_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data"
+)
+CSV_FIXTURE = os.path.join(_DATA_DIR, "sensors.csv")
+#: Deliberately malformed CSV: bad casts, wrong arities, empty fields —
+#: the first thing a real ingest hits (the reference's only data file is
+#: a CSV, /root/reference/test/data/iris.csv).
+DIRTY_CSV_FIXTURE = os.path.join(_DATA_DIR, "readings_dirty.csv")
+
+_DIRTY_SCHEMA = "id INT, room STRING, reading DOUBLE, ts STRING"
+
+# DuckDB re-implementation of Spark's CSV parse modes: read raw lines
+# (delim that never occurs + no quoting), split, and replicate the
+# malformed-row rule observed from Spark's univocity parser —
+# a row is malformed iff the token count differs from the schema arity
+# or a non-empty token fails its cast (empty string → NULL is *valid*).
+_DIRTY_LINES_CTE = f"""
+    WITH lines AS (
+      SELECT line FROM read_csv('{DIRTY_CSV_FIXTURE}', header=false, delim='|',
+                                quote='', columns={{'line': 'VARCHAR'}}, skip=1)
+    ),
+    parsed AS (
+      SELECT line, string_split(line, ',') AS p FROM lines
+    ),
+    typed AS (
+      SELECT line,
+             TRY_CAST(NULLIF(p[1], '') AS INTEGER) AS id,
+             NULLIF(p[2], '') AS room,
+             TRY_CAST(NULLIF(p[3], '') AS DOUBLE) AS reading,
+             NULLIF(p[4], '') AS ts,
+             (len(p) != 4
+              OR (coalesce(p[1], '') != '' AND TRY_CAST(p[1] AS INTEGER) IS NULL)
+              OR (coalesce(p[3], '') != '' AND TRY_CAST(p[3] AS DOUBLE) IS NULL)
+             ) AS is_malformed
+      FROM parsed
+    )
+"""
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,6 +126,74 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("room").cast("string").alias("room"),
         F.col("reading").cast("double").alias("reading"),
         F.col("is_active").cast("boolean").alias("is_active"),
+    )
+
+
+@query(
+    "scan_csv_permissive",
+    oracle=_DIRTY_LINES_CTE + "SELECT id, room, reading, ts FROM typed",
+    tags=("scan", "csv"),
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV parse mode over a malformed fixture: every input
+    row survives; a field that fails its cast (or is missing because the
+    row has too few tokens) becomes NULL, extra tokens are dropped.
+
+    The oracle re-implements the mode in portable SQL (line split +
+    TRY_CAST) rather than relying on any reader flag, so the semantics
+    being verified are explicit.
+    """
+    return (
+        spark.read.schema(_DIRTY_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(DIRTY_CSV_FIXTURE)
+        .select("id", "room", "reading", "ts")
+    )
+
+
+@query(
+    "scan_csv_dropmalformed",
+    oracle=_DIRTY_LINES_CTE
+    + "SELECT id, room, reading, ts FROM typed WHERE NOT is_malformed",
+    tags=("scan", "csv"),
+)
+def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROPMALFORMED CSV parse mode: rows with a wrong token count or a
+    failed non-empty cast are dropped entirely; an empty field is NULL,
+    not malformed (default nullValue "")."""
+    return (
+        spark.read.schema(_DIRTY_SCHEMA)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(DIRTY_CSV_FIXTURE)
+        .select("id", "room", "reading", "ts")
+    )
+
+
+@query(
+    "csv_corrupt_records",
+    oracle=_DIRTY_LINES_CTE
+    + """
+    SELECT line AS raw_line, id, room, reading, ts
+    FROM typed WHERE is_malformed
+    """,
+    tags=("scan", "csv"),
+)
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_corrupt_record`` capture: PERMISSIVE parse with the corrupt
+    column declared in the schema keeps the raw text of every malformed
+    row alongside whatever fields did parse — the audit-trail pattern for
+    a production ingest (quarantine the raw lines, load the rest)."""
+    df = (
+        spark.read.schema(_DIRTY_SCHEMA + ", _corrupt_record STRING")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(DIRTY_CSV_FIXTURE)
+    )
+    return df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line"), "id", "room", "reading", "ts"
     )
 
 

@@ -51,92 +51,90 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 #: Names pinned to the FRONT of ``all_queries()`` order, in this order.
 #: The external driver's CORRECTNESS run verifies a prefix window of the
-#: registry (50 entries in round 1), so we rotate which queries appear
-#: first: round 1 verified the relational surface (scan/filter/join/agg/
-#: window/setops/fn_*); round 2 fronts everything that round missed —
-#: the dedup/similarity/text/multimodal/UDF/streaming/sink/skew surface —
-#: oracle-backed queries first (hash-compared), then the rows-only ones
-#: the judge called out (dedup sketches, ANN, mm_*, watermark dedup).
+#: registry (50 entries per round), so we rotate which queries appear
+#: first.  Round 1 verified the relational surface; round 2 the dedup/
+#: similarity/text/UDF/streaming/sink/skew surface.  Round 3 fronts
+#: (a) the 7 queries that have never had a driver row, (b) the queries
+#: added or renamed this round, then (c) a re-verification slice of the
+#: round-1 relational core at the current code state, so the green wall
+#: stops being a union across two old code snapshots.
 #: Names not listed keep registration (insertion) order after these.
+#: Every name listed here MUST exist in the registry — ``all_queries()``
+#: raises otherwise (a silently skipped name is how coverage gaps hide).
 PRIORITY_ORDER: tuple[str, ...] = (
-    # round-2 new queries (oracle-backed) — need their first driver row
-    "join_asof",          # now the scale-safe merge form (renamed)
-    "join_asof_pairwise", # equivalence witness (old join+prune form)
+    # (a) never inside a driver window in rounds 1-2
+    "hash_string_codec",
+    "blocksize_codec",
+    "dirhash_verify",
+    "mm_resize",
+    "mm_feature_extract",
+    "scan_binary_file",
+    "stream_watermark_dedup",
+    # (b) new/renamed in round 3
     "scan_csv_permissive",
     "scan_csv_dropmalformed",
     "csv_corrupt_records",
     "dirhash_tree_fold",
-    # oracle-backed queries with no driver row in round 1
-    "fn_json",
-    "fn_struct_nested",
-    "fn_interval",
-    "fn_map",
-    "fn_bitwise",
-    "hash_sha2_text",
-    "chunk_split_text",
-    "merkle_fold_group",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "sim_topk_cosine",
-    "sim_knn_join",
-    "text_tokens",
-    "text_token_count",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint",
-    "pipeline_corpus_curation",
-    "udf_python",
-    "udaf_pandas",
-    "udtf_map_in_pandas",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "join_asof_merge",
-    "scan_json_lines",
-    "sink_orc",
-    "sink_parquet_partitioned",
-    "join_bucketed",
-    "sink_parquet_clustered",
-    "sink_parquet_zorder",
-    "scan_text_lines",
-    "sink_upsert_parquet",
-    "agg_skew_salted",
-    "join_skew_salted",
-    "agg_pivot",
-    "reshape_unpivot",
-    "reshape_posexplode",
-    "sample_hash_deterministic",
-    "stream_stateful_running",
-    "stream_foreach_batch_sink",
-    # rows-only queries with no driver row in round 1 (weaker check, but
-    # the judge wants a driver row for each at least once)
-    "dedup_minhash",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "mm_meta_extract",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_feature_extract",
-    "stream_watermark_dedup",
-    "hash_string_codec",
-    "blocksize_codec",
-    "dirhash_verify",
-    "scan_binary_file",
+    "join_asof",           # scale-safe merge form (renamed this round)
+    "join_asof_pairwise",  # equivalence witness (old join+prune form)
+    # (c) re-verification slice of the round-1 relational core
+    "flagship_revenue_by_nation",
+    "scan_parquet",
+    "scan_csv_infer",
+    "sink_parquet",
+    "project_rename",
+    "filter_pred",
+    "filter_in_like",
+    "filter_null",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "agg_basic",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "win_rank",
+    "win_lag_lead",
+    "win_running",
+    "win_moving_avg",
+    "sort_multi",
+    "limit_topk",
+    "topk_per_group",
+    "set_union_dist",
+    "set_intersect",
+    "set_except",
+    "set_union_all",
+    "fn_string",
+    "fn_datetime",
+    "fn_math_cond",
+    "fn_array",
 )
 
 
 def all_queries() -> dict[str, Query]:
     """Import all operator modules and return the populated registry,
-    reordered so :data:`PRIORITY_ORDER` names come first (see its doc)."""
+    reordered so :data:`PRIORITY_ORDER` names come first (see its doc).
+
+    Raises ValueError if a PRIORITY_ORDER name is not registered: an
+    unknown name means a planned query was never implemented (or a
+    rename went stale), and silently skipping it would quietly drop the
+    intended verification coverage.
+    """
     from . import operators  # noqa: F401  (import populates REGISTRY)
 
+    unknown = [name for name in PRIORITY_ORDER if name not in REGISTRY]
+    if unknown:
+        raise ValueError(f"PRIORITY_ORDER names not in registry: {unknown}")
     ordered: dict[str, Query] = {}
     for name in PRIORITY_ORDER:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+        ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
         if name not in ordered:
             ordered[name] = q

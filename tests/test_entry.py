@@ -23,3 +23,33 @@ def test_every_oracle_has_a_query():
     assert len(qs) >= 90
     # oracles are non-empty SQL strings
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+def test_priority_order_names_all_registered():
+    """Every PRIORITY_ORDER name resolves — all_queries() raises on
+    phantoms, so a stale planned-query name can't silently drop its
+    intended driver-row coverage (round-2 postmortem)."""
+    from dirhash_spark.registry import PRIORITY_ORDER, all_queries
+
+    qs = all_queries()
+    assert set(PRIORITY_ORDER) <= set(qs)
+    # The driver's correctness window is a 50-entry prefix: the
+    # must-cover names (never driver-checked before round 3) must all
+    # sit inside it.
+    window = list(qs)[:50]
+    for must in (
+        "hash_string_codec",
+        "blocksize_codec",
+        "dirhash_verify",
+        "mm_resize",
+        "mm_feature_extract",
+        "scan_binary_file",
+        "stream_watermark_dedup",
+        "scan_csv_permissive",
+        "scan_csv_dropmalformed",
+        "csv_corrupt_records",
+        "dirhash_tree_fold",
+        "join_asof",
+        "join_asof_pairwise",
+    ):
+        assert must in window, must
