@@ -86,46 +86,49 @@ _DIM = 64
 _HYPERPLANES = np.random.RandomState(1234).standard_normal((_N_PLANES, _DIM))
 
 
+def _lsh_signature(vec_col):
+    """16-bit LSH signature: bit i = sign(hyperplane_i · v) — all JVM
+    codegen (zip_with dot product, shiftleft/bitwiseOR bit packing)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(w)) for w in _HYPERPLANES[i]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(_N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
 @query("sim_ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH + exact re-rank of candidates.
 
     rows-only: the bucketing is engine-specific; recall vs the exact
-    brute force is asserted in tests instead.
+    brute force is asserted in tests instead.  The write-time form is
+    ``sim_ann_lsh_indexed`` (signatures persisted in the ANN index).
     """
     cat = Catalog(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
 
-    def signature(vec_col):
-        """16-bit LSH signature: bit i = sign(hyperplane_i · v)."""
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(float(w)) for w in _HYPERPLANES[i]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(_N_PLANES)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out.bitwiseOR(b)
-        return out
-
     probe = F.broadcast(
         cat.embeddings.where(F.col("vec_id") == 0).select(
-            v.alias("probe"), signature(v).alias("probe_sig")
+            v.alias("probe"), _lsh_signature(v).alias("probe_sig")
         )
     )
     sigs = cat.embeddings.where(F.col("vec_id") != 0).select(
-        "vec_id", "label", v.alias("v"), signature(v).alias("sig")
+        "vec_id", "label", v.alias("v"), _lsh_signature(v).alias("sig")
     )
     # Hamming ≤ 6 of 16 planes ⇒ ~20% of a random corpus scanned at
     # recall ≈ 0.6 for weakly-similar probes (measured on the fixtures);
@@ -149,12 +152,23 @@ _IVF_ITERS = 8
 _IVF_NPROBE = 6
 _IVF_SAMPLE = 2048
 
+#: Trained coarse quantizers, keyed by sf_dir.  Training is a bounded
+#: O(sample) driver-side job; caching it makes repeated queries reuse
+#: one artifact instead of re-reading the sample per invocation — the
+#: in-process stand-in for the persisted model a production deployment
+#: would load (the on-disk form is the ANN index, ``_ann_index_path``).
+_CENTROID_CACHE: dict[str, np.ndarray] = {}
+
 
 def _train_centroids(cat: Catalog) -> np.ndarray:
     """Driver-side k-means on a bounded, deterministically-ordered sample
     — the coarse-quantizer training step.  At 100 TB the sample stays
     the same size (training cost is O(sample), not O(corpus)); only the
-    assignment pass below scales with the data."""
+    assignment pass scales with the data.  Cached per sf_dir: train
+    once, reuse for every query in the process."""
+    cached = _CENTROID_CACHE.get(cat.sf_dir)
+    if cached is not None:
+        return cached
     sample = (
         cat.embeddings.orderBy("vec_id")
         .limit(_IVF_SAMPLE)
@@ -170,42 +184,58 @@ def _train_centroids(cat: Catalog) -> np.ndarray:
         for k in range(_IVF_K):
             if (assign == k).any():
                 cents[k] = x[assign == k].mean(0)
+    _CENTROID_CACHE[cat.sf_dir] = cents
     return cents
+
+
+def _centroid_dist2(vec_col, c: np.ndarray):
+    """Squared distance to one centroid, as a codegen expression."""
+    carr = F.array(*[F.lit(float(xx)) for xx in c])
+    return F.aggregate(
+        F.zip_with(vec_col, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
 
 
 def _nearest_centroid(vec_col, cents: np.ndarray):
     """JVM-side argmin over squared distances to every centroid:
     array_min over (distance, id) structs — lexicographic struct order
     makes the min-by-distance explicit, all inside codegen."""
-
-    def dist2(c):
-        carr = F.array(*[F.lit(float(xx)) for xx in c])
-        return F.aggregate(
-            F.zip_with(vec_col, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
     return F.array_min(
         F.array(*[
-            F.struct(dist2(cents[i]).alias("d"), F.lit(i).alias("cid"))
+            F.struct(_centroid_dist2(vec_col, cents[i]).alias("d"), F.lit(i).alias("cid"))
             for i in range(_IVF_K)
         ])
     )["cid"]
 
 
+def _nprobe_clusters(vec_col, cents: np.ndarray, nprobe: int):
+    """The ``nprobe`` nearest centroid ids for a vector, as a codegen
+    expression (array_sort of (distance, id) structs, slice, project id)
+    — so probe→lists stays a dataflow edge, not a driver collect."""
+    structs = F.array(*[
+        F.struct(_centroid_dist2(vec_col, cents[i]).alias("d"), F.lit(i).alias("cid"))
+        for i in range(_IVF_K)
+    ])
+    return F.transform(F.slice(F.array_sort(structs), 1, nprobe), lambda s: s["cid"])
+
+
 @query("sim_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF coarse quantization: k-means centroids (trained
-    on a driver-side sample), JVM-side cluster assignment, search only
-    the probe's nprobe nearest clusters, exact cosine re-rank inside.
+    once per sf_dir on a bounded sample, cached), JVM-side cluster
+    assignment, search only the probe's nprobe nearest clusters, exact
+    cosine re-rank inside.
 
     On these near-uniform fixtures recall ≈ candidate share (the
     no-structure worst case, measured in tests); on clustered real
     embeddings the inverted lists concentrate neighbors so recall ≫
-    share — the standard IVF trade.  At scale the assignment becomes a
-    write-time partition key (one directory per list ⇒ nprobe pruning
-    is partition pruning on read).
+    share — the standard IVF trade.  The whole query path is dataflow:
+    the probe's nprobe lists are computed as a codegen expression on the
+    broadcast probe row (no ``.first()``), and the write-time form of
+    the assignment is ``sim_ann_ivf_indexed`` below, where list id is a
+    partition key and nprobe pruning is partition pruning on read.
 
     rows-only: centroid training is engine-specific; recall vs exact
     brute force is asserted in tests/test_llm_ops.py.
@@ -214,23 +244,129 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _train_centroids(cat)
     v = F.col("embedding").cast("array<double>")
 
-    probe_vec = np.asarray(
-        cat.embeddings.where(F.col("vec_id") == 0)
-        .select(v.alias("p"))
-        .first()["p"],
-        dtype=np.float64,
+    probe = F.broadcast(
+        cat.embeddings.where(F.col("vec_id") == 0).select(
+            v.alias("probe"),
+            _nprobe_clusters(v, cents, _IVF_NPROBE).alias("probe_clusters"),
+        )
     )
-    probe_clusters = (
-        ((cents - probe_vec) ** 2).sum(-1).argsort()[:_IVF_NPROBE].tolist()
-    )
-
     assigned = cat.embeddings.where(F.col("vec_id") != 0).select(
         "vec_id", "label", v.alias("vv"), _nearest_centroid(v, cents).alias("cluster_id")
     )
-    candidates = assigned.where(F.col("cluster_id").isin(probe_clusters))
+    candidates = assigned.crossJoin(probe).where(
+        F.array_contains(F.col("probe_clusters"), F.col("cluster_id"))
+    )
+    return (
+        candidates.select("vec_id", "label", _cosine(F.col("vv"), F.col("probe")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+# ------------------------------------------------- persisted ANN index
+
+def _ann_index_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(tempfile.gettempdir(), "dirhash_spark_ann_index", tag)
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write-time ANN index: every embedding with its precomputed LSH
+    signature AND its IVF list id, stored as parquet **partitioned by
+    cluster_id** (one directory per inverted list).
+
+    This is the artifact a 100 TB deployment maintains at ingest: the
+    expensive per-vector work (signature bits, centroid assignment)
+    happens once at write, and every query afterwards reads the index —
+    nprobe search becomes partition pruning (only nprobe of _IVF_K
+    directories are listed/read), signature filtering reuses the stored
+    sig column instead of recomputing 16 dot products per row per query.
+    Idempotent: returns the existing index if already built.
+    """
+    import os
+
+    out = _ann_index_path(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        cat = Catalog(spark, sf_dir)
+        cents = _train_centroids(cat)
+        v = F.col("embedding").cast("array<double>")
+        sig = _lsh_signature(v)
+        (
+            cat.embeddings.select(
+                "vec_id",
+                "label",
+                v.alias("v"),
+                sig.alias("sig"),
+                _nearest_centroid(v, cents).alias("cluster_id"),
+            )
+            .repartition("cluster_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(out)
+        )
+    return out
+
+
+@query("sim_ann_ivf_indexed", oracle=None, tags=("similarity", "ann", "ivf", "index"))
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the persisted index: identical semantics (and
+    results) to ``sim_ann_ivf``, but the query path reads precomputed
+    assignments and prunes partitions instead of scanning + assigning
+    the whole corpus.
+
+    The probe's nprobe list ids are resolved driver-side from the cached
+    centroids — that lookup is the query *parameter* (microseconds over
+    _IVF_K centroids), and expressing it as literals is exactly what
+    lets Catalyst turn ``cluster_id IN (...)`` into PartitionFilters, so
+    only nprobe of the _IVF_K directories are ever listed or read
+    (asserted in tests/test_plans.py).
+    """
+    cat = Catalog(spark, sf_dir)
+    cents = _train_centroids(cat)
+    index = spark.read.parquet(build_ann_index(spark, sf_dir))
+
+    probe_vec = np.asarray(
+        cat.embeddings.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("p"))
+        .first()["p"],
+        dtype=np.float64,
+    )
+    probe_lists = ((cents - probe_vec) ** 2).sum(-1).argsort()[:_IVF_NPROBE].tolist()
+
+    candidates = index.where(
+        F.col("cluster_id").isin([int(c) for c in probe_lists]) & (F.col("vec_id") != 0)
+    )
     return (
         candidates.crossJoin(_probe(cat))
-        .select("vec_id", "label", _cosine(F.col("vv"), F.col("probe")).alias("cos_raw"))
+        .select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@query("sim_ann_lsh_indexed", oracle=None, tags=("similarity", "ann", "lsh", "index"))
+def sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN over the persisted index: identical semantics (and
+    results) to ``sim_ann_lsh``, but the 16-bit signatures are read from
+    the index instead of being recomputed per scan — the write-time
+    persistence of the signature work (16 hyperplane dot products per
+    vector ⇒ once at ingest, never per query)."""
+    index = spark.read.parquet(build_ann_index(spark, sf_dir))
+    probe = F.broadcast(
+        index.where(F.col("vec_id") == 0).select(
+            F.col("v").alias("probe"), F.col("sig").alias("probe_sig")
+        )
+    )
+    candidates = index.where(F.col("vec_id") != 0).crossJoin(probe).where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("probe_sig"))) <= 6
+    )
+    return (
+        candidates.select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))

@@ -77,6 +77,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dirhash_tree_fold",
     "join_asof",           # scale-safe merge form (renamed this round)
     "join_asof_pairwise",  # equivalence witness (old join+prune form)
+    "sim_ann_ivf_indexed",  # persisted index, partition-pruned nprobe
+    "sim_ann_lsh_indexed",  # persisted signatures, no per-query recompute
     # (c) re-verification slice of the round-1 relational core
     "flagship_revenue_by_nation",
     "scan_parquet",
@@ -111,9 +113,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "set_intersect",
     "set_except",
     "set_union_all",
-    "fn_string",
     "fn_datetime",
-    "fn_math_cond",
     "fn_array",
 )
 

@@ -106,3 +106,17 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     approx = {r["vec_id"] for r in sim_ann_ivf(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall@10 = {recall}"
+
+
+def test_indexed_ann_matches_unindexed(spark, sf_dir):
+    """The persisted-index variants must return exactly the same rows as
+    their scan-time twins: same centroids (cached per sf_dir), same
+    hyperplanes, so the index changes the physical plan, never the
+    answer."""
+    for base, indexed in (
+        ("sim_ann_ivf", "sim_ann_ivf_indexed"),
+        ("sim_ann_lsh", "sim_ann_lsh_indexed"),
+    ):
+        a = sorted(map(tuple, QUERIES[base].fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES[indexed].fn(spark, sf_dir).collect()))
+        assert a == b, f"{base} != {indexed}"

@@ -194,3 +194,15 @@ def test_clustered_sink_readback_pushes_date_filter(spark):
     p = plan(spark, "sink_parquet_clustered")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
     assert m and "l_shipdate" in m.group(1), p
+
+
+def test_ann_index_nprobe_is_partition_pruning(spark):
+    """The persisted ANN index is partitioned by IVF list id, so the
+    nprobe search reads only nprobe of the _IVF_K directories: the
+    cluster_id IN (...) literal filter must appear as PartitionFilters
+    on the index scan — at 100 TB this is the difference between
+    scanning nprobe/K of the corpus and all of it."""
+    p = plan(spark, "sim_ann_ivf_indexed")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "cluster_id" in m.group(1), m.group(1)
