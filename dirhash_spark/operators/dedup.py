@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..catalog import Catalog
-from ..registry import query
+from ..registry import REGISTRY, query
 
 # Shared normalization (Spark expr and DuckDB SQL must stay in lockstep).
 _NORM_SPARK = lambda c: F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " "), r" +", " "))  # noqa: E731
@@ -333,6 +333,126 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_id").alias("doc_b"),
             (F.floor(inter.cast("double") / union * 10000) / 10000).alias("jaccard"),
         )
+    )
+
+
+# ------------------------------------------- near-dup clustering (CC)
+
+_CLUSTER_JACCARD = 0.6
+_CC_MAX_ITERS = 20
+
+
+def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed connected components by min-label propagation with
+    pointer jumping.
+
+    ``nodes`` is (doc_id, label) with label initialized to doc_id;
+    ``edges`` is a symmetric (u, v) edge list.  Each round does one
+    neighbor-min step (every node adopts the smallest label among itself
+    and its neighbors — one shuffle) and one pointer-jump step
+    (label ← label(label), the path-halving trick that turns O(diameter)
+    convergence into O(log diameter) — one more shuffle).  Convergence
+    is detected by the monotonically-decreasing label sum, and lineage
+    is truncated per round with localCheckpoint so the plan doesn't grow
+    exponentially across iterations.
+
+    This simple variant is fine up to graphs whose label table fits a
+    normal shuffle (billions of nodes).  For web-scale edge sets the
+    published refinement is the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — same primitives, provably fewer rounds on skewed
+    degree distributions.
+    """
+    labels = nodes
+    prev_sum = None
+    for _ in range(_CC_MAX_ITERS):
+        neigh = edges.join(labels, edges["u"] == labels["doc_id"]).select(
+            F.col("v").alias("doc_id"), "label"
+        )
+        labels = (
+            labels.unionByName(neigh).groupBy("doc_id").agg(F.min("label").alias("label"))
+        )
+        jump = labels.select(
+            F.col("doc_id").alias("pj_doc"), F.col("label").alias("pj_label")
+        )
+        labels = labels.join(jump, labels["label"] == jump["pj_doc"], "left").select(
+            "doc_id", F.coalesce("pj_label", "label").alias("label")
+        )
+        labels = labels.localCheckpoint()
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE n AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([substr(t, g, 3) FOR g IN generate_series(1, greatest(len(t) - 2, 1))]) AS grams
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    ),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM n a JOIN n b
+        ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= {_JACCARD_WINDOW}
+      WHERE floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) * 10000) / 10000
+            >= {_CLUSTER_JACCARD}
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL
+      SELECT doc_b, doc_a FROM p
+    ),
+    reach(doc, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc, e.v FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT doc AS doc_id, min(r) AS cluster_id,
+           (doc = min(r)) AS is_canonical
+    FROM reach GROUP BY doc
+    """,
+    tags=("dedup", "cluster"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the verified
+    near-dup pair graph, one canonical keeper per cluster — the step a
+    real curation pipeline needs after candidate pairs (pairs alone
+    can't answer "which rows do I drop": a↔b and b↔c must collapse into
+    one {{a,b,c}} cluster with a single survivor).
+
+    Edges = exact trigram-Jaccard pairs (the dedup_ngram_jaccard
+    construction) at ≥ {_CLUSTER_JACCARD}; components via distributed
+    min-label propagation + pointer jumping (see
+    :func:`_connected_components`); canonical = smallest doc_id in the
+    component.  Every document appears in the output — singletons are
+    their own cluster — so ``WHERE is_canonical`` is exactly the
+    post-dedup keep set.
+
+    The oracle computes the same fixpoint declaratively: a recursive
+    CTE builds the reachability closure and takes min(reachable id) per
+    doc — portable SQL, no engine-specific CC primitive.
+    """
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        REGISTRY["dedup_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .where(F.col("jaccard") >= _CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    nodes = cat.documents.select("doc_id", F.col("doc_id").alias("label"))
+    labels = _connected_components(nodes, edges)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
 
 

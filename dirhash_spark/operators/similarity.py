@@ -266,12 +266,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- persisted ANN index
 
+#: Bump when signature/centroid logic changes: the version is part of
+#: the index path, so a stale on-disk index from older code can never be
+#: read by newer query logic (it would silently return wrong neighbors).
+_ANN_INDEX_VERSION = 1
+
+
 def _ann_index_path(sf_dir: str) -> str:
     import os
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join(tempfile.gettempdir(), "dirhash_spark_ann_index", tag)
+    return os.path.join(
+        tempfile.gettempdir(), "dirhash_spark_ann_index", f"v{_ANN_INDEX_VERSION}", tag
+    )
 
 
 def build_ann_index(spark: SparkSession, sf_dir: str) -> str:

@@ -79,6 +79,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_asof_pairwise",  # equivalence witness (old join+prune form)
     "sim_ann_ivf_indexed",  # persisted index, partition-pruned nprobe
     "sim_ann_lsh_indexed",  # persisted signatures, no per-query recompute
+    "dedup_cluster_canonical",  # CC clustering over near-dup pairs
     # (c) re-verification slice of the round-1 relational core
     "flagship_revenue_by_nation",
     "scan_parquet",
@@ -113,7 +114,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "set_intersect",
     "set_except",
     "set_union_all",
-    "fn_datetime",
     "fn_array",
 )
 

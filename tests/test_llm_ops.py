@@ -120,3 +120,17 @@ def test_indexed_ann_matches_unindexed(spark, sf_dir):
         a = sorted(map(tuple, QUERIES[base].fn(spark, sf_dir).collect()))
         b = sorted(map(tuple, QUERIES[indexed].fn(spark, sf_dir).collect()))
         assert a == b, f"{base} != {indexed}"
+
+
+def test_cluster_canonical_properties(spark, sf_dir):
+    """Cluster invariants the oracle hash can't express directly:
+    every doc labeled, cluster_id is a member of its own cluster (the
+    canonical doc), paired docs share a cluster."""
+    rows = QUERIES["dedup_cluster_canonical"].fn(spark, sf_dir).collect()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    canon = {r["cluster_id"] for r in rows}
+    assert len(by_doc) == len(rows)  # one row per doc
+    for c in canon:
+        assert by_doc[c] == c  # canonical labels itself
+    for r in rows:
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
