@@ -75,3 +75,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same semantics, same oracle: the driver verifies both physical forms
 # against one SQL definition.
 REGISTRY["join_asof"].oracle = REGISTRY["join_asof_pairwise"].oracle
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + CAST(l_orderkey % 14 + 1 AS INTEGER) AS e,
+             l_quantity
+      FROM lineitem
+    ),
+    pts AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    SELECT d, count(*) AS n_open, round(sum(l_quantity), 2) AS total_qty
+    FROM pts JOIN iv ON d BETWEEN s AND e
+    GROUP BY d
+    """,
+    tags=("join", "range", "scale"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join via day-bin explosion: for every distinct
+    order date, count the lineitem ship windows (ship date .. ship date +
+    1-14 days, span derived deterministically from the order key) open on
+    that date.
+
+    ``join_theta_range`` (joins.py) handles the non-equi case where one
+    side is tiny — BroadcastNestedLoopJoin is fine at 3 dim rows.  When
+    BOTH sides are large, BNLJ is O(n·m) and there is no open-source
+    range-join hint to save you; the scalable rewrite is binning: explode
+    each interval into its covered day bins (cost = total interval length
+    in bins, not pairs), then the point side equi-joins on the bin key —
+    one ordinary shuffle, AQE-skew-splittable like any equi join.  At day
+    granularity with date points the bin IS the containment predicate;
+    with coarser bins (weeks) the same plan adds a residual
+    ``BETWEEN s AND e`` filter after the equi join.
+
+    The DuckDB oracle states the same join declaratively (``d BETWEEN s
+    AND e``, executed there as an IEJoin) — two genuinely different
+    physical algorithms must meet on the same answer.
+    """
+    cat = Catalog(spark, sf_dir)
+    span = (F.col("l_orderkey") % 14 + 1).cast("int")
+    iv = cat.lineitem.select(
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(F.to_date("l_shipdate"), span).alias("e"),
+        "l_quantity",
+    )
+    days = iv.select(F.explode(F.sequence("s", "e")).alias("d"), "l_quantity")
+    pts = cat.orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    return (
+        pts.join(days, "d")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
