@@ -116,60 +116,65 @@ def dirhash_tree_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest strings shuffle to the subtree groups — the same
     "hash before shuffle" physical plan as the reference (dirhash.py:
     412-413), but with the fold itself distributed per group instead of
-    driver-side.
+    driver-side.  Listing metadata and chunk digests each aggregate to
+    one row per subtree BEFORE they meet, so the only join in the plan
+    is between two subtree-sized tables (no per-chunk join against the
+    listing).
     """
     entries = [e for e in list_entries(HASHTREE) if not e.is_dir]
+    subtree = F.split_part(F.col("path"), F.lit("/"), F.lit(1))
     files_df = spark.createDataFrame(
-        [(e.relative_path, int(e.size)) for e in entries], "path STRING, size BIGINT"
+        [(e.relative_path,) for e in entries], "path STRING"
     )
-    chunks = read_chunks(spark, entries, _TREE_FOLD_BLOCK)
-    digests = chunks.select(
-        "path",
-        "block_num",
-        F.sha2(
-            F.concat(
-                F.col("path"),
-                F.lit("\x00"),
-                F.col("block_num").cast("string"),
-                F.lit("\x00"),
-                F.hex(F.col("content")),
-            ),
-            256,
-        ).alias("digest"),
-    )
-    return (
-        files_df.join(digests, "path", "left")
-        .withColumn("subtree", F.split_part(F.col("path"), F.lit("/"), F.lit(1)))
+    files_by_tree = (
+        files_df.withColumn("subtree", subtree)
         .groupBy("subtree")
         .agg(
-            F.countDistinct("path").alias("n_files"),
-            F.array_sort(F.collect_set("path")).alias("entry_list"),
-            F.array_sort(F.collect_list(F.struct("path", "block_num", "digest"))).alias(
-                "chunks_sorted"
-            ),
+            F.count(F.lit(1)).alias("n_files"),
+            F.array_sort(F.collect_list("path")).alias("entry_list"),
         )
-        .select(
-            "subtree",
-            "n_files",
+    )
+    chunks = read_chunks(spark, entries, _TREE_FOLD_BLOCK)
+    digests_by_tree = (
+        chunks.select(
+            "path",
+            "block_num",
             F.sha2(
                 F.concat(
-                    F.col("n_files").cast("string"),
+                    F.col("path"),
                     F.lit("\x00"),
-                    F.array_join(F.col("entry_list"), "\x00"),
+                    F.col("block_num").cast("string"),
                     F.lit("\x00"),
-                    F.concat_ws(
-                        "",
-                        F.transform(
-                            F.filter(
-                                F.col("chunks_sorted"), lambda s: s["digest"].isNotNull()
-                            ),
-                            lambda s: s["digest"],
-                        ),
-                    ),
+                    F.hex(F.col("content")),
                 ),
                 256,
-            ).alias("subtree_digest"),
+            ).alias("digest"),
         )
+        .withColumn("subtree", subtree)
+        .groupBy("subtree")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("path", "block_num", "digest"))),
+                    lambda s: s["digest"],
+                ),
+            ).alias("chunk_concat")
+        )
+    )
+    return files_by_tree.join(digests_by_tree, "subtree", "left").select(
+        "subtree",
+        "n_files",
+        F.sha2(
+            F.concat(
+                F.col("n_files").cast("string"),
+                F.lit("\x00"),
+                F.array_join(F.col("entry_list"), "\x00"),
+                F.lit("\x00"),
+                F.coalesce(F.col("chunk_concat"), F.lit("")),
+            ),
+            256,
+        ).alias("subtree_digest"),
     )
 
 

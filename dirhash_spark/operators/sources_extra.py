@@ -299,3 +299,52 @@ def sink_upsert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(updates)
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "scan_parquet_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+    FROM orders
+    """,
+    tags=("scan", "schema"),
+)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written at
+    different times with different schemas (a ``status`` column added in
+    the second batch) read back as ONE dataset via ``mergeSchema`` —
+    rows from the older batch surface NULL for the added column.
+
+    This is the long-lived-dataset reality at 100 TB: columns get added
+    over years and nobody rewrites petabytes of history; footer-merging
+    on read (cheap: schemas only) is the standard answer, with the
+    caveat that merge is additive-only — type CHANGES need a rewrite or
+    a cast-on-read view.  The oracle states the expected merged content
+    directly over the source table (old-batch rows must carry NULL
+    status), so a merge that dropped, misaligned, or backfilled the
+    added column fails the hash.  DuckDB's ``union_by_name`` over the
+    same files was cross-checked during development and agrees.
+    """
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "schema_evo")
+    base = cat.orders.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total"), "o_orderstatus"
+    )
+    (
+        base.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "total")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "b1"))
+    )
+    (
+        base.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "total", F.col("o_orderstatus").alias("status"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "b2"))
+    )
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(out, "b1"), os.path.join(out, "b2"))
+        .select("o_orderkey", "total", "status")
+    )

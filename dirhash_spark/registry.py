@@ -81,6 +81,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_ann_lsh_indexed",  # persisted signatures, no per-query recompute
     "dedup_cluster_canonical",  # CC clustering over near-dup pairs
     "join_range_binned",    # big-big interval join via day-bin explosion
+    "scan_parquet_schema_evolution",  # mergeSchema over mixed-schema batches
     # (c) re-verification slice of the round-1 relational core
     "flagship_revenue_by_nation",
     "scan_parquet",
@@ -114,7 +115,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "set_union_dist",
     "set_intersect",
     "set_except",
-    "set_union_all",
 )
 
 
