@@ -336,6 +336,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- incremental dedup
+
+_INCR_SPLIT = 400  # doc_id >= split plays the role of "today's batch"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT sha256({_NORM_SQL}) AS h FROM documents WHERE doc_id < {_INCR_SPLIT}
+    ),
+    batch AS (
+      SELECT doc_id, sha256({_NORM_SQL}) AS h FROM documents WHERE doc_id >= {_INCR_SPLIT}
+    )
+    SELECT b.doc_id, b.h AS content_hash,
+           NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h) AS is_new
+    FROM batch b
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an incoming batch against an existing
+    corpus by normalized content hash — the daily-ingest shape (dedup
+    the delta, never re-scan history against itself).
+
+    Here the corpus is docs below the id split and the batch is the
+    rest; production would read the corpus side from a hash manifest
+    (32 bytes/doc — a 1B-doc corpus is a 32 GB manifest, far cheaper
+    than the corpus).  Physical shape: the batch left-semi-probes the
+    corpus hash set on a 32-byte key; with a small batch vs a huge
+    corpus this wants the batch broadcast AS THE BUILD SIDE of the probe
+    (hint the smaller side), or at both-sides-huge, one equi shuffle on
+    the hash — never a rescan of corpus content.
+    """
+    cat = Catalog(spark, sf_dir)
+    h = F.sha2(_NORM_SPARK(F.col("text")), 256)
+    corpus = cat.documents.where(F.col("doc_id") < _INCR_SPLIT).select(h.alias("ch"))
+    batch = cat.documents.where(F.col("doc_id") >= _INCR_SPLIT).select(
+        "doc_id", h.alias("content_hash")
+    )
+    seen = corpus.distinct().select(F.col("ch"), F.lit(True).alias("seen"))
+    return batch.join(
+        F.broadcast(seen), F.col("content_hash") == F.col("ch"), "left"
+    ).select(
+        "doc_id",
+        "content_hash",
+        F.coalesce(~F.col("seen"), F.lit(True)).alias("is_new"),
+    )
+
+
 # ------------------------------------------- near-dup clustering (CC)
 
 _CLUSTER_JACCARD = 0.6

@@ -82,6 +82,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_cluster_canonical",  # CC clustering over near-dup pairs
     "join_range_binned",    # big-big interval join via day-bin explosion
     "scan_parquet_schema_evolution",  # mergeSchema over mixed-schema batches
+    "dedup_incremental",    # batch-vs-corpus hash-manifest dedup
     # (c) re-verification slice of the round-1 relational core
     "flagship_revenue_by_nation",
     "scan_parquet",
@@ -114,7 +115,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "topk_per_group",
     "set_union_dist",
     "set_intersect",
-    "set_except",
 )
 
 
