@@ -44,6 +44,23 @@ HEADLINE = [
 ]
 
 
+def _cpu_canary_mbps() -> float:
+    """Single-thread sha256 throughput over a fixed in-memory buffer —
+    a machine-state fingerprint recorded alongside the timings.  The
+    suite's numbers have twice been observed to drift ~1.4× uniformly
+    on UNCHANGED code (co-tenant load; see BASELINE.md round-3 drift
+    investigation); the canary lets a reader separate "the machine was
+    slow" from "the code got slow" after the fact."""
+    import hashlib
+    import time as _t
+
+    buf = b"\0" * (64 << 20)
+    hashlib.sha256(buf[: 1 << 20]).hexdigest()  # warm
+    t0 = _t.perf_counter()
+    hashlib.sha256(buf).hexdigest()
+    return round(64 / (_t.perf_counter() - t0), 1)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -89,6 +106,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "canary_sha256_mbps": _cpu_canary_mbps(),
             }
         )
     )
