@@ -206,3 +206,26 @@ def test_ann_index_nprobe_is_partition_pruning(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m, p
     assert "cluster_id" in m.group(1), m.group(1)
+
+
+def test_range_binned_broadcasts_points_and_prunes(spark):
+    """The binned interval join must broadcast the small point side (the
+    exploded interval side never shuffles for the join) and read only
+    the 3 lineitem columns it needs — the whole point of the binning
+    rewrite is one cheap equi join instead of an O(n*m) nested loop."""
+    p = plan(spark, "join_range_binned")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    m = re.search(r"lineitem.*?ReadSchema: struct<([^>]*)>", p, re.S)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity", "l_shipdate"}
+
+
+def test_incremental_dedup_is_broadcast_probe(spark):
+    """Batch-vs-corpus dedup probes a broadcast hash manifest — the
+    corpus content itself is reduced to 32-byte digests before any
+    join, and no sort-merge join (full corpus shuffle) appears."""
+    p = plan(spark, "dedup_incremental", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
