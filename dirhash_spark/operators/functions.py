@@ -278,3 +278,40 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(21845)).alias("xored"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 50 = 0)
+    SELECT vec_id,
+           CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+           round(list_sum(list_transform(v, x -> x * x)), 4) AS sum_sq,
+           round(list_max(list_transform(v, x -> abs(x))), 4) AS max_abs,
+           len(list_filter(v, x -> abs(x) > 2)) > 0 AS any_gt2
+    FROM e
+    """,
+    tags=("functions", "higher-order"),
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate /
+    exists lambdas over the embedding vectors, entirely inside codegen.
+
+    These lambdas are the mechanism that keeps this engine's vector math
+    (cosine, LSH signatures, centroid distances) JVM-side instead of in
+    Python UDFs; this query pins the surface itself against DuckDB's
+    list_* equivalents.  Double-cast discipline: the float32 embeddings
+    are widened BEFORE any arithmetic on both engines, and outputs are
+    rounded in-query, so float32-space vs float64-space evaluation can't
+    diverge the hash.
+    """
+    cat = Catalog(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    return cat.embeddings.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 4).alias("sum_sq"),
+        F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 4).alias("max_abs"),
+        F.exists(v, lambda x: F.abs(x) > 2).alias("any_gt2"),
+    )

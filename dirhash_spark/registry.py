@@ -83,6 +83,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_range_binned",    # big-big interval join via day-bin explosion
     "scan_parquet_schema_evolution",  # mergeSchema over mixed-schema batches
     "dedup_incremental",    # batch-vs-corpus hash-manifest dedup
+    "fn_higher_order",      # lambda surface (transform/filter/aggregate/exists)
     # (c) re-verification slice of the round-1 relational core
     "flagship_revenue_by_nation",
     "scan_parquet",
@@ -114,7 +115,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "limit_topk",
     "topk_per_group",
     "set_union_dist",
-    "set_intersect",
 )
 
 

