@@ -129,3 +129,86 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             count(*) AS n_events, floor(avg(value) * 100) / 100 AS avg_value
+      FROM events WHERE user_id < 8
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+      FROM spans
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour,
+             coalesce(n_events, 0) AS n_events,
+             avg_value
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    )
+    SELECT user_id, hour, n_events,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_avg_value
+    FROM joined
+    """,
+    tags=("window", "timeseries"),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's hourly activity onto
+    a complete hour grid (missing hours appear with zero counts) and
+    forward-fill the last observed hourly average across the gaps — the
+    standard densify + LOCF step before any rolling metric or chart.
+
+    Scale shape: the grid is generated per user from that user's own
+    [min, max] span (``sequence`` + ``explode``), so grid size is
+    bounded by span-hours per user, not global-span × users; the fill
+    is one window pass per user.  All expressions exist identically in
+    streaming mode except the grid — real-time gap filling instead uses
+    the tumbling window with watermarks and emits empty buckets
+    downstream.
+    """
+    cat = Catalog(spark, sf_dir)
+    hourly = (
+        cat.events.where(F.col("user_id") < 8)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.avg("value") * 100) / 100).alias("avg_value"),
+        )
+        .select("user_id", F.col("w.start").alias("hour"), "n_events", "avg_value")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.last("avg_value", ignorenulls=True).over(w).alias("last_avg_value"),
+    )

@@ -84,6 +84,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "scan_parquet_schema_evolution",  # mergeSchema over mixed-schema batches
     "dedup_incremental",    # batch-vs-corpus hash-manifest dedup
     "fn_higher_order",      # lambda surface (transform/filter/aggregate/exists)
+    "ts_gap_fill",          # densify hour grid + LOCF forward fill
     # (c) re-verification slice of the round-1 relational core
     "flagship_revenue_by_nation",
     "scan_parquet",
@@ -114,7 +115,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sort_multi",
     "limit_topk",
     "topk_per_group",
-    "set_union_dist",
 )
 
 
