@@ -315,3 +315,44 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 4).alias("max_abs"),
         F.exists(v, lambda x: F.abs(x) > 2).alias("any_gt2"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT o_orderkey AS okey, round(o_totalprice, 2) AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+    tags=("functions", "variant"),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT round-trip (Spark 4's open-ended JSON
+    type): pack two levels of order fields into JSON, ``parse_json`` to
+    VARIANT, extract typed scalars back out with ``variant_get`` path
+    expressions.  The oracle is the ground truth straight from the
+    table, so any loss or retyping inside the VARIANT encode/decode
+    fails the hash.  VARIANT is the scale answer for ragged event
+    payloads: one binary-encoded column with per-path extraction pushed
+    into the scan, instead of a brittle wide struct schema or per-query
+    JSON string parsing.
+    """
+    cat = Catalog(spark, sf_dir)
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.struct(
+                F.round("o_totalprice", 2).alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("fin"),
+        )
+    )
+    return (
+        cat.orders.where(F.col("o_orderkey") % 40 == 0)
+        .select(F.parse_json(j).alias("v"))
+        .select(
+            F.expr("variant_get(v, '$.key', 'bigint')").alias("okey"),
+            F.expr("variant_get(v, '$.fin.price', 'double')").alias("price"),
+            F.expr("variant_get(v, '$.fin.status', 'string')").alias("status"),
+        )
+    )

@@ -116,3 +116,47 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"n_nationkey": keys, "seq": seqs, "tag": tags})
 
     return cat.nation.select("n_nationkey", "n_name").mapInPandas(expand, _EXPAND_SCHEMA)
+
+
+@query(
+    "udtf_map_in_arrow",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(unnest(generate_series(0, s_suppkey % 4)) AS BIGINT) AS seq,
+           s_name || ':' || CAST(unnest(generate_series(0, s_suppkey % 4)) AS VARCHAR) AS tag
+    FROM supplier
+    """,
+    tags=("udf", "udtf", "arrow"),
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function at the Arrow RecordBatch level (``mapInArrow``) —
+    one step lower than mapInPandas: no pandas materialization, the
+    Python side sees columnar Arrow buffers directly.  That is the right
+    tier for pass-through-heavy transforms (binary payloads, tensors)
+    where pandas' object boxing would dominate; this query proves the
+    1→N row expansion contract at that tier (each supplier emits
+    1..4 rows).
+    """
+    import pyarrow as pa
+
+    cat = Catalog(spark, sf_dir)
+
+    def expand(batches):
+        for rb in batches:
+            d = rb.to_pydict()
+            keys, seqs, tags = [], [], []
+            for k, n in zip(d["s_suppkey"], d["s_name"]):
+                for i in range(int(k) % 4 + 1):
+                    keys.append(k)
+                    seqs.append(i)
+                    tags.append(f"{n}:{i}")
+            yield pa.RecordBatch.from_pydict(
+                {"s_suppkey": keys, "seq": seqs, "tag": tags},
+                schema=pa.schema(
+                    [("s_suppkey", pa.int64()), ("seq", pa.int64()), ("tag", pa.string())]
+                ),
+            )
+
+    return cat.supplier.select("s_suppkey", "s_name").mapInArrow(
+        expand, "s_suppkey BIGINT, seq BIGINT, tag STRING"
+    )

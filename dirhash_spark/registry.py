@@ -85,6 +85,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_incremental",    # batch-vs-corpus hash-manifest dedup
     "fn_higher_order",      # lambda surface (transform/filter/aggregate/exists)
     "ts_gap_fill",          # densify hour grid + LOCF forward fill
+    "fn_variant",           # Spark-4 VARIANT encode/extract round-trip
+    "udtf_map_in_arrow",    # Arrow-tier table function (1→N)
     # (c) re-verification slice of the round-1 relational core
     "flagship_revenue_by_nation",
     "scan_parquet",
@@ -112,8 +114,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "win_lag_lead",
     "win_running",
     "win_moving_avg",
-    "sort_multi",
-    "limit_topk",
     "topk_per_group",
 )
 
