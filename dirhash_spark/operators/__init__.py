@@ -20,6 +20,7 @@ Module map (SURVEY.md §2 rows in parentheses):
   sources_extra.py     JSON/ORC/partitioned/bucketed sources and sinks
   skew.py              salted two-phase distinct + salted hot-key join
   reshape.py           pivot / unpivot / lateral explode / hash sampling
+  timeseries.py        batch sessionization (gaps-and-islands) + OHLC bars
 """
 
 from . import (  # noqa: F401
@@ -43,5 +44,6 @@ from . import (  # noqa: F401
     sources_extra,
     skew,
     reshape,
+    timeseries,
 )
 from ..streaming import stateful  # noqa: E402,F401  (registers stream_stateful_running)

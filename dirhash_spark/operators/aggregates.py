@@ -254,3 +254,118 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "distinct", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via roaring-style bitmaps (Spark 3.5+
+    ``bitmap_*`` functions): bucket each user id (32768 ids per bucket),
+    OR the per-bucket bit positions into a bitmap, then sum the bitmap
+    cardinalities per group.
+
+    This is the scale path for exact COUNT(DISTINCT): the classic
+    expand-distinct plan shuffles every (group, user) pair; the bitmap
+    plan shuffles at most one 4KB bitmap per (group, bucket) — partial
+    ``bitmap_construct_agg`` runs map-side, so pre-aggregated bitmaps can
+    also be persisted per partition and merged incrementally with
+    ``bitmap_or_agg`` (the mergeable-summary pattern, same as HLL but
+    exact).  The oracle is plain COUNT(DISTINCT): two different
+    algorithms, one answer.
+    """
+    cat = Catalog(spark, sf_dir)
+    per_bucket = (
+        cat.events.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("n"))
+    )
+    return per_bucket.groupBy("event_type").agg(F.sum("n").alias("n_users"))
+
+
+@query("agg_hll_sketch_merge", oracle=None, tags=("agg", "approx", "sketch"))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 3.5+ Apache DataSketches surface):
+    build one ``hll_sketch_agg`` per (event_type, hour), then roll the
+    per-hour sketches up to per-type distinct-user estimates with
+    ``hll_union_agg`` — the two-level shape a 100 TB pipeline uses, where
+    hourly partitions persist their sketch column once and every later
+    rollup (day/month/all-time) merges sketches instead of rescanning
+    raw data.  rows-only by design: the estimate is
+    implementation-defined (DuckDB's approx_count_distinct uses a
+    different sketch), so there is no cross-engine exact oracle;
+    tests/test_llm_ops.py asserts the estimate lands within 5% of the
+    exact count locally.
+    """
+    cat = Catalog(spark, sf_dir)
+    hourly = (
+        cat.events.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"))
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Spark 4 ``approx_top_k``): top event types
+    by frequency, exploded to (item, n) rows.  The sketch tracks up to
+    10000 items by default; the events table has far fewer distinct
+    types, so the sketch is in its exact regime and an exact GROUP
+    BY/COUNT oracle applies — the comparison is order-insensitive, so
+    sketch-internal tie ordering can't flake the check.  At real scale
+    the same expression bounds memory per partition where a full GROUP
+    BY of a hot-key column would skew.
+    """
+    cat = Catalog(spark, sf_dir)
+    topk = cat.events.agg(F.expr("approx_top_k(event_type, 16)").alias("t"))
+    return topk.select(F.explode("t").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("n")
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 10) AS n_big,
+           round(coalesce(sum(value) FILTER (WHERE user_id % 2 = 0), 0), 2) AS even_user_value,
+           count(DISTINCT user_id) FILTER (WHERE value <= 10) AS n_small_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "filter"),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregation: per-predicate partial aggregates in a
+    single scan — the idiom that replaces N self-joins ("count of X,
+    sum over Y, distinct over Z, each under its own predicate") with one
+    hash aggregate.  All three conditionals fold into the same partial
+    agg; the scan happens once."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 10).alias("n_big"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("user_id") % 2 == 0, F.col("value"))), F.lit(0.0)), 2
+        ).alias("even_user_value"),
+        F.count_distinct(
+            F.when(F.col("value") <= 10, F.col("user_id"))
+        ).alias("n_small_users"),
+    )

@@ -545,3 +545,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 4).alias("cosine"),
         )
     )
+
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, n_chars // 32 AS bucket,
+             left(text, 64) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS lev
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE abs(a.n_chars - b.n_chars) <= 8
+      AND levenshtein(a.prefix, b.prefix) <= 8
+    """,
+    tags=("dedup", "levenshtein"),
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection: block candidates on (lang,
+    length bucket), prune by length difference (|Δlen| ≤ k bounds the
+    edit distance from below), then verify with Levenshtein over a
+    64-char prefix, keeping pairs within distance 8.
+
+    The blocked self-join is an ordinary equi-join on the block key —
+    never all-pairs; pair count is Σ|block|² over balanced buckets.
+    Spark's ``levenshtein(l, r, threshold)`` (3.5+) passes the bound
+    into the DP so verification cost is O(len·k), not O(len²), and the
+    banded DP early-exits hopeless pairs.  At corpus scale this exact
+    verifier runs *downstream of* MinHash-LSH candidates
+    (``dedup_minhash``) rather than of length blocking; the operator
+    shape — candidate equi-join + bounded verifier — is identical.
+    The oracle states the same blocking with DuckDB's unbounded
+    ``levenshtein``.
+    """
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") / 32).cast("int").alias("bucket"),
+        F.substring("text", 1, 64).alias("prefix"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    lev = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 8)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 8) & (lev >= 0)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("lev"),
+        )
+    )

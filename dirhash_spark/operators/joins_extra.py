@@ -131,3 +131,47 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH ev AS (
+      SELECT nullif(user_id % 10, 0) AS k, value FROM events
+    ),
+    lku AS (
+      SELECT nullif(i, 0) AS k, 'bucket_' || i AS label
+      FROM (SELECT unnest(generate_series(0, 9)) AS i)
+    )
+    SELECT label, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM ev JOIN lku ON ev.k IS NOT DISTINCT FROM lku.k
+    GROUP BY label
+    """,
+    tags=("join", "null"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): bucket keys
+    where bucket 0 is encoded as NULL on both sides — a plain equi-join
+    silently drops those rows (NULL = NULL is never true); the null-safe
+    operator matches them.  Crucially ``<=>`` is still a *hash* join key
+    for Catalyst (NULL hashes like any value under null-safe equality),
+    so the plan stays a broadcast/shuffled hash join, not a nested loop.
+    The lookup side is built inline from ``spark.range`` and
+    broadcasts.
+    """
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        F.nullif(F.col("user_id") % 10, F.lit(0)).alias("k"), "value"
+    )
+    lku = spark.range(0, 10).select(
+        F.nullif(F.col("id"), F.lit(0)).alias("k"),
+        F.concat(F.lit("bucket_"), F.col("id")).alias("label"),
+    )
+    return (
+        ev.join(F.broadcast(lku), ev["k"].eqNullSafe(lku["k"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

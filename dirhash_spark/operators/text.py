@@ -235,3 +235,150 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         (F.floor(F.col("n_chars").cast("double") / F.col("n_words") * 10000) / 10000).alias("chars_per_word"),
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+@query(
+    "text_tfidf",
+    oracle=r"""
+    WITH pairs AS (
+      SELECT doc_id, word AS term, count(*) AS n_td
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      w -> w <> '')) AS word
+            FROM documents)
+      GROUP BY doc_id, word
+    ),
+    doclen AS (
+      SELECT doc_id, sum(n_td) AS len_d FROM pairs GROUP BY doc_id
+    ),
+    df AS (
+      SELECT term, count(*) AS df_t FROM pairs GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM doclen),
+    scored AS (
+      SELECT p.doc_id, p.term,
+             (CAST(p.n_td AS DOUBLE) / d.len_d)
+               * (ln((CAST(n.n_docs AS DOUBLE) + 1) / (df.df_t + 1)) + 1) AS score
+      FROM pairs p
+      JOIN doclen d USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rn AS INT) AS rank,
+           floor(score * 10000) / 10000 AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 characteristic terms per document.  tf = term count
+    / document length; idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn
+    convention); rank by score with term as the deterministic tie-break.
+
+    Plan shape: one explode → (doc, term) count agg; document length via
+    a window sum over the pairs (no second scan); document frequency is
+    a term-keyed agg joined back on the term key; N rides in as a
+    1-row broadcast cross join.  Everything is JVM codegen; the large
+    (doc, term) table shuffles twice (doc key, then term key) — at
+    corpus scale the df table is vocabulary-sized and the join on term
+    broadcasts once vocabulary pruning (min df) is applied.
+    """
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    toks = cat.documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("term"),
+    )
+    pairs = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
+    pairs = pairs.withColumn(
+        "len_d", F.sum("n_td").over(Window.partitionBy("doc_id"))
+    )
+    df_t = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = pairs.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        pairs.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("n_td").cast("double") / F.col("len_d"))
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1) / (F.col("df_t") + 1)
+                    )
+                    + 1
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", (F.floor(F.col("score") * 10000) / 10000).alias("tfidf"))
+    )
+
+
+@query(
+    "text_pii_mask",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact: user' || doc_id || '@example.com or tel 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INT) AS n_phones,
+           sha256(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RE}', '<PHONE>', 'g')) AS masked_sha
+    FROM aug
+    """,
+    tags=("text", "pii"),
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: detect and mask email addresses and phone-style
+    numbers with redaction tokens — the compliance pass every training
+    corpus goes through before release.  The fixture corpus contains no
+    PII, so the query injects a synthetic contact line per document
+    first (making the masking observable), then counts detections and
+    emits a digest of the masked text for exact cross-engine comparison.
+
+    Pure JVM regexps (Java regex here, RE2 in the oracle — the patterns
+    stay in the common dialect subset), single scan, no shuffle at all:
+    at 100 TB this runs embarrassingly parallel map-only.
+    """
+    cat = Catalog(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return cat.documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.sha2(masked, 256).alias("masked_sha"),
+    )

@@ -1,0 +1,157 @@
+"""Batch time-series operators over the events table: gaps-and-islands
+sessionization and OHLC bar resampling.
+
+``event_windows.py`` holds the window-function *streaming twins* (its
+``stream_session`` uses Spark's ``session_window``); this module is the
+batch-analytics side a warehouse user expects: explicit islands with
+per-session metrics, and financial-style bar aggregation via
+``min_by``/``max_by``.
+
+Scale shape: both operators are one shuffle on the grouping key
+(``user_id`` / ``(event_type, hour)``) — window partitions and hash
+aggregates never materialize cross-key state, and the OHLC aggregate is
+a partial+final hash agg (no sort, no window pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Catalog
+from ..registry import query
+
+#: session gap in microseconds (10 minutes) — compared on exact integer
+#: microsecond timestamps so both engines make identical break decisions.
+_GAP_US = 10 * 60 * 1_000_000
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(session_no AS INT) AS session_no,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    tags=("timeseries", "window", "session"),
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (10-minute inactivity gap): mark
+    session breaks with ``lag``, number islands with a running sum, then
+    aggregate per-session metrics (start/end, duration, count, value).
+
+    This is the batch twin of ``stream_session`` (event_windows.py) —
+    same sessions, but built from first principles with window functions
+    (the form that also yields per-session metrics ``session_window``
+    can't express, like exact duration and value totals), and the
+    numbered ``session_no`` gives downstream joins a stable key.
+    Gap comparisons use integer microseconds (``unix_micros`` /
+    ``epoch_us``) so the two engines can't disagree on a boundary.
+    """
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = (
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > F.lit(_GAP_US))
+    ).cast("int")
+    islands = (
+        cat.events.select("user_id", "ts", "value", "event_id")
+        .withColumn("new_session", new_session)
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("int"),
+        )
+    )
+    return islands.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             value, ts, event_id
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, hour, value,
+             first_value(value) OVER (PARTITION BY event_type, hour
+                                      ORDER BY ts, event_id) AS open,
+             first_value(value) OVER (PARTITION BY event_type, hour
+                                      ORDER BY ts DESC, event_id DESC) AS close
+      FROM b
+    )
+    SELECT event_type, hour,
+           min(open) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(close) AS close,
+           count(*) AS n_ticks,
+           round(sum(value), 2) AS total_value
+    FROM w
+    GROUP BY event_type, hour
+    """,
+    tags=("timeseries", "agg"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream into hourly OHLC bars per event type:
+    open/close = first/last value by (ts, event_id), high/low = max/min.
+
+    Spark side is a single hash aggregate — ``min_by``/``max_by`` over a
+    ``struct(ts, event_id)`` ordering key pick the endpoint values with
+    deterministic tie-breaks, so there is no sort and no window pass
+    (partial aggregation runs map-side; only one shuffle on the group
+    key).  The oracle reconstructs the same endpoints with window
+    ``first_value`` in both directions — DuckDB's ``arg_min`` takes no
+    composite ordering key, which is exactly the gap ``min_by(value,
+    struct(...))`` closes.  open/close/high/low are untouched stored
+    doubles (no arithmetic), so they compare bit-exactly.
+    """
+    cat = Catalog(spark, sf_dir)
+    b = cat.events.select(
+        "event_type",
+        F.window("ts", "1 hour").alias("w"),
+        "value",
+        "ts",
+        "event_id",
+    ).select(
+        "event_type", F.col("w.start").alias("hour"), "value", "ts", "event_id"
+    )
+    key = F.struct("ts", "event_id")
+    return b.groupBy("event_type", "hour").agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -87,33 +87,35 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "ts_gap_fill",          # densify hour grid + LOCF forward fill
     "fn_variant",           # Spark-4 VARIANT encode/extract round-trip
     "udtf_map_in_arrow",    # Arrow-tier table function (1→N)
-    # (c) re-verification slice of the round-1 relational core
+    "sessionize_batch",     # gaps-and-islands sessions w/ per-session metrics
+    "ts_resample_ohlc",     # hourly OHLC bars via min_by/max_by(struct)
+    "agg_bitmap_distinct",  # exact distinct via mergeable bitmaps
+    "agg_hll_sketch_merge", # two-level HLL sketch rollup (rows-only)
+    "agg_approx_top_k",     # frequent-items sketch, exact-regime oracle
+    "agg_filtered",         # FILTER-clause conditional aggregation
+    "text_tfidf",           # top-3 tf-idf terms per document
+    "text_pii_mask",        # email/phone detection + masking digest
+    "dedup_levenshtein",    # blocked edit-distance near-dup verifier
+    "join_null_safe",       # <=> join stays a hash join
+    # (c) re-verification slice of the round-1 relational core (trimmed
+    # to keep the window prefix at 50; the dropped names keep their
+    # round-1 pass rows and their local oracle-parity coverage)
     "flagship_revenue_by_nation",
     "scan_parquet",
     "scan_csv_infer",
     "sink_parquet",
     "project_rename",
     "filter_pred",
-    "filter_in_like",
-    "filter_null",
     "join_inner_hash",
     "join_broadcast",
     "join_left_outer",
-    "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_cross",
-    "join_theta_range",
     "agg_basic",
     "agg_count_distinct",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
     "win_rank",
-    "win_lag_lead",
     "win_running",
-    "win_moving_avg",
     "topk_per_group",
 )
 

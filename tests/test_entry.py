@@ -51,5 +51,16 @@ def test_priority_order_names_all_registered():
         "dirhash_tree_fold",
         "join_asof",
         "join_asof_pairwise",
+        # round-3 additions — need their first driver row this round
+        "sessionize_batch",
+        "ts_resample_ohlc",
+        "agg_bitmap_distinct",
+        "agg_hll_sketch_merge",
+        "agg_approx_top_k",
+        "agg_filtered",
+        "text_tfidf",
+        "text_pii_mask",
+        "dedup_levenshtein",
+        "join_null_safe",
     ):
         assert must in window, must

@@ -134,3 +134,24 @@ def test_cluster_canonical_properties(spark, sf_dir):
         assert by_doc[c] == c  # canonical labels itself
     for r in rows:
         assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+
+
+def test_hll_sketch_estimate_accuracy(spark, sf_dir):
+    """The merged per-hour HLL sketches must land within 5% of the exact
+    per-type distinct-user count — the local accuracy gate for the
+    rows-only agg_hll_sketch_merge query (DataSketches HLL at default
+    lgK=12 has ~1.6% relative standard error, so 5% is ~3 sigma)."""
+    from dirhash_spark.registry import all_queries
+
+    qs = all_queries()
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in qs["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in qs["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for et, n in exact.items():
+        assert abs(est[et] - n) <= max(1, 0.05 * n), (et, est[et], n)

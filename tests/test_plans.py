@@ -229,3 +229,53 @@ def test_incremental_dedup_is_broadcast_probe(spark):
     p = plan(spark, "dedup_incremental", "simple")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bitmap_distinct_combines_map_side(spark):
+    """The bitmap distinct plan must build partial bitmaps before its
+    shuffles (two-level HashAggregate on each key) — the point of the
+    bitmap rewrite is that only (group, bucket) bitmaps cross the wire,
+    never raw (group, user) pairs."""
+    p = plan(spark, "agg_bitmap_distinct", "simple")
+    # partial aggregation at both levels: bitmaps build before the
+    # (event_type, bucket) exchange, counts sum before the final one
+    assert "partial_bitmap_construct_agg" in p, p
+    assert "partial_sum" in p, p
+    assert "Exchange" in p
+
+
+def test_ohlc_is_single_hash_aggregate(spark):
+    """min_by/max_by endpoint picks keep OHLC a pure hash aggregate: no
+    Sort, no Window in the plan — the window-function formulation would
+    add a full per-key sort pass the aggregate form avoids.  (min_by
+    over a struct key plans as SortAggregate — still partial+final with
+    only per-partition sorts, not a global window sort.)"""
+    p = plan(spark, "ts_resample_ohlc", "simple")
+    assert "Window" not in p, p
+    assert "partial_min_by" in p, p  # map-side combine before the shuffle
+
+
+def test_levenshtein_join_is_equi_not_cartesian(spark):
+    """Blocked candidate generation must plan as an equi-join on the
+    (lang, bucket) block key — BroadcastNestedLoopJoin/CartesianProduct
+    here would mean all-pairs comparison, the exact thing blocking
+    exists to prevent."""
+    p = plan(spark, "dedup_levenshtein", "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """Null-safe equality (<=>) must still hash-partition/broadcast like
+    a plain equi-join — Catalyst treats it as a join key, not a residual
+    condition forcing a nested loop."""
+    p = plan(spark, "join_null_safe", "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_pii_mask_is_map_only(spark):
+    """PII masking is a pure projection: no Exchange anywhere in the
+    plan — it must scale embarrassingly parallel with zero shuffle."""
+    p = plan(spark, "text_pii_mask", "simple")
+    assert "Exchange" not in p, p
