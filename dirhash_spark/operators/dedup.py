@@ -608,3 +608,73 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.alias("lev"),
         )
     )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, gram
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(t[i:i+7], ' ')
+                           FOR i IN generate_series(1, len(t) - 7)]) AS gram
+            FROM toks)
+    ),
+    eval_g  AS (SELECT doc_id AS eval_doc,  gram FROM grams WHERE doc_id % 7 = 0),
+    train_g AS (SELECT doc_id AS train_doc, gram FROM grams WHERE doc_id % 7 <> 0)
+    SELECT t.train_doc, e.eval_doc, count(*) AS n_shared_grams
+    FROM train_g t JOIN eval_g e USING (gram)
+    GROUP BY t.train_doc, e.eval_doc
+    """,
+    tags=("dedup", "decontamination"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents that share any
+    8-gram with a held-out evaluation set (here: ``doc_id % 7 == 0``
+    stands in for the benchmark) and report the shared-gram count per
+    (train, eval) pair — the standard n-gram overlap check run before
+    training so eval answers don't leak into the corpus.
+
+    Scale shape: both sides explode to DISTINCT (doc, 8-gram) rows —
+    cost is linear in corpus tokens, never pairs — and meet in one
+    equi-join on the gram key.  Spark joins on ``xxhash64(gram)``
+    (8-byte keys shuffle instead of ~50-byte strings; at 64 bits the
+    collision-induced false-pair probability at corpus scale is
+    negligible, and a residual string-equality filter after the join
+    removes even those).  The eval side is tiny by construction, so it
+    broadcasts; the training side never shuffles at all.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    grams = (
+        cat.documents.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(toks) - F.lit(7), F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .select("doc_id", "gram", F.xxhash64("gram").alias("gh"))
+    )
+    eval_g = grams.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_doc"), F.col("gh").alias("egh"), F.col("gram").alias("egram")
+    )
+    train_g = grams.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("train_doc"), "gh", "gram"
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), F.col("gh") == F.col("egh"))
+        .where(F.col("gram") == F.col("egram"))  # collision guard
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

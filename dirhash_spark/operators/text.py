@@ -382,3 +382,57 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)).alias("n_phones"),
         F.sha2(masked, 256).alias("masked_sha"),
     )
+
+
+@query(
+    "text_common_ngrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, gram
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(t[i:i+4], ' ')
+                           FOR i IN generate_series(1, len(t) - 4)]) AS gram
+            FROM toks)
+    ),
+    freq AS (
+      SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
+    )
+    SELECT gram, n_docs FROM freq
+    ORDER BY n_docs DESC, gram LIMIT 50
+    """,
+    tags=("text", "boilerplate"),
+)
+def text_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate phrase mining: the 50 most widespread 5-gram phrases
+    by document frequency (each doc counted once per phrase) — the
+    detector for headers, footers, license blocks, and template text
+    that repeat across a crawl and should be stripped before training.
+
+    One explode → DISTINCT (doc, gram) → gram-count aggregate →
+    TakeOrderedAndProject: partial aggregation squashes the gram stream
+    map-side and the global top-50 never materializes a full sort.
+    Deterministic (n_docs DESC, gram) ordering makes the cutoff
+    reproducible across engines.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    grams = cat.documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(4), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(50)
+    )

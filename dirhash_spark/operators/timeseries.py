@@ -155,3 +155,61 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ticks"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "join_event_window",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    e AS (
+      SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, count(*) AS n_errors_after_click,
+           min(epoch_us(e.err_ts) - epoch_us(c.click_ts)) AS min_lag_us
+    FROM c JOIN e ON c.user_id = e.user_id
+      AND epoch_us(e.err_ts) >= epoch_us(c.click_ts)
+      AND epoch_us(e.err_ts) <  epoch_us(c.click_ts) + {5 * 60 * 1_000_000}
+    GROUP BY c.user_id
+    """,
+    tags=("timeseries", "join", "streaming"),
+)
+def join_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-correlation interval join: for each user, count error
+    events landing within 5 minutes after one of their clicks (and the
+    tightest click→error lag) — the batch twin of a watermarked
+    stream-stream join (same equi + time-band predicate; in streaming
+    mode the band doubles as the state-retention bound on both sides).
+
+    The join is an equi-join on ``user_id`` with the time band as a
+    residual filter — per-user event streams are bounded, so the
+    intermediate stays proportional to matched pairs, and Catalyst
+    plans an ordinary hash join, not a nested loop.  A pathologically
+    hot user is exactly the skew case ``join_skew_salted`` handles; at
+    day-scale spans the band would additionally become a day-bin equi
+    key per ``join_range_binned``.  Timestamps compare as exact integer
+    microseconds on both engines.
+    """
+    cat = Catalog(spark, sf_dir)
+    band_us = 5 * 60 * 1_000_000
+    c = cat.events.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("click_us")
+    )
+    e = cat.events.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.unix_micros("ts").alias("err_us")
+    )
+    return (
+        c.join(
+            e,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("err_us") >= F.col("click_us"))
+            & (F.col("err_us") < F.col("click_us") + F.lit(band_us)),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors_after_click"),
+            F.min(F.col("err_us") - F.col("click_us")).alias("min_lag_us"),
+        )
+    )

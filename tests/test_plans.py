@@ -279,3 +279,20 @@ def test_pii_mask_is_map_only(spark):
     plan — it must scale embarrassingly parallel with zero shuffle."""
     p = plan(spark, "text_pii_mask", "simple")
     assert "Exchange" not in p, p
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval set is tiny by construction — the overlap join must be a
+    broadcast hash join so the (much larger) training-gram stream never
+    shuffles."""
+    p = plan(spark, "decontaminate_ngram_overlap", "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_common_ngrams_topk_never_global_sorts(spark):
+    """The top-50 boilerplate cut must run as TakeOrderedAndProject —
+    a global Sort of the full gram-frequency table would shuffle the
+    whole vocabulary to one ordering pass."""
+    p = plan(spark, "text_common_ngrams", "simple")
+    assert "TakeOrderedAndProject" in p, p
