@@ -7,10 +7,17 @@ here with state stores and watermarks.
 """
 
 from .ops import (
+    clicks_errors_joined,
     session_counts,
     sliding_counts,
     tumbling_counts,
     watermark_dedup,
 )
 
-__all__ = ["tumbling_counts", "sliding_counts", "session_counts", "watermark_dedup"]
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "watermark_dedup",
+    "clicks_errors_joined",
+]

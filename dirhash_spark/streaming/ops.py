@@ -62,3 +62,32 @@ def watermark_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     """B52: stateful exactly-once-per-key dedup under a watermark —
     late duplicates beyond the watermark are dropped with their state."""
     return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+def clicks_errors_joined(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: pair each error with the clicks of the
+    same user in the preceding 5 minutes.  Both sides carry a watermark
+    and the join has a time-band condition, so each side's state store
+    evicts rows once the other side's watermark passes the band — the
+    state bound that makes an unbounded-stream join feasible (without
+    it, both full streams would be retained forever).  The batch twin
+    (same pairs, aggregated) is ``join_event_window`` in
+    operators/timeseries.py.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", watermark)
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            "user_id = e_user AND err_ts >= click_ts "
+            "AND err_ts < click_ts + INTERVAL 5 MINUTES"
+        ),
+    ).select("user_id", "click_ts", "err_ts")

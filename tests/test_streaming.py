@@ -109,3 +109,34 @@ def test_streaming_stateful_running_totals(spark, stream_source, tmp_path_factor
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_stream_stream_join_matches_batch(spark, stream_source, sf_dir):
+    """Stream-stream click→error join (watermarks bounding both state
+    stores) must produce exactly the pairs the batch twin
+    join_event_window aggregates — same time band, same μs boundaries."""
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.registry import all_queries
+    from dirhash_spark.streaming import clicks_errors_joined
+
+    make_stream, _ = stream_source
+    pairs = _run_to_memory(
+        spark, clicks_errors_joined(make_stream()), "t_ssjoin", "append"
+    )
+    streamed = {
+        tuple(r)
+        for r in pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors_after_click"),
+            F.min(
+                F.unix_micros("err_ts") - F.unix_micros("click_ts")
+            ).alias("min_lag_us"),
+        )
+        .collect()
+    }
+    batch = {
+        tuple(r)
+        for r in all_queries()["join_event_window"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
