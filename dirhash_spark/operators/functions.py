@@ -356,3 +356,50 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("variant_get(v, '$.fin.status', 'string')").alias("status"),
         )
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || lang || '.example.com/docs/' || source || '/' ||
+             doc_id || '?page=' || (doc_id % 7) || '&ref=search' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]page=([^&]*)', 1) AS page
+    FROM u
+    """,
+    tags=("fn", "url"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with ``parse_url`` (HOST / PATH / QUERY and a
+    single query parameter) over URLs assembled from document metadata —
+    the crawl-provenance parsing step of a web-corpus pipeline.  The
+    oracle reconstructs each component with regexes, checking Spark's
+    dedicated parser against a from-scratch implementation.  Map-only,
+    zero shuffle.
+    """
+    cat = Catalog(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("lang"),
+        F.lit(".example.com/docs/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=search"),
+    )
+    return cat.documents.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
+    )

@@ -116,3 +116,43 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.orders.where(F.col("o_orderkey") % 20 == 3).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH rates AS (
+      SELECT * FROM (VALUES ('en', 100), ('de', 500), ('es', 500),
+                            ('fr', 500), ('zh', 250)) r(lang, permille)
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE d.doc_id % 1000 < r.permille
+    """,
+    tags=("sampling", "stratified"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language sampling rates
+    (down-weight the dominant language, keep the tail) applied through
+    the same key-residue predicate as ``sample_hash_deterministic`` —
+    membership depends only on (doc_id, lang), never on partitioning,
+    task retries, or row order, so the sample is reproducible across
+    cluster layouts and re-runs (``df.sample``/``sampleBy`` are not:
+    their Bernoulli draws follow partition iteration order).
+
+    The rate table rides along as a broadcast literal; the filter is a
+    map-only predicate after the join — no shuffle, and Catalyst folds
+    it into the scan filter when the rate table is a literal map.  This
+    is the language-rebalancing step of corpus curation (e.g. cap 'en'
+    at 10% while retaining 50% of low-resource languages).
+    """
+    cat = Catalog(spark, sf_dir)
+    rates = spark.createDataFrame(
+        [("en", 100), ("de", 500), ("es", 500), ("fr", 500), ("zh", 250)],
+        "lang string, permille int",
+    )
+    return (
+        cat.documents.join(F.broadcast(rates), "lang")
+        .where(F.col("doc_id") % 1000 < F.col("permille"))
+        .select("doc_id", "lang")
+    )

@@ -213,3 +213,43 @@ def join_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("err_us") - F.col("click_us")).alias("min_lag_us"),
         )
     )
+
+
+@query(
+    "ts_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, event_type, value,
+             avg(value)         OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+      FROM events
+    )
+    SELECT event_id, event_type,
+           floor((value - mu) / sigma * 10000) / 10000 AS zscore
+    FROM stats
+    """,
+    tags=("timeseries", "window", "normalize"),
+)
+def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization: every event's value standardized
+    against its event type's mean and sample standard deviation — the
+    feature-scaling step before anomaly thresholds or model input.
+
+    One window pass with a whole-partition frame (no ORDER BY, so no
+    sort-based running frame: Spark computes the aggregate once per
+    partition and fans it back).  At 100 TB with few groups the window
+    partitioning is skew-prone; the equivalent two-pass form — tiny
+    groupBy aggregate, broadcast join back — trades one extra scan for
+    no wide shuffle, and both forms share this oracle.
+    """
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    return cat.events.select(
+        "event_id",
+        "event_type",
+        (F.floor((F.col("value") - mu) / sigma * 10000) / 10000).alias("zscore"),
+    )
