@@ -43,6 +43,19 @@ HEADLINE = [
     "merkle_fold_group",
 ]
 
+#: Timed identically but reported under "extra_queries" and EXCLUDED
+#: from the headline total, which must stay composition-stable so
+#: BENCH_r{N} totals compare against BASELINE.md round over round.
+EXTRA = [
+    "sessionize_batch",
+    "ts_resample_ohlc",
+    "agg_bitmap_distinct",
+    "text_tfidf",
+    "dedup_levenshtein",
+    "decontaminate_ngram_overlap",
+    "join_event_window",
+]
+
 
 def _cpu_canary_mbps() -> float:
     """Single-thread sha256 throughput over a fixed in-memory buffer —
@@ -81,20 +94,25 @@ def main() -> int:
 
     import gc
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        run(queries[name].fn(spark, sf_dir))  # warm: plan compile + codegen
-        best = float("inf")
-        for _ in range(2):  # min-of-2 shields the record from GC hiccups
-            t0 = time.perf_counter()
-            run(queries[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # Drain accumulated garbage outside any timed window so one
-        # query's allocations never bill the next query's measurement.
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+    def measure(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            run(queries[name].fn(spark, sf_dir))  # warm: plan compile + codegen
+            best = float("inf")
+            for _ in range(2):  # min-of-2 shields the record from GC hiccups
+                t0 = time.perf_counter()
+                run(queries[name].fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+            print(f"# {name}: {out[name]}s", file=sys.stderr)
+            # Drain accumulated garbage outside any timed window so one
+            # query's allocations never bill the next query's measurement.
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        return out
+
+    timings = measure(HEADLINE)
+    extra = measure(EXTRA)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -105,6 +123,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
                 "canary_sha256_mbps": _cpu_canary_mbps(),
             }

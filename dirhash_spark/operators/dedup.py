@@ -640,37 +640,50 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train, eval) pair — the standard n-gram overlap check run before
     training so eval answers don't leak into the corpus.
 
-    Scale shape: both sides explode to DISTINCT (doc, 8-gram) rows —
-    cost is linear in corpus tokens, never pairs — and meet in one
-    equi-join on the gram key.  Spark joins on ``xxhash64(gram)``
-    (8-byte keys shuffle instead of ~50-byte strings; at 64 bits the
-    collision-induced false-pair probability at corpus scale is
-    negligible, and a residual string-equality filter after the join
-    removes even those).  The eval side is tiny by construction, so it
-    broadcasts; the training side never shuffles at all.
+    Scale shape: per-document gram dedup happens inside the row
+    (``array_distinct`` on the gram array BEFORE explode), so the
+    distinct semantics cost zero shuffle — a corpus-wide
+    ``DISTINCT (doc, gram)`` here would shuffle every gram of every
+    document, and because both sides branch from the same lineage,
+    pay it twice.  Each side then filters its residue class at the
+    scan and explodes independently; they meet in one equi-join on
+    ``xxhash64(gram)`` (8-byte keys instead of ~50-byte strings; at
+    64 bits the collision-induced false-pair probability at corpus
+    scale is negligible, and a residual string-equality filter after
+    the join removes even those).  The eval side is tiny by
+    construction, so it broadcasts; the training grams never shuffle —
+    the only exchange left is the final tiny (train, eval) pair
+    aggregate.
     """
     cat = Catalog(spark, sf_dir)
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
-    grams = (
-        cat.documents.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size(toks) - F.lit(7), F.lit(0))
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
-                )
-            ).alias("gram"),
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(7), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
         )
-        .distinct()
-        .select("doc_id", "gram", F.xxhash64("gram").alias("gh"))
     )
-    eval_g = grams.where(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("eval_doc"), F.col("gh").alias("egh"), F.col("gram").alias("egram")
+
+    # Explode amplifies each document into ~|tokens| grams, so input
+    # bytes under-signal the work: a scan-split sized for bytes leaves
+    # whole cores idle.  Repartitioning the (cheap) pre-explode text by
+    # doc_id buys even gram-stage parallelism for one small shuffle.
+    def side(pred):
+        return (
+            cat.documents.where(pred)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .select("doc_id", F.explode(gram_arr).alias("gram"))
+        )
+
+    eval_g = side(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.xxhash64("gram").alias("egh"),
+        F.col("gram").alias("egram"),
     )
-    train_g = grams.where(F.col("doc_id") % 7 != 0).select(
-        F.col("doc_id").alias("train_doc"), "gh", "gram"
+    train_g = side(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("train_doc"),
+        F.xxhash64("gram").alias("gh"),
+        "gram",
     )
     return (
         train_g.join(F.broadcast(eval_g), F.col("gh") == F.col("egh"))
