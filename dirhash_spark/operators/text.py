@@ -291,7 +291,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast cross join.  Everything is JVM codegen; the large
     (doc, term) table shuffles twice (doc key, then term key) — at
     corpus scale the df table is vocabulary-sized and the join on term
-    broadcasts once vocabulary pruning (min df) is applied.
+    broadcasts once vocabulary pruning (min df) is applied.  (A
+    pre-explode repartition was measured here and REGRESSED 1.7s→4.0s:
+    unigram explode is cheap enough that the extra full-text shuffle
+    dominates — unlike the 5-gram/8-gram queries where amplification
+    pays for it.  The groupBy right after the explode already
+    redistributes.)
     """
     cat = Catalog(spark, sf_dir)
     from pyspark.sql.window import Window
@@ -413,23 +418,32 @@ def text_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector for headers, footers, license blocks, and template text
     that repeat across a crawl and should be stripped before training.
 
-    One explode → DISTINCT (doc, gram) → gram-count aggregate →
-    TakeOrderedAndProject: partial aggregation squashes the gram stream
-    map-side and the global top-50 never materializes a full sort.
+    Per-document gram dedup happens inside the row (``array_distinct``
+    before explode), so "each doc counted once per phrase" costs zero
+    shuffle — a corpus-wide ``DISTINCT (doc, gram)`` would shuffle
+    every gram of every document.  The exploded stream feeds a
+    gram-count aggregate whose partial (map-side) combine squashes it
+    before the only remaining exchange, and TakeOrderedAndProject keeps
+    the global top-50 from materializing a full sort.  The cheap
+    pre-explode repartition by doc_id spreads the ~|tokens|-per-doc
+    explode amplification across all cores — input bytes under-signal
+    this stage's work, so byte-sized scan splits leave cores idle.
     Deterministic (n_docs DESC, gram) ordering makes the cutoff
     reproducible across engines.
     """
     cat = Catalog(spark, sf_dir)
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
-    grams = cat.documents.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(4), F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-            )
-        ).alias("gram"),
-    ).distinct()
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(4), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        )
+    )
+    grams = (
+        cat.documents
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(gram_arr).alias("gram"))
+    )
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
