@@ -97,24 +97,24 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_pii_mask",        # email/phone detection + masking digest
     "dedup_levenshtein",    # blocked edit-distance near-dup verifier
     "join_null_safe",       # <=> join stays a hash join
+    "decontaminate_ngram_overlap",  # train/eval 8-gram leakage check
+    "text_common_ngrams",   # boilerplate 5-gram phrase mining
+    "join_event_window",    # event-to-tumbling-window enrichment join
+    "sample_stratified",    # exact per-stratum rate sampling
+    "ts_zscore",            # per-group standardization (outlier channel)
+    "fn_url_parse",         # URL component extraction + host rollup
     # (c) re-verification slice of the round-1 relational core (trimmed
     # to keep the window prefix at 50; the dropped names keep their
     # round-1 pass rows and their local oracle-parity coverage)
     "flagship_revenue_by_nation",
     "scan_parquet",
-    "scan_csv_infer",
     "sink_parquet",
-    "project_rename",
     "filter_pred",
     "join_inner_hash",
     "join_broadcast",
-    "join_left_outer",
     "join_semi",
-    "join_anti",
     "agg_basic",
-    "agg_count_distinct",
     "agg_rollup",
-    "win_rank",
     "win_running",
     "topk_per_group",
 )
