@@ -21,6 +21,7 @@ Module map (SURVEY.md §2 rows in parentheses):
   skew.py              salted two-phase distinct + salted hot-key join
   reshape.py           pivot / unpivot / lateral explode / hash sampling
   timeseries.py        batch sessionization (gaps-and-islands) + OHLC bars
+  subqueries.py        SQL-text surface: correlated EXISTS / scalar subqueries
 """
 
 from . import (  # noqa: F401
@@ -45,5 +46,6 @@ from . import (  # noqa: F401
     skew,
     reshape,
     timeseries,
+    subqueries,
 )
 from ..streaming import stateful  # noqa: E402,F401  (registers stream_stateful_running)

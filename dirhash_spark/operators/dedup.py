@@ -691,3 +691,84 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END
+               || upper(lang) || '.Example.COM/Docs/' || source || '/'
+               || (doc_id // 4)
+               || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END
+               || '?utm_source=feed&id=' || (doc_id // 4)
+               || CASE WHEN doc_id % 4 = 2 THEN '&utm_campaign=x' ELSE '' END
+               || CASE WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(url), '#.*$', ''),
+                       '(\\?|&)utm_[^&]*', '\\1', 'g'),
+                     '\\?&+', '?', 'g'),
+                   '&&+', '&', 'g'),
+                 '[?&]+$', ''),
+               '/+(\\?|$)', '\\1', 'g') AS curl
+      FROM raw
+    )
+    SELECT curl, min(doc_id) AS canonical_doc, count(*) AS n_variants
+    FROM canon GROUP BY curl
+    """,
+    tags=("dedup", "url"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: crawl frontiers see the same page as
+    https/HTTPS, with and without www-case variance, trailing slashes,
+    ``utm_*`` tracking parameters, and fragments.  Canonicalize
+    (lowercase, strip fragment, drop utm params, collapse separators,
+    trim trailing slash before query/end) and keep the smallest doc_id
+    per canonical URL.
+
+    The fixture has no URL column, so each document synthesizes a
+    deterministic messy URL — four variants share each canonical form
+    (``doc_id // 4``), making the dedup observable: output rows = ~¼ of
+    input.  All canonicalization is JVM regexp_replace in one map-only
+    pass; the only shuffle is the final groupBy on the canonical key —
+    the same one-shuffle shape as ``dedup_exact``.
+    """
+    cat = Catalog(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 2 == 0, "WWW.").otherwise("www."),
+        F.upper("lang"),
+        F.lit(".Example.COM/Docs/"),
+        F.col("source"),
+        F.lit("/"),
+        (F.col("doc_id") / 4).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 4 == 1, "/").otherwise(""),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") / 4).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 4 == 2, "&utm_campaign=x").otherwise(""),
+        F.when(F.col("doc_id") % 4 == 3, "#frag").otherwise(""),
+    )
+    curl = F.lower(url)
+    curl = F.regexp_replace(curl, r"#.*$", "")
+    curl = F.regexp_replace(curl, r"(\?|&)utm_[^&]*", r"$1")
+    curl = F.regexp_replace(curl, r"\?&+", "?")
+    curl = F.regexp_replace(curl, r"&&+", "&")
+    curl = F.regexp_replace(curl, r"[?&]+$", "")
+    curl = F.regexp_replace(curl, r"/+(\?|$)", r"$1")
+    return (
+        cat.documents.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

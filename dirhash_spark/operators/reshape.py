@@ -156,3 +156,66 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 1000 < F.col("permille"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=r"""
+    WITH per_lang AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             sum(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')))
+               AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n_tokens) AS total_tokens,
+             count(*) AS n_langs
+      FROM per_lang
+    )
+    SELECT lang,
+           n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(least(1.0, (CAST(total_tokens AS DOUBLE) / n_langs) / n_tokens)
+                 * 10000) / 10000 AS sample_weight,
+           CAST(floor(least(1.0, (CAST(total_tokens AS DOUBLE) / n_langs) / n_tokens)
+                      * n_tokens) AS BIGINT) AS expected_tokens
+    FROM per_lang CROSS JOIN tot
+    """,
+    tags=("pipeline", "sampling", "mixture"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: given a uniform-over-languages
+    token target, compute each language's sampling weight
+    ``min(1, target_share / actual_share)`` and the token budget it
+    yields — the planning step before a weighted sampler (e.g.
+    ``sample_stratified``) materializes the mix.  Over-represented
+    languages are down-sampled; under-represented ones keep weight 1.0
+    (up-sampling is a repetition-factor decision made elsewhere).
+
+    Token counting is one map-only pass; the per-language aggregate is
+    vocabulary-of-languages sized, so the totals ride a one-row
+    broadcast back onto it.  The weight math divides exact integer
+    token counts on both engines, floored once for bit-stable doubles.
+    """
+    cat = Catalog(spark, sf_dir)
+    n_toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+    per_lang = cat.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    weight = F.least(
+        F.lit(1.0),
+        (F.col("total_tokens").cast("double") / F.col("n_langs")) / F.col("n_tokens"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.floor(weight * 10000) / 10000).alias("sample_weight"),
+        F.floor(weight * F.col("n_tokens")).cast("bigint").alias("expected_tokens"),
+    )

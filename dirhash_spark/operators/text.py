@@ -450,3 +450,94 @@ def text_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("gram"))
         .limit(50)
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ),
+    uni_counts AS (
+      SELECT doc_id, w, count(*) AS n FROM uni GROUP BY doc_id, w
+    ),
+    uni_stats AS (
+      SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct, max(n) AS top1
+      FROM uni_counts GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)])
+               AS g
+      FROM toks
+    ),
+    bi_counts AS (
+      SELECT doc_id, g, count(*) AS n FROM bi GROUP BY doc_id, g
+    ),
+    bi_stats AS (
+      SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top1 FROM bi_counts GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           floor(u.n_distinct * 10000.0 / u.n_tokens) / 10000 AS distinct_frac,
+           floor(u.top1 * 10000.0 / u.n_tokens) / 10000 AS top_unigram_frac,
+           floor(b.top1 * 10000.0 / b.n_bigrams) / 10000 AS top_bigram_frac
+    FROM uni_stats u JOIN bi_stats b USING (doc_id)
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document: distinct-token ratio, most
+    frequent unigram's share, most frequent bigram's share — the
+    Gopher/RefinedWeb-style repetitiousness filters that catch
+    keyword-stuffed and template-looping pages before they pollute a
+    training mix.
+
+    Both passes are (doc, gram)-keyed: explode → count per (doc, gram)
+    → per-doc max/sum, so cost is linear in corpus tokens and every
+    shuffle key is doc-scoped (no corpus-wide vocabulary state, unlike
+    tf-idf's df table).  The ratios divide exact integers and get one
+    floor-round, so cross-engine values compare bit-identical.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    docs = cat.documents.select("doc_id", toks.alias("t"))
+
+    uni = docs.select("doc_id", F.explode("t").alias("w"))
+    uni_stats = (
+        uni.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top1"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - F.lit(1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+    )
+    bi_stats = (
+        docs.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("btop1"))
+    )
+
+    def frac(num, den):
+        return F.floor(num * 10000.0 / den) / 10000
+
+    return uni_stats.join(bi_stats, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        frac(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_frac"),
+        frac(F.col("top1"), F.col("n_tokens")).alias("top_unigram_frac"),
+        frac(F.col("btop1"), F.col("n_bigrams")).alias("top_bigram_frac"),
+    )

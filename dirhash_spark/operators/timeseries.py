@@ -253,3 +253,112 @@ def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor((F.col("value") - mu) / sigma * 10000) / 10000).alias("zscore"),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             floor(avg(value) * 100) / 100 AS obs
+      FROM events WHERE user_id < 8
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+      FROM spans
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, obs
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    ),
+    anchored AS (
+      SELECT user_id, hour, obs,
+             last_value(obs IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN obs IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER wb AS ph,
+             first_value(obs IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN obs IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER wf AS nh
+      FROM joined
+      WINDOW wb AS (PARTITION BY user_id ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour,
+           CASE WHEN obs IS NOT NULL THEN 'observed' ELSE 'interp' END AS src,
+           CASE WHEN obs IS NOT NULL THEN obs
+                ELSE floor((pv + (nv - pv)
+                            * ((epoch_us(hour) - epoch_us(ph))
+                               / (epoch_us(nh) - epoch_us(ph)))) * 10000) / 10000
+           END AS val
+    FROM anchored
+    """,
+    tags=("timeseries", "window", "interpolate"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across hourly gaps: densify each user's
+    hourly average onto a complete grid (as in ``ts_gap_fill``), then
+    fill every missing hour with the straight line between the nearest
+    observed hours on either side — the resampling step LOCF can't do
+    when the metric trends (sensor feeds, rates, prices).
+
+    Two window passes per user — a backward pass carrying the last
+    observed (value, hour) anchor and a forward pass carrying the next
+    — then pure arithmetic on integer microseconds.  Interior gaps get
+    the interpolated value; grid edges can't occur here because each
+    user's grid spans exactly [first, last] observation.  Anchors and
+    result are floor-rounded so both engines compare bit-identical
+    doubles.
+    """
+    cat = Catalog(spark, sf_dir)
+    hourly = (
+        cat.events.where(F.col("user_id") < 8)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg((F.floor(F.avg("value") * 100) / 100).alias("obs"))
+        .select("user_id", F.col("w.start").alias("hour"), "obs")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("obs").isNotNull(), F.col("hour"))
+    anchored = joined.select(
+        "user_id",
+        "hour",
+        "obs",
+        F.last("obs", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("ph"),
+        F.first("obs", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = (F.unix_micros("hour") - F.unix_micros("ph")).cast("double") / (
+        F.unix_micros("nh") - F.unix_micros("ph")
+    )
+    interp = F.floor((F.col("pv") + (F.col("nv") - F.col("pv")) * frac) * 10000) / 10000
+    return anchored.select(
+        "user_id",
+        "hour",
+        F.when(F.col("obs").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
+        F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(interp).alias("val"),
+    )

@@ -296,3 +296,31 @@ def test_common_ngrams_topk_never_global_sorts(spark):
     whole vocabulary to one ordering pass."""
     p = plan(spark, "text_common_ngrams", "simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_correlated_exists_decorrelates_to_semi_anti(spark):
+    """EXISTS / NOT EXISTS must decorrelate to left-semi and left-anti
+    hash joins — a correlated subquery left as a per-row nested loop is
+    quadratic at scale."""
+    p = plan(spark, "sql_correlated_exists", "simple")
+    assert re.search(r"LeftSemi", p), p
+    assert re.search(r"LeftAnti", p), p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_scalar_subquery_decorrelates(spark):
+    """The correlated scalar max must run as an aggregate joined back
+    (not per-row re-execution); the uncorrelated max enters as a
+    one-time subquery literal."""
+    p = plan(spark, "sql_scalar_subquery", "simple")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"HashAggregate", p), p
+
+
+def test_url_canonical_is_single_shuffle(spark):
+    """URL canonicalization is map-only regexp work; the whole query
+    must cost exactly one exchange (the canonical-key groupBy)."""
+    p = plan(spark, "dedup_url_canonical", "simple")
+    assert p.count("Exchange") == 1, p
