@@ -369,3 +369,124 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") <= 10, F.col("user_id"))
         ).alias("n_small_users"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 100 THEN 21
+                     ELSE floor(value / 5) + 1 END AS INT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+    tags=("agg", "histogram", "profiling"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (20 buckets over
+    [0, 100), out-of-range values land in the 0 / 21 overflow buckets)
+    — the data-profiling primitive behind distribution drift checks and
+    range sanity dashboards.
+
+    ``width_bucket`` is a pure JVM expression, so binning rides the
+    scan and the histogram is one hash aggregate over (type, bucket) —
+    cardinality ≈ types × 22 no matter how many input rows, which makes
+    the shuffle byte count effectively constant at 100 TB.
+    """
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0), F.lit(100), F.lit(20))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'signup' AS stage, count(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'signup>click', count(*) FROM s2
+      UNION ALL
+      SELECT 3, 'signup>click>purchase', count(*) FROM s3
+    ) ORDER BY ord
+    """,
+    tags=("agg", "funnel", "events"),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up, then clicked at
+    or after their first signup, then purchased at or after that first
+    qualifying click — the product-analytics query where event ORDER
+    matters, not mere presence (a purchase before signup doesn't
+    convert).
+
+    Each stage is a user-keyed aggregate joined back onto the events
+    scan with a time predicate — all shuffles share the ``user_id``
+    key, so a co-partitioned cluster layout pays the exchange once;
+    stage tables only shrink, and the final counts are single-row
+    aggregates unioned together.  Timestamps compare exactly, so both
+    engines agree on every boundary.
+    """
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def stage(df, ord_, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(ord_).alias("ord"), F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(s1, 1, "signup")
+        .unionAll(stage(s2, 2, "signup>click"))
+        .unionAll(stage(s3, 3, "signup>click>purchase"))
+        .orderBy("ord")
+        .select("stage", "n_users")
+    )

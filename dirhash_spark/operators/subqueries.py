@@ -85,3 +85,63 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_SCALAR_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk(seed, node, depth) AS (
+  SELECT doc_id AS seed, doc_id AS node, CAST(0 AS INT) AS depth
+  FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT seed, (node * 31 + 7) % 1000 AS node, depth + 1
+  FROM walk WHERE depth < 15
+)
+SELECT seed, count(DISTINCT node) AS n_distinct_nodes,
+       CAST(max(depth) AS INT) AS max_depth
+FROM walk GROUP BY seed
+"""
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL, tags=("sql", "recursive", "graph"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk a deterministic
+    functional graph (``node → (node·31+7) mod 1000``) 15 steps from
+    every 97th document and count the distinct nodes each seed reaches
+    — the iterate-to-frontier shape behind hierarchy expansion, BOM
+    rollups, and reachability, expressed declaratively instead of a
+    driver-side loop (cf. dedup_cluster_canonical, which hand-builds
+    the same iteration with localCheckpoint because it predates this).
+
+    Each recursion level is one self-join-free projection of the
+    previous frontier — Spark executes levels as successive plans with
+    a union at the end; out-degree 1 keeps every frontier exactly
+    seed-count sized, so depth bounds total work linearly.  The oracle
+    is the identical SQL string on DuckDB.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_SQL, tags=("sql", "lateral", "topk"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer's two largest orders — SQL's per-row table expression,
+    the form analysts reach for before they know window functions.
+
+    Catalyst decorrelates the lateral limit into exactly the plan the
+    window form would give (rank ≤ 2 over a partitioned window, then a
+    broadcast/hash join back to customer) — asserted in
+    tests/test_plans.py: no nested-loop join, a Window operator
+    appears.  Deterministic (price DESC, orderkey) tie-break keeps the
+    cutoff identical across engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

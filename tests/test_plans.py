@@ -324,3 +324,13 @@ def test_url_canonical_is_single_shuffle(spark):
     must cost exactly one exchange (the canonical-key groupBy)."""
     p = plan(spark, "dedup_url_canonical", "simple")
     assert p.count("Exchange") == 1, p
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The correlated LATERAL LIMIT must rewrite to a window rank +
+    hash join — per-customer re-execution (nested loop) would be
+    O(customers × orders) at scale."""
+    p = plan(spark, "sql_lateral_topk", "simple")
+    assert "Window" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
