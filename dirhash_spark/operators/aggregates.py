@@ -490,3 +490,79 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .select("stage", "n_users")
     )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+    tags=("agg", "profiling"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling: null count, exact distinct count, and min/max
+    per column of the orders table — the schema-drift / data-quality
+    summary every ingestion pipeline runs on arrival.
+
+    One scan computes all per-column aggregates in a single hash
+    aggregate row (Catalyst plans the distinct-expansions together),
+    then the row unpivots to the long (col, stats) form.  Values are
+    rendered to strings with explicit per-type formatting so both
+    engines print identically.  At 100 TB the exact count-distincts are
+    the expensive part — the same query swaps them for
+    ``approx_count_distinct`` with no shape change (cf.
+    ``agg_approx_distinct``).
+    """
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+
+    def stats(col, minmax_fmt):
+        return [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            minmax_fmt(F.min(col)).alias(f"{col}__min"),
+            minmax_fmt(F.max(col)).alias(f"{col}__max"),
+        ]
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    num2 = lambda c: F.round(c, 2).cast("string")  # noqa: E731
+    ts_fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+
+    wide = o.agg(
+        *stats("o_orderkey", as_str),
+        *stats("o_orderstatus", as_str),
+        *stats("o_totalprice", num2),
+        *stats("o_orderdate", ts_fmt),
+    )
+    rows = []
+    for col in ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"):
+        rows.append(
+            F.struct(
+                F.lit(col).alias("col"),
+                F.col(f"{col}__nulls").alias("n_nulls"),
+                F.col(f"{col}__distinct").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_val"),
+                F.col(f"{col}__max").alias("max_val"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

@@ -348,3 +348,45 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(os.path.join(out, "b1"), os.path.join(out, "b2"))
         .select("o_orderkey", "total", "status")
     )
+
+
+@query(
+    "maintenance_compact",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "maintenance", "compaction"),
+)
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: explode the orders table into 64 tiny
+    files (the state a streaming append or over-parallel write leaves
+    behind), then compact to 4 right-sized files and prove the rewrite
+    lossless by aggregating the compacted copy against the source-table
+    oracle.
+
+    The compaction itself is the canonical maintenance job: one
+    ``repartition(4)`` round-trip, no logic — at 100 TB the same job
+    runs per partition-directory with the target file count sized to
+    ``maxPartitionBytes`` so readers get full-split scans instead of
+    per-file task overhead (the many-small-files tax is task scheduling
+    and footer reads, not bytes).  ``spark.read`` of the compacted dir
+    feeds the returned aggregate, so the correctness check covers the
+    full write→read cycle, and a local test pins the file counts.
+    """
+    cat = Catalog(spark, sf_dir)
+    frag = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_fragmented")
+    compact = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_compacted")
+    cat.orders.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

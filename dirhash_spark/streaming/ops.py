@@ -91,3 +91,24 @@ def clicks_errors_joined(events: DataFrame, watermark: str = "30 minutes") -> Da
             "AND err_ts < click_ts + INTERVAL 5 MINUTES"
         ),
     ).select("user_id", "click_ts", "err_ts")
+
+
+def enrich_with_nation(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich a streaming event feed with a static
+    dimension (customer → nation key), then count per nation.
+
+    The static side is planned per micro-batch as an ordinary batch
+    relation — Spark broadcasts it under the threshold, and no
+    watermark is needed because static rows never expire.  This is the
+    canonical dimension-enrichment topology: the 100 TB stream flows
+    partition-parallel; the dimension rides along broadcast.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("nation_key")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -142,3 +142,49 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics, but its Python worker protocol requires google.protobuf,
 # which this container does not ship (and installs are out of scope) —
 # so the registered stateful query stays on applyInPandasWithState.
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_nationkey AS nation_key,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the events stream joins the
+    static customer table (broadcast per micro-batch, no watermark —
+    static rows never expire) and aggregates per nation.  One
+    availableNow trigger consumes everything, so the sink equals the
+    batch join the oracle runs.  See ops.enrich_with_nation for the
+    topology notes."""
+    from .ops import enrich_with_nation
+
+    cat = Catalog(spark, sf_dir)
+    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "ss_join_events")
+    cat.events.select("event_id", "ts", "user_id", "value").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    ).parquet(src)
+    q = (
+        enrich_with_nation(stream, cat.customer)
+        .writeStream.format("memory")
+        .queryName("dirhash_stream_static_join")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        spark.table("dirhash_stream_static_join").collect(),
+        "nation_key BIGINT, n_events BIGINT, total_value DOUBLE",
+    )

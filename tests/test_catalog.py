@@ -55,3 +55,20 @@ def test_many_small_files_dirhash(spark, tmp_path):
     h1 = hash_directory(spark, str(root), "sha256", "1k")
     h2 = hash_directory(spark, str(root), "sha256", "1k")
     assert h1 == h2 and h1.startswith("v1-sha256-1k-")
+
+
+def test_maintenance_compact_reduces_file_count(spark):
+    """The compaction query must actually rewrite 64 fragments into 4
+    files — the row-content check alone can't see layout."""
+    import glob
+    import os
+    import tempfile
+
+    from dirhash_spark.registry import all_queries
+
+    all_queries()["maintenance_compact"].fn(spark, "/root/testdata/sf0.01").count()
+    base = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink")
+    frag = glob.glob(os.path.join(base, "orders_fragmented", "*.parquet"))
+    compact = glob.glob(os.path.join(base, "orders_compacted", "*.parquet"))
+    assert len(frag) == 64, len(frag)
+    assert len(compact) == 4, len(compact)
