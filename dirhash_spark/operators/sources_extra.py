@@ -390,3 +390,53 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT i AS id, (i * i) % 97 AS val
+    FROM generate_series(0, 7999) t(i)
+    """,
+    tags=("scan", "datasource", "spark4"),
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4's ``pyspark.sql.datasource``):
+    a partition-parallel synthetic source — 8 planned input partitions,
+    each generating its own id range executor-side.  This is the
+    extension point for reading systems Spark has no connector for
+    (internal APIs, bespoke formats): ``partitions()`` declares the
+    split so reads parallelize like any file scan, and each
+    ``read(partition)`` streams rows via Arrow.
+
+    Deterministic contents (val = id² mod 97) make the source exactly
+    oracle-checkable — proving the rows really came through the custom
+    reader path, not just that it ran.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SynthReader(DataSourceReader):
+        def partitions(self):
+            return [_RangePartition(i * 1000, (i + 1) * 1000) for i in range(8)]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, (i * i) % 97)
+
+    class _SynthSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dirhash_synthseq"
+
+        def schema(self) -> str:
+            return "id BIGINT, val BIGINT"
+
+        def reader(self, schema):
+            return _SynthReader()
+
+    spark.dataSource.register(_SynthSource)
+    return spark.read.format("dirhash_synthseq").load()

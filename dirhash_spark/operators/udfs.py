@@ -22,6 +22,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..catalog import Catalog
@@ -159,4 +160,73 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cat.supplier.select("s_suppkey", "s_name").mapInArrow(
         expand, "s_suppkey BIGINT, seq BIGINT, tag STRING"
+    )
+
+
+@query(
+    "udtf_cogroup_asof",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id, p.ts AS purchase_ts,
+           max(c.ts) AS last_click_ts
+    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    GROUP BY p.user_id, p.event_id, p.ts
+    """,
+    tags=("udf", "cogroup", "asof"),
+)
+def udtf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: each user's purchases and clicks arrive
+    as one pandas DataFrame pair, merged with ``pd.merge_asof`` (most
+    recent click at-or-before each purchase) — the escape hatch for
+    per-key algorithms that genuinely need a dataframe library
+    (irregular resampling, curve fitting, ragged joins).
+
+    Spark cogroups both sides with ONE shuffle each on ``user_id``,
+    then hands aligned Arrow batches to Python — state never crosses
+    keys, so the pattern scales exactly like a join.  The JVM-side twin
+    of this semantics is ``join_asof``; this form exists to prove the
+    cogroup surface and is the one to reach for when the per-key logic
+    outgrows SQL.  The oracle states the as-of semantics relationally
+    (max click ≤ purchase per purchase row).
+    """
+    cat = Catalog(spark, sf_dir)
+    purchases = cat.events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = cat.events.where(F.col("event_type") == "click").select("user_id", "ts")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("purchase_ts", TimestampType()),
+            StructField("last_click_ts", TimestampType()),
+        ]
+    )
+
+    def asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=["user_id", "event_id", "purchase_ts", "last_click_ts"])
+        left = left.sort_values("ts")
+        merged = pd.merge_asof(
+            left,
+            right.sort_values("ts").rename(columns={"ts": "last_click_ts"}),
+            left_on="ts",
+            right_on="last_click_ts",
+            by="user_id",
+            direction="backward",
+        )
+        return merged.rename(columns={"ts": "purchase_ts"})[
+            ["user_id", "event_id", "purchase_ts", "last_click_ts"]
+        ]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(asof_merge, out_schema)
     )

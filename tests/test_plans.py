@@ -334,3 +334,11 @@ def test_lateral_topk_decorrelates_to_window(spark):
     assert "Window" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_python_datasource_plans_eight_partitions(spark):
+    """The custom DataSource must expose its declared splits as real
+    input partitions — one task per partition is what makes a custom
+    reader scale like a file scan."""
+    df = all_queries()["scan_python_datasource"].fn(spark, SF)
+    assert df.rdd.getNumPartitions() == 8
