@@ -54,6 +54,14 @@ EXTRA = [
     "dedup_levenshtein",
     "decontaminate_ngram_overlap",
     "join_event_window",
+    "text_common_ngrams",
+    "text_repetition_score",
+    "sql_lateral_topk",
+    "sql_recursive_cte",
+    "funnel_stages",
+    "agg_histogram",
+    "dedup_url_canonical",
+    "udtf_cogroup_asof",
 ]
 
 

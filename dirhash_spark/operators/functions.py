@@ -403,3 +403,46 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
     )
+
+
+@query(
+    "fn_xml_parse",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           o_orderstatus AS status,
+           round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+    tags=("fn", "xml", "spark4"),
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest (Spark 4 native ``from_xml``): serialize each order to
+    an XML fragment with attribute + nested-element structure, parse it
+    back through a typed schema, and extract the fields — the
+    round-trip proof pattern (cf. ``fn_variant``) that the XML path
+    preserves values exactly, with the source table as ground truth.
+
+    ``from_xml`` evaluates JVM-side like ``from_json``; at 100 TB an
+    XML feed parses scan-parallel with zero Python involvement.  The
+    price rides through XML as a 2-decimal string and is re-rounded
+    identically on the oracle side, so floats compare bit-stable.
+    """
+    cat = Catalog(spark, sf_dir)
+    xml = F.concat(
+        F.lit('<order key="'),
+        F.col("o_orderkey"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+        F.lit("</price></order>"),
+    )
+    parsed = (
+        cat.orders.where(F.col("o_orderkey") % 30 == 0)
+        .select(F.from_xml(xml, "_key BIGINT, status STRING, price DOUBLE").alias("x"))
+    )
+    return parsed.select(
+        F.col("x._key").alias("okey"),
+        F.col("x.status").alias("status"),
+        F.round("x.price", 2).alias("price"),
+    )

@@ -6,6 +6,12 @@ Scale notes: the partitioned sink is the canonical 100 TB layout —
 ``partitionBy`` on a low-cardinality column gives free partition pruning
 on read; bucketing pre-shuffles a fact table once at write time so every
 later equi join/agg on the bucket key skips its exchange entirely.
+
+Format-coverage note: Avro (``from_avro``/``to_avro``) was evaluated
+and is NOT registered — this container ships pyspark without the
+external spark-avro jar (AVRO_NOT_LOADED), and installs are out of
+scope.  XML is covered via the native ``from_xml`` path
+(operators/functions.py fn_xml_parse).
 """
 
 from __future__ import annotations

@@ -230,3 +230,55 @@ def udtf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(asof_merge, out_schema)
     )
+
+
+@query(
+    "udtf_group_apply_arrow",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           floor(sum(value * user_id) / sum(value) * 10000) / 10000
+             AS value_weighted_user
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("udf", "arrow", "spark4"),
+)
+def udtf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow: each event type's rows arrive as ONE
+    pyarrow Table (zero pandas boxing — the lowest-overhead grouped
+    Python surface), reduced with pyarrow compute kernels to a
+    value-weighted mean.  Completes the Arrow tier alongside
+    ``udtf_map_in_arrow`` (1→N map) — this is the grouped N→1 shape.
+
+    Same shuffle contract as any groupBy: one exchange on the key,
+    whole groups materialize per batch — so per-group cardinality must
+    be bounded (here: 5 types × ~events/5), the same constraint as
+    collect_list.  The floor-round makes the float division
+    bit-comparable across engines.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cat = Catalog(spark, sf_dir)
+
+    def weighted(table: pa.Table) -> pa.Table:
+        v = table.column("value")
+        u = table.column("user_id")
+        num = pc.sum(pc.multiply(v, pc.cast(u, pa.float64()))).as_py()
+        den = pc.sum(v).as_py()
+        import math
+
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "value_weighted_user": [math.floor(num / den * 10000) / 10000],
+            }
+        )
+
+    return (
+        cat.events.select("event_type", "user_id", "value")
+        .groupBy("event_type")
+        .applyInArrow(weighted, "event_type STRING, n BIGINT, value_weighted_user DOUBLE")
+    )
