@@ -446,3 +446,45 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.status").alias("status"),
         F.round("x.price", 2).alias("price"),
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE floor(o_totalprice / (o_orderkey % 7) * 100) / 100 END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS safe_cast,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE floor(o_totalprice) END AS safe_mod_price
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+    tags=("fn", "ansi", "spark4"),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode (Spark 4 default): ANSI SQL
+    makes division by zero and bad casts hard ERRORS — the right default
+    for a warehouse, but a 100 TB batch job must not die on row
+    3,000,000,001.  The ``try_`` family returns NULL instead, per row,
+    with no mode toggle: ``try_divide`` on an engineered zero
+    denominator, ``try_cast`` on unparseable strings, and a guarded
+    modulo — each NULL position exactly reproduced by the oracle's CASE
+    guards.
+
+    All three are JVM expressions inside codegen; the cost of safety is
+    one branch per row, not a fallback interpreter path.
+    """
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.where(F.col("o_orderkey") % 25 == 0)
+    bad_str = F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-number")).otherwise(
+        F.col("o_orderkey").cast("string")
+    )
+    return o.select(
+        "o_orderkey",
+        (F.floor(F.try_divide("o_totalprice", F.col("o_orderkey") % 7) * 100) / 100).alias("safe_div"),
+        bad_str.try_cast("bigint").alias("safe_cast"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.floor("o_totalprice").cast("double"))
+        .alias("safe_mod_price"),
+    )
