@@ -238,3 +238,64 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal"), 2).alias("balance"),
         F.col("c_mktsegment").alias("segment"),
     )
+
+
+@query(
+    "scan_cached_branches",
+    oracle="""
+    WITH hot AS (
+      SELECT o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_totalprice > 150000
+    ),
+    by_status AS (
+      SELECT 'by_status' AS branch, o_orderstatus AS key,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM hot GROUP BY o_orderstatus
+    ),
+    by_bucket AS (
+      SELECT 'by_custmod' AS branch, CAST(o_custkey % 10 AS VARCHAR) AS key,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM hot GROUP BY o_custkey % 10
+    )
+    SELECT * FROM by_status UNION ALL SELECT * FROM by_bucket
+    """,
+    tags=("scan", "cache", "reuse"),
+)
+def scan_cached_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized intermediate reuse: one expensive filter feeds two
+    independent aggregations — without ``persist`` each branch would
+    rescan and refilter the full table (Spark plans branches
+    independently; there is no automatic CSE across actions).  With it,
+    the filtered set materializes once in memory/disk cache and both
+    branches read the cached columnar form (InMemoryTableScan in both
+    subtrees — plan-asserted).
+
+    At 100 TB the decision is explicit cost math: cache when
+    branch_count × downstream_scan_cost exceeds materialization cost —
+    exactly the call a dashboard refresh with a shared base CTE makes.
+    ``unpersist`` releases executor memory deterministically rather
+    than waiting for LRU pressure.
+    """
+    cat = Catalog(spark, sf_dir)
+    hot = (
+        cat.orders.where(F.col("o_totalprice") > 150000)
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+        .persist()
+    )
+    by_status = hot.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    ).select(
+        F.lit("by_status").alias("branch"),
+        F.col("o_orderstatus").alias("key"),
+        "n",
+        "total",
+    )
+    by_bucket = hot.groupBy((F.col("o_custkey") % 10).alias("b")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    ).select(
+        F.lit("by_custmod").alias("branch"),
+        F.col("b").cast("string").alias("key"),
+        "n",
+        "total",
+    )
+    return by_status.unionAll(by_bucket)

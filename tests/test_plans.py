@@ -342,3 +342,26 @@ def test_python_datasource_plans_eight_partitions(spark):
     reader scale like a file scan."""
     df = all_queries()["scan_python_datasource"].fn(spark, SF)
     assert df.rdd.getNumPartitions() == 8
+
+
+def test_cached_branches_reuse_in_memory_scan(spark):
+    """Both aggregation branches must read the persisted intermediate
+    (InMemoryTableScan ×2), not rescan parquet — the reuse the persist
+    exists to buy."""
+    p = plan(spark, "scan_cached_branches", "simple")
+    assert p.count("InMemoryTableScan") >= 2, p
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """With AQE on, a low-cardinality aggregate's 32 shuffle partitions
+    must coalesce at runtime (AQEShuffleRead) — the knob that stops a
+    1000-executor job from scheduling thousands of near-empty reducers."""
+    df = all_queries()["agg_basic"].fn(spark, SF)
+    df.collect()  # materialize so AQE finalizes the plan
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "AQEShuffleRead" in p, p
+    assert "coalesced" in p.lower() or "isFinalPlan=true" in p, p
