@@ -121,3 +121,47 @@ def test_chunk_plan_arithmetic(spark, sizes, blocksize):
         assert all(b["length"] == blocksize for b in blocks[:-1])
         assert 1 <= blocks[-1]["length"] <= blocksize
         assert sum(b["length"] for b in blocks) == s
+
+
+_URL_RULES = (
+    (r"#.*$", ""),
+    (r"(\?|&)utm_[^&]*", r"\1"),
+    (r"\?&+", "?"),
+    (r"&&+", "&"),
+    (r"[?&]+$", ""),
+    (r"/+(\?|$)", r"\1"),
+)
+
+
+def _canon_url(u: str) -> str:
+    """Python twin of dedup_url_canonical's regex chain (Spark applies
+    the same rules JVM-side with $1 backrefs; semantics identical on
+    this pattern subset)."""
+    import re
+
+    u = u.lower()
+    for pat, rep in _URL_RULES:
+        u = re.sub(pat, rep, u)
+    return u
+
+
+@given(
+    host=st.text(alphabet=string.ascii_letters + ".", min_size=1, max_size=12),
+    path=st.text(alphabet=string.ascii_letters + "/", max_size=12),
+    params=st.lists(
+        st.sampled_from(["utm_source=a", "utm_b", "id=7", "q=x", ""]), max_size=4
+    ),
+    frag=st.sampled_from(["", "#f", "#a/b?c"]),
+    slash=st.sampled_from(["", "/", "//"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_url_canonicalization_idempotent(host, path, params, frag, slash):
+    """canon(canon(u)) == canon(u): a canonical form that isn't a fixed
+    point would split one page across dedup groups depending on how
+    many times a pipeline normalized it."""
+    url = f"https://{host}/{path}{slash}"
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    once = _canon_url(url)
+    assert _canon_url(once) == once, (url, once, _canon_url(once))
