@@ -772,3 +772,145 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+@query(
+    "pipeline_incremental_refresh",
+    oracle=r"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 5 <> 4 AND doc_id % 31 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+    ),
+    dup_hit AS (
+      SELECT DISTINCT b.doc_id FROM batch b
+      JOIN (SELECT DISTINCT sha256(text) AS h FROM corpus) c
+        ON sha256(b.text) = c.h
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+      FROM batch
+      UNION ALL
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+      FROM corpus WHERE doc_id % 7 = 0
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+                                   FOR i IN generate_series(1, len(t) - 3)])) AS gram
+      FROM toks
+    ),
+    contaminated AS (
+      SELECT DISTINCT bg.doc_id
+      FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 5 = 4 OR doc_id >= 1000000) bg
+      JOIN (SELECT DISTINCT gram FROM grams
+            WHERE doc_id < 1000000 AND doc_id % 5 <> 4 AND doc_id % 7 = 0) eg
+        ON bg.gram = eg.gram
+    ),
+    quality AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tokens
+      FROM batch
+    )
+    SELECT b.doc_id,
+           CASE WHEN d.doc_id IS NOT NULL THEN 'dup'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN q.n_tokens < 20 THEN 'low_quality'
+                ELSE 'keep' END AS verdict
+    FROM batch b
+    LEFT JOIN dup_hit d USING (doc_id)
+    LEFT JOIN contaminated c USING (doc_id)
+    LEFT JOIN quality q USING (doc_id)
+    """,
+    tags=("pipeline", "composed", "dedup", "hygiene"),
+)
+def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-refresh gate — the admission decision an
+    incremental training-data pipeline makes for every incoming batch,
+    as ONE declarative program: exact-dup check against the standing
+    corpus (sha256 manifest), eval-set contamination check (shared
+    4-gram with the held-out slice), quality floor (token count), with
+    verdict priority dup > contaminated > low_quality > keep.
+
+    The incoming batch = the mod-5 residue class PLUS a re-crawl slice
+    (every 31st corpus doc re-ingested under a fresh id) — the
+    synthetic re-crawl makes the dup branch observable (the fixture has
+    no natural cross-class dups), 4-grams make contamination fire
+    naturally (~17 docs at sf0.01; 8-grams never collide in this
+    corpus), and the 20-token floor catches the short tail.  Every
+    verdict is reachable, so every branch is falsifiable.
+
+    Scale shape: the dup check joins 32-byte digests (the corpus side
+    is manifest-sized, not corpus-sized); contamination reuses the
+    decontamination shape — in-row ``array_distinct`` before explode,
+    eval grams broadcast, batch grams never shuffle; the quality floor
+    is map-only.  Three independent signals meet the batch in left
+    joins keyed on doc_id — at 100 TB each signal is its own bounded
+    stage and nothing materializes cross-key state.
+    """
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    recrawl = corpus.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 4).select("doc_id", "text").unionAll(recrawl)
+
+    dup_hit = (
+        batch.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(corpus.select(F.sha2("text", 256).alias("h")).distinct(), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(3), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
+        )
+    )
+
+    def grams_of(df):
+        return (
+            df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .select("doc_id", F.explode(gram_arr).alias("gram"))
+        )
+
+    eval_grams = (
+        grams_of(corpus.where(F.col("doc_id") % 7 == 0)).select("gram").distinct()
+    )
+    contaminated = (
+        grams_of(batch)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+
+    quality = batch.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias("n_tokens"),
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(dup_hit, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_dup"), "dup")
+            .when(F.col("is_contaminated"), "contaminated")
+            .when(F.col("n_tokens") < 20, "low_quality")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
