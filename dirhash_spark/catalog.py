@@ -40,7 +40,23 @@ _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing nano-timestamp columns."""
+    """Load one fixture table, normalizing timestamp physical quirks.
+
+    Two normalizations, both idempotent:
+
+    1. TIMESTAMP(NANOS) columns (read as int64 under ``nanosAsLong``) are
+       converted to microsecond timestamps with integer division.
+    2. Any ``timestamp_ntz`` column (parquet TIMESTAMP(MICROS) with
+       ``isAdjustedToUTC=0`` — what the fixtures actually carry for
+       ``events.ts`` / ``orders.o_orderdate`` / ``lineitem.l_shipdate``) is
+       cast to plain ``timestamp``.  The session time zone is pinned UTC
+       (session.py RUNTIME_CONF), so the wall-clock values are bit-identical
+       and the DuckDB oracle (which reads the same files as naive
+       timestamps) is unaffected.  Without this cast, ``unix_micros()``
+       raises DATATYPE_MISMATCH and ``withWatermark()`` rejects the event
+       time column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — every operator
+       downstream can instead assume one canonical TIMESTAMP type.
+    """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
@@ -48,6 +64,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtypes.get(col) == "bigint":
             # Integer division: nanos exceed 2^53, double math would drift.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

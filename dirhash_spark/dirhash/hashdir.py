@@ -165,7 +165,12 @@ def hash_directory_raw(
         rows = digest_directory(spark, entries, blocksize, hash_algorithm).collect()
         # Driver-side tuple sort == reference sortBy((path, num)),
         # dirhash.py:413 — and avoids the range-exchange sampling pass
-        # that would re-execute the read+hash stage.
+        # that would re-execute the read+hash stage.  Scale bound on this
+        # collect(): what moves is digests, never data — 32 bytes + path
+        # per CHUNK, so 100 TB at the 128 MiB default blocksize is ~800k
+        # rows ≈ tens of MB on the driver; the fold itself is inherently
+        # sequential (each step hashes the previous digest,
+        # dirhash.py:413-441), so no cluster topology helps it.
         rows.sort(key=lambda r: (r["path"], r["block_num"]))
         digest_list = [bytes(r["digest"]) for r in rows]
     else:

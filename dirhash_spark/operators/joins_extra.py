@@ -46,13 +46,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
     )
+    # Both sides arrive as plain TIMESTAMP: the catalog normalizes every
+    # timestamp_ntz fixture column (catalog.load_table), so no per-operator
+    # harmonizing cast is needed for the unionByName.
     events = cat.events.select(
         "user_id",
-        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.col("ts").alias("t"),
         F.lit(1).alias("is_event"),
         "event_id",
         F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
     )
     merged = orders.unionByName(events)
     w = (

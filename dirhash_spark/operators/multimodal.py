@@ -216,7 +216,12 @@ _FEAT_SCHEMA = StructType(
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Fixed-dim feature vector per payload: L1-normalized 16-bucket byte
     histogram, numpy-vectorized — the embedding-extraction batch shape
-    (swap the histogram for a model forward pass on a GPU executor)."""
+    (swap the histogram for a model forward pass on a GPU executor).
+
+    Rounding is ``floor(x*1e6 + 0.5)/1e6`` — half-away-from-zero on
+    non-negative values, chosen over numpy's ``.round`` (half-to-even)
+    because the DuckDB oracle can state the identical IEEE op sequence.
+    """
     import numpy as np
 
     for pdf in batches:
@@ -227,13 +232,50 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 feats.append([0.0] * _FEAT_DIM)
                 continue
             hist = np.bincount(arr >> 4, minlength=_FEAT_DIM).astype(np.float64)
-            feats.append((hist / hist.sum()).round(6).tolist())
+            feats.append((np.floor(hist / hist.sum() * 1e6 + 0.5) / 1e6).tolist())
         yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "feature": feats})
 
 
-@query("mm_feature_extract", oracle=None, tags=("multimodal",))
+@query(
+    "mm_feature_extract",
+    # The fixture text is pure ASCII (verified: octet_length(encode(text)) ==
+    # length(text) at every SF), so UTF-8 bytes == codepoints and the byte
+    # histogram is SQL-expressible: the oracle recomputes the nibble
+    # histogram character-by-character.  Division order matters — both
+    # sides compute (cnt/total)*1e6 in that exact order so the doubles are
+    # bit-identical.
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, unicode(substr(text, i, 1)) // 16 AS bucket, count(*) AS cnt
+      FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT doc_id, length(text) AS total FROM documents),
+    grid AS (
+      SELECT doc_id, g.i AS feat_idx
+      FROM documents, unnest(generate_series(0, {_FEAT_DIM - 1})) AS g(i)
+    )
+    SELECT grid.doc_id, grid.feat_idx,
+           floor(CAST(coalesce(cnt, 0) AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+             AS feat_value
+    FROM grid
+    JOIN totals ON totals.doc_id = grid.doc_id
+    LEFT JOIN counts ON counts.doc_id = grid.doc_id AND counts.bucket = grid.feat_idx
+    """,
+    tags=("multimodal",),
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads → array<double> column,
-    ready for the similarity/dedup operators downstream."""
+    """Feature extraction over binary payloads, emitted in exploded form
+    ``(doc_id, feat_idx, feat_value)`` — one row per vector component.
+
+    The mapInPandas stage still produces the ``array<double>`` column (the
+    shape downstream similarity/dedup operators consume); the registered
+    query posexplodes it because (a) long-skinny is the layout a feature
+    store sinks anyway and (b) flat scalar cells are canonically hashable
+    by any comparator, where array cells are not.
+    """
     cat = Catalog(spark, sf_dir)
-    return binary_table(cat).mapInPandas(_feature_batches, _FEAT_SCHEMA)
+    vecs = binary_table(cat).mapInPandas(_feature_batches, _FEAT_SCHEMA)
+    return vecs.select(
+        "doc_id", F.posexplode("feature").alias("feat_idx", "feat_value")
+    ).withColumn("feat_idx", F.col("feat_idx").cast("long"))

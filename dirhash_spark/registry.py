@@ -53,76 +53,76 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: The external driver's CORRECTNESS run verifies a prefix window of the
 #: registry (50 entries per round), so we rotate which queries appear
 #: first.  Round 1 verified the relational surface; round 2 the dedup/
-#: similarity/text/UDF/streaming/sink/skew surface.  Round 3 fronts
-#: (a) the 7 queries that have never had a driver row, (b) the queries
-#: added or renamed this round, then (c) a re-verification slice of the
-#: round-1 relational core at the current code state, so the green wall
-#: stops being a union across two old code snapshots.
+#: similarity/text/UDF/streaming/sink/skew surface; round 3 the codec/
+#: asof/time-series/SQL-surface slice.  Round 4 fronts (a) the 11
+#: queries that have NEVER had a driver row in any round, (b) the 4
+#: queries whose r3 rows were hard ERRs, now fixed (the TIMESTAMP_NTZ
+#: catalog normalization + the mm_feature_extract hashable reshape),
+#: (c) queries whose code or input dtypes changed this round (join_asof
+#: lost its per-operator NTZ casts; every streaming query consumes the
+#: retyped events.ts), then (d) a re-verification slice of the round-1
+#: relational core — chosen to favor timestamp consumers, since
+#: o_orderdate/l_shipdate/ts all changed from TIMESTAMP_NTZ to TIMESTAMP
+#: at the catalog this round.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) never inside a driver window in rounds 1-2
-    "hash_string_codec",
-    "blocksize_codec",
-    "dirhash_verify",
-    "mm_resize",
-    "mm_feature_extract",
-    "scan_binary_file",
+    # (a) never inside any driver window (rounds 1-3)
+    "sql_correlated_exists",
+    "sql_scalar_subquery",
+    "agg_histogram",
+    "fn_xml_parse",
+    "fn_try_arith",
+    "text_repetition_score",
+    "corpus_mixture_weights",
+    "maintenance_compact",
+    "udtf_group_apply_arrow",
+    "pipeline_incremental_refresh",
+    "scan_cached_branches",
+    # (b) r3 hard ERRs, fixed this round
+    "sessionize_batch",       # was: unix_micros over NTZ ts
+    "join_event_window",      # same
+    "ts_interpolate_linear",  # same (window() over NTZ)
+    "mm_feature_extract",     # was: unhashable array cells; now exploded + oracle
+    # (c) code/dtype changed this round
+    "join_asof",              # per-operator NTZ casts removed (catalog owns it)
+    "join_asof_pairwise",     # equivalence witness, same inputs
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
     "stream_watermark_dedup",
-    # (b) new/renamed in round 3
-    "scan_csv_permissive",
-    "scan_csv_dropmalformed",
-    "csv_corrupt_records",
-    "dirhash_tree_fold",
-    "join_asof",           # scale-safe merge form (renamed this round)
-    "join_asof_pairwise",  # equivalence witness (old join+prune form)
-    "sim_ann_ivf_indexed",  # persisted index, partition-pruned nprobe
-    "sim_ann_lsh_indexed",  # persisted signatures, no per-query recompute
-    "dedup_cluster_canonical",  # CC clustering over near-dup pairs
-    "join_range_binned",    # big-big interval join via day-bin explosion
-    "scan_parquet_schema_evolution",  # mergeSchema over mixed-schema batches
-    "dedup_incremental",    # batch-vs-corpus hash-manifest dedup
-    "fn_higher_order",      # lambda surface (transform/filter/aggregate/exists)
-    "ts_gap_fill",          # densify hour grid + LOCF forward fill
-    "fn_variant",           # Spark-4 VARIANT encode/extract round-trip
-    "udtf_map_in_arrow",    # Arrow-tier table function (1→N)
-    "sessionize_batch",     # gaps-and-islands sessions w/ per-session metrics
-    "ts_resample_ohlc",     # hourly OHLC bars via min_by/max_by(struct)
-    "agg_bitmap_distinct",  # exact distinct via mergeable bitmaps
-    "agg_hll_sketch_merge", # two-level HLL sketch rollup (rows-only)
-    "agg_approx_top_k",     # frequent-items sketch, exact-regime oracle
-    "agg_filtered",         # FILTER-clause conditional aggregation
-    "text_tfidf",           # top-3 tf-idf terms per document
-    "text_pii_mask",        # email/phone detection + masking digest
-    "dedup_levenshtein",    # blocked edit-distance near-dup verifier
-    "join_null_safe",       # <=> join stays a hash join
-    "decontaminate_ngram_overlap",  # train/eval 8-gram leakage check
-    "text_common_ngrams",   # boilerplate 5-gram phrase mining
-    "join_event_window",    # event-to-tumbling-window enrichment join
-    "sample_stratified",    # exact per-stratum rate sampling
-    "ts_zscore",            # per-group standardization (outlier channel)
-    "fn_url_parse",         # URL component extraction + host rollup
-    # (c) late-round-3 additions — never had a driver row; the 9 that
-    # don't fit the 50-slot window (sql_correlated_exists,
-    # sql_scalar_subquery, text_repetition_score, corpus_mixture_weights,
-    # agg_histogram, maintenance_compact, fn_xml_parse,
-    # udtf_group_apply_arrow, fn_try_arith) roll to round 4; ALL queries
-    # are oracle-verified at one commit in ORACLE_SNAPSHOT_r03*.json,
-    # which also supersedes the round-1 re-verification slice this
-    # section previously held (full-registry sweep at HEAD > 11 cherry-
-    # picked driver rows).
-    "sql_recursive_cte",    # Spark-4 WITH RECURSIVE frontier walk
-    "sql_lateral_topk",     # correlated LATERAL LIMIT → window rank
-    "scan_python_datasource",  # custom Python DataSource, 8 splits
-    "udtf_cogroup_asof",    # cogrouped applyInPandas + merge_asof
-    "stream_static_join",   # stream-static broadcast enrichment
-    "ts_interpolate_linear",  # linear interpolation across hour gaps
-    "dedup_url_canonical",  # crawl URL canonicalization dedup
-    "funnel_stages",        # ordered signup→click→purchase funnel
-    "profile_columns",      # per-column null/distinct/min/max profile
-    "sink_upsert_parquet",  # merge/upsert sink (round-1 row predates fix-ups)
+    "stream_stateful_running",
+    "stream_foreach_batch_sink",
+    "stream_static_join",
+    # (d) round-1 relational core at current code, timestamp consumers first
     "flagship_revenue_by_nation",  # anchor: also the entry() smoke
+    "fn_datetime",
+    "filter_pred",
+    "filter_in_like",
+    "filter_null",
+    "sort_multi",
+    "win_lag_lead",
+    "win_running",
+    "win_moving_avg",
+    "win_rank",
+    "limit_topk",
+    "topk_per_group",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "agg_basic",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "scan_parquet",
 )
 
 

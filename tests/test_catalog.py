@@ -20,6 +20,28 @@ def test_events_ts_is_timestamp(spark, sf_dir):
     assert dict(cat.events.dtypes)["ts"] == "timestamp"
 
 
+def test_no_ntz_survives_normalization_any_sf(spark):
+    """Round-3 regression: the driver fixtures carry naive parquet
+    TIMESTAMP(MICROS) (`isAdjustedToUTC=0`), which Spark 4 reads as
+    TIMESTAMP_NTZ — a type `unix_micros()` and `withWatermark()` both
+    reject.  The catalog must deliver plain TIMESTAMP for every
+    timestamp-ish column of every table at every shipped scale factor,
+    exactly as the driver ships them (no locally re-written fixtures)."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        cat = Catalog(spark, sf_dir)
+        for table in ("events", "orders", "lineitem"):
+            for col, dtype in cat.table(table).dtypes:
+                assert dtype != "timestamp_ntz", (sf, table, col)
+        assert dict(cat.events.dtypes)["ts"] == "timestamp", sf
+        assert dict(cat.orders.dtypes)["o_orderdate"] == "timestamp", sf
+        assert dict(cat.lineitem.dtypes)["l_shipdate"] == "timestamp", sf
+
+
 def test_events_ts_matches_duckdb(spark, sf_dir):
     """Every converted value equals DuckDB's own TIMESTAMP(NANOS) read
     (both truncate ns→us), checked via per-row equality on event_id."""
