@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Catalog
-from ..registry import query
+from ..registry import REGISTRY, query
 
 #: session gap in microseconds (10 minutes) — compared on exact integer
 #: microsecond timestamps so both engines make identical break decisions.
@@ -220,8 +220,8 @@ def join_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
       SELECT event_id, event_type, value,
-             avg(value)         OVER (PARTITION BY event_type) AS mu,
-             stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+             floor(avg(value)         OVER (PARTITION BY event_type) * 1e8) / 1e8 AS mu,
+             floor(stddev_samp(value) OVER (PARTITION BY event_type) * 1e8) / 1e8 AS sigma
       FROM events
     )
     SELECT event_id, event_type,
@@ -235,24 +235,62 @@ def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its event type's mean and sample standard deviation — the
     feature-scaling step before anomaly thresholds or model input.
 
-    One window pass with a whole-partition frame (no ORDER BY, so no
-    sort-based running frame: Spark computes the aggregate once per
-    partition and fans it back).  At 100 TB with few groups the window
-    partitioning is skew-prone; the equivalent two-pass form — tiny
-    groupBy aggregate, broadcast join back — trades one extra scan for
-    no wide shuffle, and both forms share this oracle.
+    Registered form = two-pass broadcast: a tiny groupBy aggregate
+    (partial/map-side combine, output rows = #groups) broadcast-joined
+    back onto the events.  With FEW groups a whole-partition window
+    would shuffle 100 TB onto #groups partitions — one reducer per
+    event type, the textbook skew cliff; here the wide side never
+    shuffles at all (map-side agg + broadcast probe).
+    ``ts_zscore_window`` keeps the single-window form as an equivalence
+    witness on the same oracle.
+
+    Float discipline: stddev_samp accumulates in a different order per
+    plan, so mu/sigma are floor-scaled to 1e-8 BEFORE the per-row
+    z-score math on both engines — the per-row expression then sees
+    bit-identical inputs in every form.
     """
+    cat = Catalog(spark, sf_dir)
+    stats = cat.events.groupBy("event_type").agg(
+        (F.floor(F.avg("value") * 1e8) / 1e8).alias("mu"),
+        (F.floor(F.stddev_samp("value") * 1e8) / 1e8).alias("sigma"),
+    )
+    return cat.events.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        (F.floor((F.col("value") - F.col("mu")) / F.col("sigma") * 10000) / 10000).alias(
+            "zscore"
+        ),
+    )
+
+
+@query(
+    "ts_zscore_window",
+    oracle=None,  # set below: shares ts_zscore's oracle (equivalence witness)
+    tags=("timeseries", "window", "normalize"),
+)
+def ts_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence witness for :func:`ts_zscore`: the same semantics as
+    one whole-partition window pass (no ORDER BY → Spark computes the
+    aggregate once per partition and fans it back, no running frame).
+    Fine when groups are plentiful; skew-prone when they are few — the
+    broadcast form above is the 100-TB shape.  Same oracle proves the
+    two plans equivalent."""
     cat = Catalog(spark, sf_dir)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("event_type")
-    mu = F.avg("value").over(w)
-    sigma = F.stddev_samp("value").over(w)
+    mu = F.floor(F.avg("value").over(w) * 1e8) / 1e8
+    sigma = F.floor(F.stddev_samp("value").over(w) * 1e8) / 1e8
     return cat.events.select(
         "event_id",
         "event_type",
         (F.floor((F.col("value") - mu) / sigma * 10000) / 10000).alias("zscore"),
     )
+
+
+# Same semantics, same oracle: the driver proves both physical forms
+# (broadcast two-pass vs whole-partition window) equivalent.
+REGISTRY["ts_zscore_window"].oracle = REGISTRY["ts_zscore"].oracle
 
 
 @query(

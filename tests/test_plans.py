@@ -365,3 +365,26 @@ def test_aqe_coalesces_small_shuffle(spark):
     p = buf.getvalue()
     assert "AQEShuffleRead" in p, p
     assert "coalesced" in p.lower() or "isFinalPlan=true" in p, p
+
+
+def test_zscore_is_broadcast_two_pass_not_window(spark):
+    """ts_zscore must standardize via a tiny broadcast stats join — a
+    whole-partition window here repartitions the full fact table onto
+    #event-type reducers (5 at any SF), the textbook skew cliff.  The
+    window form stays registered as ts_zscore_window (witness)."""
+    p = plan(spark, "ts_zscore", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    pw = plan(spark, "ts_zscore_window", "simple")
+    assert "Window" in pw  # the witness really is the other physical form
+
+
+def test_cogroup_asof_keys_on_bucket_not_user(spark):
+    """udtf_cogroup_asof pays one Python call per cogroup; keying on the
+    raw user_id means interpreter crossings scale with user cardinality
+    (measured 12.7s at sf0.1 pre-fix).  The exchange must be on the
+    64-way hash bucket, with merge_asof aligning users inside a batch."""
+    p = plan(spark, "udtf_cogroup_asof", "formatted")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "hashpartitioning(bucket" in p
+    assert "hashpartitioning(user_id" not in p
