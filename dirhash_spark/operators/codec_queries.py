@@ -18,7 +18,29 @@ from ..dirhash.codec import (
 )
 
 
-@query("hash_string_codec", oracle=None, tags=("dirhash", "codec"))
+@query(
+    "hash_string_codec",
+    # Independent SQL restatement of the v1 grammar (``v1-<algo>-<bs>-
+    # <hex>``, algo lowercased — /root/reference/dirhash.py:250-274):
+    # the oracle rebuilds every hash string from the same algo×blocksize
+    # domain and asserts the round trip, without touching the Python
+    # codec.  All 10 whitelisted algorithms exist in CPython's hashlib,
+    # so the domain is static.
+    oracle="""
+    WITH algos AS (
+      SELECT unnest(['sha224','sha256','sha384','sha512','sha3_224',
+                     'sha3_256','sha3_384','sha3_512','blake2b','blake2s']) AS algo
+    ),
+    bss AS (
+      SELECT unnest(['1','32k','4M','128M','1G','1023']) AS blocksize
+    )
+    SELECT algo, blocksize,
+           'v1-' || algo || '-' || blocksize || '-' || repeat('ab', 16) AS hash_string,
+           true AS roundtrip_ok
+    FROM algos, bss
+    """,
+    tags=("dirhash", "codec"),
+)
 def hash_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: build/parse round-trip over the algorithm × blocksize domain
     (every row must survive the round trip intact — asserted columnar)."""
@@ -40,7 +62,37 @@ def hash_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("blocksize_codec", oracle=None, tags=("dirhash", "codec"))
+@query(
+    "blocksize_codec",
+    # Independent SQL re-implementation of the blocksize rules
+    # (/root/reference/dirhash.py:223-248): ``\\A\\d+[kKMG]?\\Z`` with the
+    # integer part in 1..1023; anything else is a ValueError.  The
+    # suffix arithmetic is stated with literal factors so a codec bug
+    # cannot hide on both sides.
+    oracle="""
+    WITH inputs AS (
+      SELECT unnest(['1','8','1023','1k','1K','16M','128M','1G',
+                     '0','1024','2G5','x','-3']) AS input
+    ),
+    parsed AS (
+      SELECT input,
+             regexp_full_match(input, '[0-9]+[kKMG]?')
+               AND TRY_CAST(regexp_extract(input, '([0-9]+)', 1) AS BIGINT)
+                   BETWEEN 1 AND 1023 AS ok,
+             TRY_CAST(regexp_extract(input, '([0-9]+)', 1) AS BIGINT) AS i,
+             CASE regexp_extract(input, '[0-9]+([kKMG]?)', 1)
+                  WHEN 'k' THEN 1024 WHEN 'K' THEN 1024
+                  WHEN 'M' THEN 1048576 WHEN 'G' THEN 1073741824
+                  ELSE 1 END AS factor
+      FROM inputs
+    )
+    SELECT input,
+           CASE WHEN ok THEN i * factor END AS bytes,
+           CASE WHEN NOT ok THEN 'ValueError' END AS error
+    FROM parsed
+    """,
+    tags=("dirhash", "codec"),
+)
 def blocksize_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: blocksize domain table — accepted forms with byte values,
     rejected forms with their error class."""

@@ -29,21 +29,68 @@ HASHTREE = os.path.join(
 )
 
 
-@query("scan_fixed_binary", oracle=None, tags=("dirhash", "scan"))
+@query(
+    "scan_fixed_binary",
+    # Independent chunker: DuckDB re-slices each blob positionally.  This
+    # DuckDB build has no BLOB substring, so the slice goes through the
+    # hex rendering (2 chars per byte) and back via unhex — byte-exact.
+    # block_num is per-file 0-based; the final block is short at true
+    # length.  Raw bytes compare directly — one fixture file is not
+    # valid UTF-8, so no VARCHAR digest is possible.
+    oracle=f"""
+    WITH f AS (
+      SELECT replace(filename, '{HASHTREE}/', '') AS path, hex(content) AS hx,
+             CAST(ceil(size / 4096.0) AS BIGINT) AS n_blocks
+      FROM read_blob('{HASHTREE}/**')
+      WHERE size > 0
+    ),
+    c AS (
+      SELECT path, hx, unnest(generate_series(0, n_blocks - 1)) AS block_num
+      FROM f
+    )
+    SELECT path, CAST(block_num AS BIGINT) AS block_num,
+           CAST(length(substr(hx, block_num * 8192 + 1, 8192)) / 2 AS INTEGER)
+             AS content_len,
+           unhex(substr(hx, block_num * 8192 + 1, 8192)) AS content
+    FROM c
+    """,
+    tags=("dirhash", "scan"),
+)
 def scan_fixed_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: fixed-length binary scan — 4 KiB blocks over the fixture tree,
-    global block index, short final block at true length."""
+    per-file block index, short final block at true length."""
     entries = list_entries(HASHTREE)
     chunks = read_chunks(spark, entries, 4096)
     return chunks.select(
         "path",
         "block_num",
         F.length("content").alias("content_len"),
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        "content",
     )
 
 
-@query("recursive_listing", oracle=None, tags=("dirhash", "scan"))
+@query(
+    "recursive_listing",
+    # read_blob enumerates the files independently; directory entries are
+    # reconstructed as the distinct proper prefixes of the file paths
+    # (sound here because git tracks no empty directories), trailing-'/'
+    # and size-0 per the reference conventions.
+    oracle=f"""
+    WITH files AS (
+      SELECT replace(filename, '{HASHTREE}/', '') AS p, CAST(size AS BIGINT) AS size
+      FROM read_blob('{HASHTREE}/**')
+    ),
+    parts AS (SELECT p, size, string_split(p, '/') AS segs FROM files),
+    dirs AS (
+      SELECT DISTINCT array_to_string(segs[1:i], '/') || '/' AS relative_path
+      FROM parts, unnest(generate_series(1, len(segs) - 1)) AS t(i)
+    )
+    SELECT relative_path, true AS is_dir, CAST(0 AS BIGINT) AS size FROM dirs
+    UNION ALL
+    SELECT p AS relative_path, false AS is_dir, size FROM files
+    """,
+    tags=("dirhash", "scan"),
+)
 def recursive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: recursive directory listing as a DataFrame (dirs suffixed '/',
     relative paths — dirhash.py:339-386 conventions)."""

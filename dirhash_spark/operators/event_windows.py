@@ -117,12 +117,24 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_dedup", oracle=None, tags=("streaming", "stateful"))
+@query(
+    "stream_watermark_dedup",
+    # WHICH row survives dropDuplicates is nondeterministic, but this
+    # query only emits per-type survivor COUNTS — and |distinct (user,
+    # type) pairs| per type is exactly count(DISTINCT user_id), fully
+    # deterministic.  So the op gets an exact oracle after all.
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B52 batch stand-in: event dedup on (user_id, event_type) — the
     same dropDuplicates that runs stateful under a watermark in the
-    streaming smoke test (tests/test_streaming.py).  rows-only: keeper
-    choice within a duplicate group is nondeterministic by design."""
+    streaming smoke test (tests/test_streaming.py).  The keeper row is
+    nondeterministic, but the emitted counts are not (see oracle)."""
     cat = Catalog(spark, sf_dir)
     return (
         cat.events.dropDuplicates(["user_id", "event_type"])

@@ -18,6 +18,7 @@ dirhash.chunks) and each mapInPandas task handles one partition's worth.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -111,7 +112,39 @@ def binary_table(cat: Catalog) -> DataFrame:
     ).repartition(n_parts)
 
 
-@query("mm_meta_extract", oracle=None, tags=("multimodal",))
+# The stubbed decode is sha256-derived and the fixture text is pure
+# ASCII, so DuckDB (whose sha256() is VARCHAR-only) hashes the identical
+# bytes — the oracle re-derives the fake codec's metadata from the hex
+# digest with hex-pair → int arithmetic.  This turns the mm_* plumbing
+# queries from rows-only into exact cross-engine checks; only the codec
+# itself stays a stub (module doc).
+_HEXPAIR = (
+    "(strpos('0123456789abcdef', substr(h,{a},1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(h,{b},1))-1)"
+)
+
+
+@query(
+    "mm_meta_extract",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, sha256(text) AS h, length(text) AS n FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n, h,
+             {_HEXPAIR.format(a=1, b=2)} AS d0,
+             {_HEXPAIR.format(a=3, b=4)} AS d1,
+             {_HEXPAIR.format(a=5, b=6)} AS d2
+      FROM d
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, h AS payload_sha256,
+           CAST(16 + d0 % 240 AS INTEGER) AS width,
+           CAST(16 + d1 % 240 AS INTEGER) AS height,
+           (['png','jpeg','webp'])[d2 % 3 + 1] AS format
+    FROM b
+    """,
+    tags=("multimodal",),
+)
 def mm_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata extraction over a binary column via Arrow-batched
     mapInPandas (decode stubbed deterministically; see module doc)."""
@@ -147,7 +180,25 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-@query("mm_frame_sample", oracle=None, tags=("multimodal",))
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, greatest(length(text) // 64, 1) AS n_frames
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, 4)) AS idx
+      FROM d
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+           sha256(substr(text, idx * 64 + 1, 64)) AS frame_sha256,
+           encode(substr(text, idx * 64 + 1, 64)) AS frame_bytes
+    FROM f
+    """,
+    tags=("multimodal",),
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 4th 64-byte slice) —
     the video-frame-extraction batch shape with a stubbed codec."""
@@ -182,7 +233,10 @@ def _resize_batches(target: int):
                 meta = fake_decode(payload)
                 w, h = meta["width"], meta["height"]
                 scale = target / max(w, h)
-                dw, dh = max(1, round(w * scale)), max(1, round(h * scale))
+                # floor(x+0.5), not round(): Python round is half-to-even,
+                # which no SQL engine states; half-up is cross-engine exact.
+                dw = max(1, math.floor(w * scale + 0.5))
+                dh = max(1, math.floor(h * scale + 0.5))
                 # REAL CODEC GOES HERE: thumb = resample(payload, dw, dh)
                 thumb = hashlib.sha256(payload + f"{dw}x{dh}".encode()).hexdigest()
                 rows["doc_id"].append(int(doc_id))
@@ -196,7 +250,36 @@ def _resize_batches(target: int):
     return inner
 
 
-@query("mm_resize", oracle=None, tags=("multimodal",))
+@query(
+    "mm_resize",
+    # Same digest-derived dimensions as mm_meta_extract's oracle; the
+    # scale math states the identical IEEE sequence (64/max, then w*scale)
+    # and the thumbnail digest is sha256(payload ‖ "WxH") — ASCII text, so
+    # VARCHAR concatenation hashes the same bytes Python does.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, sha256(text) AS h FROM documents
+    ),
+    b AS (
+      SELECT doc_id, text,
+             16 + ({_HEXPAIR.format(a=1, b=2)}) % 240 AS w,
+             16 + ({_HEXPAIR.format(a=3, b=4)}) % 240 AS hh
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, text, w, hh,
+             greatest(1, CAST(floor(w * (CAST(64 AS DOUBLE) / greatest(w, hh)) + 0.5) AS INTEGER)) AS dw,
+             greatest(1, CAST(floor(hh * (CAST(64 AS DOUBLE) / greatest(w, hh)) + 0.5) AS INTEGER)) AS dh
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS src_width, CAST(hh AS INTEGER) AS src_height,
+           dw AS dst_width, dh AS dst_height,
+           sha256(text || CAST(dw AS VARCHAR) || 'x' || CAST(dh AS VARCHAR)) AS thumb_sha256
+    FROM s
+    """,
+    tags=("multimodal",),
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail resize to a 64px bounding box, aspect preserved —
     dimension math real, resample stubbed (see module doc)."""

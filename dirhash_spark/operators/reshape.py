@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from ..registry import query
@@ -218,4 +219,76 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         (F.floor(weight * 10000) / 10000).alias("sample_weight"),
         F.floor(weight * F.col("n_tokens")).cast("bigint").alias("expected_tokens"),
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT shard, CAST(cum_before // 2048 AS BIGINT) AS pack_no,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+    FROM c
+    GROUP BY shard, pack_no
+    """,
+    tags=("pipeline", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training
+    bins (2048 whitespace tokens) — the step that turns a curated corpus
+    into dense context windows; unpacked short docs waste ~half the FLOPs
+    of a training run.
+
+    Deterministic first-fit-in-order packing: within each shard, docs are
+    taken in doc_id order and a doc opens a new pack when the running
+    token count before it crosses the budget (a straddling doc belongs to
+    the pack where its prefix sum lands — the simple rule both engines
+    can state exactly; real packers then truncate or wrap the overflow
+    inside the fixed-size tensor).
+
+    Scale shape: the prefix sum is windowed PER SHARD (`doc_id % 16` —
+    arithmetic, not hash, so the DuckDB oracle agrees), never a global
+    ordering — 100 TB packs as 16-way (or 16k-way) independent streams,
+    one shuffle on the shard key, and shard count scales with the
+    cluster while each shard's window stays a linear in-memory pass.
+    The output is pack-grain metadata; materializing packed token
+    tensors is the same plan with collect_list over the pack key.
+    """
+    cat = Catalog(spark, sf_dir)
+    n_tokens = (
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    t = cat.documents.select(
+        "doc_id", (F.col("doc_id") % 16).alias("shard"), n_tokens
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        c.groupBy("shard", F.expr("cum_before div 2048").alias("pack_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
     )

@@ -170,7 +170,22 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).where(F.col("l_shipdate") >= "1995-01-01")
 
 
-@query("scan_binary_file", oracle=None, tags=("scan", "binary"))
+@query(
+    "scan_binary_file",
+    # DuckDB's read_blob is the independent recursive reader; Spark's
+    # binaryFile source skips zero-length files, so the oracle filters
+    # size > 0.  Raw bytes are compared directly (both engines
+    # canonicalize binary cells to hex) — one fixture file is not valid
+    # UTF-8, so a VARCHAR-side digest can't be used.
+    oracle="""
+    SELECT replace(filename, '/root/repo/data/hashtree/', '') AS rel_path,
+           CAST(size AS BIGINT) AS length,
+           content
+    FROM read_blob('/root/repo/data/hashtree/**')
+    WHERE size > 0
+    """,
+    tags=("scan", "binary"),
+)
 def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in binaryFile source over the fixture tree (REF
     A1/A2 analog: whole-file bytes + metadata in one recursive scan;
@@ -185,7 +200,7 @@ def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.regexp_replace("path", r"^file:.*?/hashtree/", "").alias("rel_path"),
             "length",
-            F.sha2("content", 256).alias("content_sha256"),
+            "content",
         )
         .orderBy("rel_path")
     )

@@ -91,11 +91,25 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
-    "stream_watermark_dedup",
+    "stream_watermark_dedup",  # + NEW exact oracle (counts are deterministic)
     "stream_stateful_running",
     "stream_foreach_batch_sink",
     "stream_static_join",
-    # (d) round-1 relational core at current code, timestamp consumers first
+    "ts_zscore",              # now the broadcast two-pass form
+    "ts_zscore_window",       # NEW equivalence witness (same oracle)
+    "udtf_cogroup_asof",      # now bucketed (64-way) instead of per-user
+    # (e) rows-only → exact-oracle flips this round: the driver can now
+    # hash-verify what it previously only counted
+    "mm_meta_extract",        # sha256-derived fake decode restated in SQL
+    "mm_resize",              # same + half-up resize math on both sides
+    "mm_frame_sample",        # positional slices via hex/unhex in DuckDB
+    "hash_string_codec",      # v1 grammar rebuilt in SQL from the domain
+    "blocksize_codec",        # blocksize rules re-implemented in SQL
+    "scan_binary_file",       # read_blob as the independent reader
+    "recursive_listing",      # dirs reconstructed from file-path prefixes
+    "scan_fixed_binary",      # independent positional chunker
+    # (d) round-1 relational core at current code, timestamp consumers
+    # first (the dropped r1 queries keep their green r1 rows)
     "flagship_revenue_by_nation",  # anchor: also the entry() smoke
     "fn_datetime",
     "filter_pred",
@@ -106,23 +120,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "win_running",
     "win_moving_avg",
     "win_rank",
-    "limit_topk",
-    "topk_per_group",
     "join_inner_hash",
     "join_broadcast",
     "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
     "agg_basic",
-    "agg_count_distinct",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "scan_parquet",
 )
 
 

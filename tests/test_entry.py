@@ -38,29 +38,37 @@ def test_priority_order_names_all_registered():
     # sit inside it.
     window = list(qs)[:50]
     for must in (
+        # never inside any driver window through round 3
+        "sql_correlated_exists",
+        "sql_scalar_subquery",
+        "agg_histogram",
+        "fn_xml_parse",
+        "fn_try_arith",
+        "text_repetition_score",
+        "corpus_mixture_weights",
+        "maintenance_compact",
+        "udtf_group_apply_arrow",
+        "pipeline_incremental_refresh",
+        "scan_cached_branches",
+        # round-3 hard ERRs, fixed in round 4 — need green rows
+        "sessionize_batch",
+        "join_event_window",
+        "ts_interpolate_linear",
+        "mm_feature_extract",
+        # rows-only → exact-oracle flips (round 4) — first hash verdicts
+        "mm_meta_extract",
+        "mm_resize",
+        "mm_frame_sample",
+        "stream_watermark_dedup",
         "hash_string_codec",
         "blocksize_codec",
-        "dirhash_verify",
-        "mm_resize",
-        "mm_feature_extract",
         "scan_binary_file",
-        "stream_watermark_dedup",
-        "scan_csv_permissive",
-        "scan_csv_dropmalformed",
-        "csv_corrupt_records",
-        "dirhash_tree_fold",
+        "recursive_listing",
+        "scan_fixed_binary",
+        # physical-form changes (round 4) — re-verify at current code
         "join_asof",
-        "join_asof_pairwise",
-        # round-3 additions — need their first driver row this round
-        "sessionize_batch",
-        "ts_resample_ohlc",
-        "agg_bitmap_distinct",
-        "agg_hll_sketch_merge",
-        "agg_approx_top_k",
-        "agg_filtered",
-        "text_tfidf",
-        "text_pii_mask",
-        "dedup_levenshtein",
-        "join_null_safe",
+        "ts_zscore",
+        "ts_zscore_window",
+        "udtf_cogroup_asof",
     ):
         assert must in window, must
