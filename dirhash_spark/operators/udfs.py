@@ -295,3 +295,103 @@ def udtf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInArrow(weighted, "event_type STRING, n BIGINT, value_weighted_user DOUBLE")
     )
+
+
+@query(
+    "udtf_python_chunker",
+    # Both engines state the same rule: whitespace tokens, windows of 32
+    # starting every 24 (8-token overlap), short tail windows kept.
+    # DuckDB list slices are 1-based inclusive: [s+1 : s+32] == Python
+    # tokens[s : s+32].
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(s // 24 AS INT) AS win_idx,
+           CAST(s AS INT) AS start_tok,
+           CAST(len(toks[s + 1 : s + 32]) AS INT) AS n_tok,
+           array_to_string(toks[s + 1 : s + 32], ' ') AS window_text
+    FROM t, unnest(generate_series(0, len(toks) - 1, 24)) AS g(s)
+    """,
+    tags=("udf", "udtf", "spark4", "chunking"),
+)
+def udtf_python_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (`@udtf` class API): a table function the SQL
+    layer can LATERAL-join — here the context-window chunker that
+    prepares documents for embedding (32-token windows, 8-token overlap
+    so boundary semantics survive in at least one window).  This is the
+    declared-UDTF surface (class + eval + yield), distinct from the
+    mapInPandas/mapInArrow *batch* table functions: the planner places a
+    row-wise generator under a Generate, and registration makes it
+    callable from SQL.
+
+    Scale: a UDTF is row-at-a-time Python — fine for a 1→N generator
+    whose cost is dominated by string work, wrong for bulk numerics
+    (use the Arrow tiers; see DESIGN.md's Python boundary policy).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, win_idx int, start_tok int, n_tok int,"
+        " window_text string"
+    )
+    class ChunkWindows:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+            toks = [t for t in text.split() if t]
+            for s in range(0, len(toks), 24):
+                win = toks[s : s + 32]
+                yield doc_id, s // 24, s, len(win), " ".join(win)
+
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    cat = Catalog(spark, sf_dir)
+    cat.documents.createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT c.* FROM documents, LATERAL chunk_windows(doc_id, text) c"
+    )
+
+
+@query(
+    "query_observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           max(l_orderkey) AS max_orderkey,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity > 10
+    """,
+    tags=("monitoring", "spark4"),
+)
+def query_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe` + `Observation`: named accumulator metrics collected
+    as a side effect of one pass — the data-quality/monitoring hook a
+    production pipeline attaches to every stage (row counts in/out,
+    domain sums) without a second scan.  The observed metrics are
+    returned as a one-row DataFrame; the oracle recomputes them
+    relationally, proving the accumulator path agrees with a plain
+    aggregate.  (DISTINCT aggregates are rejected by CollectMetrics —
+    INVALID_OBSERVED_METRICS — so the cardinality probe is a max, not a
+    count distinct.)
+
+    Scale: observe() metrics ride the task results of the SAME job —
+    zero extra shuffles, zero extra scans, constant driver memory (one
+    struct per metric), unlike a .count() + .agg() pair which scans
+    twice.
+    """
+    from pyspark.sql import Observation
+
+    cat = Catalog(spark, sf_dir)
+    obs = Observation("lineitem_quality")
+    observed = cat.lineitem.where(F.col("l_quantity") > 10).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["max_orderkey"], m["sum_price"])],
+        "n_rows BIGINT, max_orderkey BIGINT, sum_price DOUBLE",
+    )
