@@ -62,6 +62,11 @@ EXTRA = [
     "agg_histogram",
     "dedup_url_canonical",
     "udtf_cogroup_asof",
+    # round-4 additions
+    "ts_zscore",            # broadcast two-pass form
+    "pack_sequences",       # per-shard token packing
+    "udtf_python_chunker",  # row-wise Python UDTF fan-out
+    "mm_feature_extract",   # Arrow batch + posexplode
 ]
 
 

@@ -388,3 +388,13 @@ def test_cogroup_asof_keys_on_bucket_not_user(spark):
     assert "FlatMapCoGroupsInPandas" in p
     assert "hashpartitioning(bucket" in p
     assert "hashpartitioning(user_id" not in p
+
+
+def test_pack_sequences_windows_per_shard_never_global(spark):
+    """pack_sequences' prefix sum must be partitioned by the shard key —
+    a global ORDER BY here means one total sort of the corpus and a
+    single-reducer window at 100 TB.  The shard exchange is hash, not
+    range."""
+    p = plan(spark, "pack_sequences", "formatted")
+    assert "hashpartitioning(shard" in p
+    assert "rangepartitioning" not in p.lower()
