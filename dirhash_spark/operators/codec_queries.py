@@ -105,7 +105,24 @@ def blocksize_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "input STRING, bytes BIGINT, error STRING")
 
 
-@query("dirhash_verify", oracle=None, tags=("dirhash", "verify"))
+#: v1-sha256-4k hash of the committed fixture tree (data/hashtree).  A
+#: golden constant, not a recomputation: the v1 codec's byte framing is
+#: pinned against the reference's published digests in tests/test_codec.py
+#: and tests/test_dirhash_e2e.py, so any fold/chunking/listing regression
+#: changes this hex and the driver's hash check catches it.  Update ONLY
+#: when the fixture tree itself changes.
+_HASHTREE_SHA256_4K = "e687b3476de36d217a71426fa9f91dff15bfa2afb00c4af180c321cbd1d7eecd"
+
+
+@query(
+    "dirhash_verify",
+    oracle=f"""
+    SELECT 'good' AS case, true AS match, '{_HASHTREE_SHA256_4K}' AS actual_hex
+    UNION ALL
+    SELECT 'corrupted', false, '{_HASHTREE_SHA256_4K}'
+    """,
+    tags=("dirhash", "verify"),
+)
 def dirhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: verify — recompute the fixture tree's hash, then check a
     matching and a corrupted hash string (one row each; the matching row

@@ -95,6 +95,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_stateful_running",
     "stream_foreach_batch_sink",
     "stream_static_join",
+    "stream_python_datasource",  # NEW: streaming Python DataSource (r4)
     "ts_zscore",              # now the broadcast two-pass form
     "ts_zscore_window",       # NEW equivalence witness (same oracle)
     "udtf_cogroup_asof",      # now bucketed (64-way) instead of per-user
@@ -124,7 +125,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_broadcast",
     "join_left_outer",
     "agg_basic",
-    "agg_rollup",
 )
 
 

@@ -188,3 +188,104 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("dirhash_stream_static_join").collect(),
         "nation_key BIGINT, n_events BIGINT, total_value DOUBLE",
     )
+
+
+@query(
+    "stream_python_datasource",
+    # The reader's emission rule is pure arithmetic, so the oracle states
+    # it directly: 4 micro-batches × 25 sequenced readings each, value =
+    # (batch * 1000 + seq) scaled.
+    oracle="""
+    WITH g AS (
+      SELECT b.b AS batch_id, s.s AS seq
+      FROM (SELECT unnest(generate_series(0, 3)) AS b) b,
+           (SELECT unnest(generate_series(0, 24)) AS s) s
+    )
+    SELECT batch_id, seq,
+           CAST((batch_id * 1000 + seq) AS DOUBLE) / 100 AS reading
+    FROM g
+    """,
+    tags=("streaming", "scan", "spark4"),
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 *streaming* Python DataSource: a custom source feeding
+    Structured Streaming through ``SimpleDataSourceStreamReader`` —
+    offset management (initialOffset / read(start) / replay between
+    offsets) implemented in Python, no JVM code.  This is the streaming
+    twin of ``scan_python_datasource`` and the integration shape for
+    "my feed has no Spark connector" (queues, RPC pagination, vendor
+    APIs): the source owns a logical offset, Spark owns retries and
+    exactly-once sink bookkeeping via the checkpoint.
+
+    The demo reader is deterministic and finite: 4 batches × 25
+    readings, drained in ONE read() call so a single availableNow
+    trigger consumes everything (run-to-completion, like the other
+    streaming smokes); a second trigger would see an empty iterator at
+    the final offset.  Scale: a real reader hands Spark one offset
+    range per micro-batch and the DataFrame below it partitions like
+    any other scan; state lives in the checkpoint, not the reader
+    object.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    n_batches, per_batch = 4, 25
+
+    class ReadingsStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "readings_stream"
+
+        def schema(self) -> str:
+            return "batch_id bigint, seq bigint, reading double"
+
+        def simpleStreamReader(self, schema):  # noqa: ANN001 — API signature
+            return ReadingsReader()
+
+    class ReadingsReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def _rows(self, b0: int, b1: int):
+            # A LIST iterator, not a generator: Spark's prefetch cache
+            # replays via copy.copy(iterator), and generators aren't
+            # copyable (PYTHON_STREAMING_DATA_SOURCE_RUNTIME_ERROR in
+            # planPartitions otherwise).
+            return iter(
+                [
+                    (b, s, (b * 1000 + s) / 100)
+                    for b in range(b0, b1)
+                    for s in range(per_batch)
+                ]
+            )
+
+        def read(self, start):
+            b = start["batch"]
+            if b >= n_batches:
+                return iter([]), {"batch": b}
+            return self._rows(b, n_batches), {"batch": n_batches}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["batch"], end["batch"])
+
+    spark.dataSource.register(ReadingsStreamSource)
+    base = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "pyds_stream")
+    import shutil
+
+    # Clear the checkpoint too: a surviving checkpoint resumes at the
+    # final offset and the fresh sink directory would stay empty.
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(base + "_ck", ignore_errors=True)
+    q = (
+        spark.readStream.format("readings_stream")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", base)
+        .option("checkpointLocation", base + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return spark.read.parquet(base)

@@ -70,5 +70,7 @@ def test_priority_order_names_all_registered():
         "ts_zscore",
         "ts_zscore_window",
         "udtf_cogroup_asof",
+        # new operators (round 4) — first driver rows
+        "stream_python_datasource",
     ):
         assert must in window, must

@@ -155,3 +155,29 @@ def test_hll_sketch_estimate_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for et, n in exact.items():
         assert abs(est[et] - n) <= max(1, 0.05 * n), (et, est[et], n)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Structural packing invariants the oracle's value-hash can't state:
+    every document lands in exactly one pack, pack numbers are dense
+    from 0 within each shard, and no pack exceeds the 2048-token budget
+    by more than one straddling document (first-fit-in-order bound)."""
+    from dirhash_spark.registry import all_queries
+
+    qs = all_queries()
+    packs = qs["pack_sequences"].fn(spark, sf_dir).collect()
+    docs = qs["text_token_count"].fn(spark, sf_dir).collect()
+    n_docs = len(docs)
+    max_doc_tokens = max(r["n_ws_tokens"] for r in docs)
+
+    assert sum(r["n_docs"] for r in packs) == n_docs  # exactly-once
+    by_shard: dict[int, list[int]] = {}
+    for r in packs:
+        by_shard.setdefault(r["shard"], []).append(r["pack_no"])
+        # budget bound: a pack holds < 2048 tokens of prefix plus at most
+        # one straddling document
+        assert r["pack_tokens"] < 2048 + max_doc_tokens, r
+        assert r["first_doc_id"] <= r["last_doc_id"]
+    for shard, nos in by_shard.items():
+        nos.sort()
+        assert nos == list(range(len(nos))), (shard, nos[:5])  # dense from 0
