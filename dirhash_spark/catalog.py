@@ -52,10 +52,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
        cast to plain ``timestamp``.  The session time zone is pinned UTC
        (session.py RUNTIME_CONF), so the wall-clock values are bit-identical
        and the DuckDB oracle (which reads the same files as naive
-       timestamps) is unaffected.  Without this cast, ``unix_micros()``
-       raises DATATYPE_MISMATCH and ``withWatermark()`` rejects the event
-       time column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — every operator
-       downstream can instead assume one canonical TIMESTAMP type.
+       timestamps) is unaffected.  Without this normalization,
+       ``unix_micros()`` raises DATATYPE_MISMATCH and ``withWatermark()``
+       rejects the event time column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+
+       Normally branch 2 is a NO-OP: ``configure`` disables
+       ``inferTimestampNTZ`` so the scan itself yields TIMESTAMP — plan-
+       structurally better than casting (a cast Project over a fact scan
+       blocks InjectRuntimeFilter's bloom semi-join reduction; see
+       session.py).  The cast stays as graceful degradation for hosts
+       that lock the conf.
     """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -26,6 +26,15 @@ from pyspark.sql import SparkSession
 RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read naive parquet TIMESTAMP(MICROS) as TIMESTAMP at the SCAN, not
+    # TIMESTAMP_NTZ + a catalog-side cast: values are identical under the
+    # pinned UTC session zone, and the difference is structural — a cast
+    # Project over the fact scan blocks InjectRuntimeFilter, silently
+    # disabling runtime bloom-filter semi-join reduction on every
+    # timestamp-carrying table (measured: bloom_filter_agg injected with
+    # this conf, absent with the cast).  catalog.load_table keeps the
+    # cast branch as a no-op fallback for hosts that lock this conf.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -398,3 +398,52 @@ def test_pack_sequences_windows_per_shard_never_global(spark):
     p = plan(spark, "pack_sequences", "formatted")
     assert "hashpartitioning(shard" in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_runtime_bloom_filter_injects_through_catalog_tables(spark):
+    """The catalog must not break InjectRuntimeFilter: with bloom
+    filtering enabled and a selective dim filter, the fact side of a
+    shuffle join gets a bloom_filter_agg semi-join reduction.  This
+    regressed silently when load_table wrapped timestamp columns in a
+    cast Project (round 4); scan-level typing via inferTimestampNTZ=
+    false restored it.  Thresholds are test-scale overrides — at real
+    fact sizes the 10GB default triggers on its own."""
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.catalog import Catalog
+
+    # Build the DataFrames BEFORE overriding confs: every catalog access
+    # runs configure(), which re-applies the engine's broadcast
+    # threshold and would flip the join back to broadcast (where bloom
+    # correctly does not apply — broadcast already beats it).
+    cat = Catalog(spark, SF)
+    li = cat.lineitem
+    dim_base = cat.part
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        dim = dim_base.where(F.col("p_type") == "PROMO")
+        j = (
+            li.join(dim, li["l_partkey"] == dim["p_partkey"])
+            .groupBy("p_type")
+            .count()
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in p, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
