@@ -440,3 +440,59 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _KNN_K)
         .select("probe_id", "vec_id", "rnk", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    # Bit-exact across engines: float32 cells cast to float64 exactly,
+    # amax is an order-free max of |x|, and both sides state the same
+    # IEEE sequence x*(127/amax)+0.5 then floor.  half-up via floor,
+    # never round() (half-even vs half-away diverges between engines).
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(i - 1 AS INT) AS dim_idx,
+           CAST(CASE WHEN amax > 0
+                THEN floor(CAST(embedding[i] AS DOUBLE) * (127.0 / amax) + 0.5)
+                ELSE 0 END AS INT) AS q,
+           amax
+    FROM b, unnest(generate_series(1, len(embedding))) AS t(i)
+    """,
+    tags=("similarity", "quantize", "embedding"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 post-training quantization of the embedding
+    column: per-vector absolute-max scaling to [-127, 127] — the 4×
+    memory/bandwidth lever that makes billion-vector ANN fit executor
+    memory (dequantize ≈ q * amax/127; recall loss is the standard
+    ~1% for normalized text embeddings).
+
+    Scale shape: map-only per-row array math in whole-stage codegen
+    (transform/array_max/posexplode, no shuffle at all before the
+    sink); emitted long-skinny (vec_id, dim_idx, q, amax) — the layout
+    a feature store or a PTQ index-build job consumes, and the shape
+    whose scalar cells every comparator canonicalizes.
+    """
+    cat = Catalog(spark, sf_dir)
+    amax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.lit(127.0) / F.col("amax")
+    quantized = F.transform(
+        "embedding",
+        lambda x: F.when(
+            F.col("amax") > 0,
+            F.floor(x.cast("double") * scale + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return (
+        cat.embeddings.select("vec_id", "embedding", amax.alias("amax"))
+        .select("vec_id", "amax", F.posexplode(quantized).alias("dim_idx", "q"))
+        .select("vec_id", F.col("dim_idx").cast("int"), "q", "amax")
+    )

@@ -72,5 +72,6 @@ def test_priority_order_names_all_registered():
         "udtf_cogroup_asof",
         # new operators (round 4) — first driver rows
         "stream_python_datasource",
+        "embedding_quantize_int8",
     ):
         assert must in window, must
