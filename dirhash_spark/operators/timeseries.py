@@ -400,3 +400,56 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("src"),
         F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(interp).alias("val"),
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100) / 100 AS DOUBLE) AS attr
+      FROM events
+      WHERE event_type = 'signup' OR event_type = 'purchase'
+    )
+    SELECT user_id, attr,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+    tags=("warehouse", "scd", "window"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream into
+    validity-interval history rows — each change opens a version
+    (`valid_from` = its timestamp) and the NEXT change for the same key
+    closes it (`valid_to`, open/NULL on the current version).  This is
+    the warehouse pattern behind every `dim_*_history` table and the
+    batch form of CDC apply; `join_asof` is then the point-in-time
+    lookup against this table.
+
+    One window pass per key (lead over ts): exactly one shuffle on the
+    dimension key, no self-join — the join-based formulation
+    ("match each row to its successor") would shuffle twice and break
+    under duplicate timestamps, which the (ts, event_id) tiebreak here
+    handles deterministically.
+    """
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = cat.events.where(
+        (F.col("event_type") == "signup") | (F.col("event_type") == "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.floor(F.col("value") * 100) / 100).alias("attr"),
+    )
+    return changes.select(
+        "user_id",
+        "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -73,5 +73,6 @@ def test_priority_order_names_all_registered():
         # new operators (round 4) — first driver rows
         "stream_python_datasource",
         "embedding_quantize_int8",
+        "scd2_history",
     ):
         assert must in window, must
