@@ -488,3 +488,42 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor("o_totalprice").cast("double"))
         .alias("safe_mod_price"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN p_brand ELSE upper(p_brand) END AS brand
+      FROM part
+    )
+    SELECT lower(brand) AS brand_ci, count(*) AS n
+    FROM mixed
+    GROUP BY lower(brand)
+    """,
+    tags=("fn", "collation", "spark4"),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: group under the UTF8_LCASE collation so case
+    variants coalesce WITHOUT rewriting the data — the collation is part
+    of the string type, so every comparison/join/sort downstream honors
+    it (unlike a lower() scrub, which loses the original and silently
+    changes equality semantics for everything else).  Mixed-case input
+    is constructed deterministically (odd part keys upper-cased).
+
+    The group representative under a collation is whichever variant a
+    partition saw first, so the output canonicalizes with lower() — the
+    oracle states the same aggregation as an explicit lower() GROUP BY,
+    proving the collation groups exactly the case-insensitive classes.
+    """
+    cat = Catalog(spark, sf_dir)
+    mixed = cat.part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.col("p_brand"))
+        .otherwise(F.upper("p_brand"))
+        .alias("brand")
+    )
+    return (
+        mixed.groupBy(F.collate("brand", "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("k").alias("brand_ci"), "n")
+    )

@@ -98,6 +98,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_python_datasource",  # NEW: streaming Python DataSource (r4)
     "embedding_quantize_int8",   # NEW: int8 PTQ of the embedding column (r4)
     "scd2_history",              # NEW: SCD type-2 validity intervals (r4)
+    "fn_collation",              # NEW: UTF8_LCASE collation grouping (r4)
     "ts_zscore",              # now the broadcast two-pass form
     "ts_zscore_window",       # NEW equivalence witness (same oracle)
     "udtf_cogroup_asof",      # now bucketed (64-way) instead of per-user
@@ -123,7 +124,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "win_running",
     "win_moving_avg",
     "win_rank",
-    "join_inner_hash",
     "agg_basic",
 )
 

@@ -74,5 +74,6 @@ def test_priority_order_names_all_registered():
         "stream_python_datasource",
         "embedding_quantize_int8",
         "scd2_history",
+        "fn_collation",
     ):
         assert must in window, must
