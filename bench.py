@@ -67,6 +67,8 @@ EXTRA = [
     "pack_sequences",       # per-shard token packing
     "udtf_python_chunker",  # row-wise Python UDTF fan-out
     "mm_feature_extract",   # Arrow batch + posexplode
+    "embedding_quantize_int8",  # map-only array math
+    "scd2_history",         # one window pass per key
 ]
 
 

@@ -99,6 +99,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "embedding_quantize_int8",   # NEW: int8 PTQ of the embedding column (r4)
     "scd2_history",              # NEW: SCD type-2 validity intervals (r4)
     "fn_collation",              # NEW: UTF8_LCASE collation grouping (r4)
+    "pack_sequences",            # NEW: token-budget training-bin packing (r4)
+    "udtf_python_chunker",       # NEW: class-based @udtf via SQL LATERAL (r4)
+    "query_observe_metrics",     # NEW: df.observe one-pass metrics (r4)
+    "dirhash_verify",            # r4: golden-pinned oracle (was rows-only)
     "ts_zscore",              # now the broadcast two-pass form
     "ts_zscore_window",       # NEW equivalence witness (same oracle)
     "udtf_cogroup_asof",      # now bucketed (64-way) instead of per-user
@@ -120,10 +124,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "filter_in_like",
     "filter_null",
     "sort_multi",
-    "win_lag_lead",
-    "win_running",
-    "win_moving_avg",
-    "win_rank",
     "agg_basic",
 )
 

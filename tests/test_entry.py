@@ -75,5 +75,9 @@ def test_priority_order_names_all_registered():
         "embedding_quantize_int8",
         "scd2_history",
         "fn_collation",
+        "pack_sequences",
+        "udtf_python_chunker",
+        "query_observe_metrics",
+        "dirhash_verify",
     ):
         assert must in window, must
