@@ -461,3 +461,97 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(_SynthSource)
     return spark.read.format("dirhash_synthseq").load()
+
+
+@query(
+    "sink_time_travel",
+    # The oracle derives both snapshot states from the source table: v1
+    # is the base projection, v2 re-prices 'F' orders down 10%.  Reading
+    # each version back through the manifest must reproduce exactly
+    # these aggregates.
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN floor(round(o_totalprice, 2) * 0.9 * 100 + 0.5) / 100
+                  ELSE round(o_totalprice, 2) END AS price
+      FROM orders
+    )
+    SELECT 1 AS version, count(*) AS n_rows, round(sum(price), 2) AS total_price
+    FROM v1
+    UNION ALL
+    SELECT 2, count(*), round(sum(price), 2) FROM v2
+    """,
+    tags=("sink", "versioning", "time-travel"),
+)
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned parquet sink with time-travel reads — the
+    lakehouse pattern (Delta/Iceberg's core mechanic) on plain files:
+    each write lands in an immutable ``v=N`` directory and a tiny
+    manifest file is (re)written LAST to point at the current version.
+    Readers resolve the manifest (or any pinned historical version)
+    and read exactly one snapshot directory — writers never mutate a
+    published snapshot, so concurrent readers are isolated for free and
+    rollback is "point the manifest back".
+
+    At scale the only thing that grows is data under ``v=N``; the
+    manifest stays one small JSON whose rewrite is the atomic commit
+    point (object stores rename/put atomically at this size).  Time
+    travel = reading a non-current version, verified here by returning
+    per-version aggregates of BOTH snapshots read back through the
+    version resolver.
+    """
+    import json
+
+    cat = Catalog(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_versioned")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    manifest = os.path.join(root, "_manifest.json")
+
+    def publish(df, version: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(root, f"v={version}"))
+        # Manifest written AFTER the data: the commit point.
+        with open(manifest, "w") as f:
+            json.dump({"current": version}, f)
+
+    def read_version(version: int | None):
+        with open(manifest) as f:
+            current = json.load(f)["current"]
+        v = current if version is None else version
+        if not 1 <= v <= current:
+            raise ValueError(f"version {v} out of range 1..{current}")
+        return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+    v1 = cat.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish(v1, 1)
+    # floor-scale, not round(): cross-engine round() on binary doubles
+    # diverges on ties; floor(x*0.9*100 + 0.5)/100 states one IEEE
+    # sequence both engines reproduce bit-exactly.
+    v2 = read_version(None).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.floor(F.col("price") * 0.9 * 100 + 0.5) / 100,
+        ).otherwise(F.col("price")),
+    )
+    publish(v2, 2)
+
+    def summarize(version: int):
+        return read_version(version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        ).select("version", "n_rows", "total_price")
+
+    # time travel: v1 is still readable after v2 became current
+    return summarize(1).unionByName(summarize(2))

@@ -102,6 +102,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "pack_sequences",            # NEW: token-budget training-bin packing (r4)
     "udtf_python_chunker",       # NEW: class-based @udtf via SQL LATERAL (r4)
     "query_observe_metrics",     # NEW: df.observe one-pass metrics (r4)
+    "sink_time_travel",          # NEW: manifest-versioned snapshots (r4)
     "dirhash_verify",            # r4: golden-pinned oracle (was rows-only)
     "ts_zscore",              # now the broadcast two-pass form
     "ts_zscore_window",       # NEW equivalence witness (same oracle)
@@ -121,7 +122,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "flagship_revenue_by_nation",  # anchor: also the entry() smoke
     "fn_datetime",
     "filter_pred",
-    "filter_in_like",
     "filter_null",
     "sort_multi",
     "agg_basic",

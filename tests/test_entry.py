@@ -78,6 +78,7 @@ def test_priority_order_names_all_registered():
         "pack_sequences",
         "udtf_python_chunker",
         "query_observe_metrics",
+        "sink_time_travel",
         "dirhash_verify",
     ):
         assert must in window, must
