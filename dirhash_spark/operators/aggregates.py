@@ -195,16 +195,35 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+@query(
+    "agg_approx_percentile",
+    # Exact-regime oracle (same trick as agg_approx_top_k): with
+    # accuracy >= group size the GK sketch stores every value and
+    # Spark's rank convention equals DuckDB's quantile_disc exactly
+    # (verified for odd/even N).  At real scale accuracy < N and the
+    # answer degrades gracefully toward the sketch guarantee.
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS p50_approx,
+           quantile_disc(l_quantity, 0.9) AS p90_approx
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (constant memory per group) — the scale
-    path when groups are unbounded.  rows-only: the sketch is
-    engine-specific; accuracy vs the exact form is asserted in
-    tests/test_llm_ops.py-style bounds instead."""
+    path when groups are unbounded.  The accuracy parameter (1M) puts
+    the Greenwald-Khanna sketch in its exact regime at every test SF
+    (largest group ~200k values), which is what lets the driver verify
+    this op by hash instead of rows-only; production use at accuracy <
+    group size keeps the same plan with bounded memory and ±1/accuracy
+    rank error."""
     cat = Catalog(spark, sf_dir)
+    acc = F.lit(1_000_000)
     return cat.lineitem.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+        F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("p50_approx"),
+        F.approx_percentile("l_quantity", F.lit(0.9), acc).alias("p90_approx"),
     )
 
 

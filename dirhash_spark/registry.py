@@ -104,6 +104,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "query_observe_metrics",     # NEW: df.observe one-pass metrics (r4)
     "sink_time_travel",          # NEW: manifest-versioned snapshots (r4)
     "dirhash_verify",            # r4: golden-pinned oracle (was rows-only)
+    "agg_approx_percentile",     # r4: exact-regime oracle (was rows-only)
     "ts_zscore",              # now the broadcast two-pass form
     "ts_zscore_window",       # NEW equivalence witness (same oracle)
     "udtf_cogroup_asof",      # now bucketed (64-way) instead of per-user
@@ -122,7 +123,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "flagship_revenue_by_nation",  # anchor: also the entry() smoke
     "fn_datetime",
     "filter_pred",
-    "filter_null",
     "sort_multi",
     "agg_basic",
 )

@@ -80,5 +80,6 @@ def test_priority_order_names_all_registered():
         "query_observe_metrics",
         "sink_time_travel",
         "dirhash_verify",
+        "agg_approx_percentile",
     ):
         assert must in window, must
