@@ -31,12 +31,15 @@ HASHTREE = os.path.join(
 
 @query(
     "scan_fixed_binary",
-    # Independent chunker: DuckDB re-slices each blob positionally.  This
-    # DuckDB build has no BLOB substring, so the slice goes through the
-    # hex rendering (2 chars per byte) and back via unhex — byte-exact.
+    # Independent chunker: DuckDB re-slices each blob positionally via
+    # the hex rendering (2 chars per byte) — byte-exact and injective.
     # block_num is per-file 0-based; the final block is short at true
-    # length.  Raw bytes compare directly — one fixture file is not
-    # valid UTF-8, so no VARCHAR digest is possible.
+    # length.  The bytes travel as a hex STRING, not raw BINARY: the
+    # driver harness canonicalizes result frames with pandas, which
+    # cannot hash bytearray cells (r4 ERR); hex is the one rendering
+    # both engines produce identically (uppercase in Spark F.hex and
+    # DuckDB hex).  Raw-bytes semantics stay pinned by
+    # tests/test_dirhash_e2e.py goldens.
     oracle=f"""
     WITH f AS (
       SELECT replace(filename, '{HASHTREE}/', '') AS path, hex(content) AS hx,
@@ -51,7 +54,7 @@ HASHTREE = os.path.join(
     SELECT path, CAST(block_num AS BIGINT) AS block_num,
            CAST(length(substr(hx, block_num * 8192 + 1, 8192)) / 2 AS INTEGER)
              AS content_len,
-           unhex(substr(hx, block_num * 8192 + 1, 8192)) AS content
+           substr(hx, block_num * 8192 + 1, 8192) AS content_hex
     FROM c
     """,
     tags=("dirhash", "scan"),
@@ -65,7 +68,7 @@ def scan_fixed_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path",
         "block_num",
         F.length("content").alias("content_len"),
-        "content",
+        F.hex("content").alias("content_hex"),
     )
 
 

@@ -157,17 +157,23 @@ _FRAME_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("frame_idx", LongType(), False),
         StructField("frame_sha256", StringType(), False),
-        StructField("frame_bytes", BinaryType(), False),
+        StructField("frame_hex", StringType(), False),
     ]
 )
 
 
 def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """1→N expansion: treat the payload as a 'video', emit every k-th
-    fixed-size slice as a 'frame' (deterministic sampling)."""
+    fixed-size slice as a 'frame' (deterministic sampling).
+
+    Frame payloads travel as lowercase-hex STRINGs, not raw BINARY: the
+    driver harness canonicalizes result frames with pandas, which cannot
+    hash bytearray cells (r4 ERR).  Hex is injective, so byte-exactness
+    is preserved; the frame-size/stride byte semantics also stay pinned
+    by tests/test_llm_ops.py."""
     frame_size, stride = 64, 4
     for pdf in batches:
-        rows = {k: [] for k in ("doc_id", "frame_idx", "frame_sha256", "frame_bytes")}
+        rows = {k: [] for k in ("doc_id", "frame_idx", "frame_sha256", "frame_hex")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(payload)
             n_frames = max(len(payload) // frame_size, 1)
@@ -176,7 +182,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["doc_id"].append(int(doc_id))
                 rows["frame_idx"].append(idx)
                 rows["frame_sha256"].append(hashlib.sha256(frame).hexdigest())
-                rows["frame_bytes"].append(frame)
+                rows["frame_hex"].append(frame.hex())
         yield pd.DataFrame(rows)
 
 
@@ -194,7 +200,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     )
     SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
            sha256(substr(text, idx * 64 + 1, 64)) AS frame_sha256,
-           encode(substr(text, idx * 64 + 1, 64)) AS frame_bytes
+           lower(hex(encode(substr(text, idx * 64 + 1, 64)))) AS frame_hex
     FROM f
     """,
     tags=("multimodal",),

@@ -174,13 +174,15 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_binary_file",
     # DuckDB's read_blob is the independent recursive reader; Spark's
     # binaryFile source skips zero-length files, so the oracle filters
-    # size > 0.  Raw bytes are compared directly (both engines
-    # canonicalize binary cells to hex) — one fixture file is not valid
-    # UTF-8, so a VARCHAR-side digest can't be used.
+    # size > 0.  Bytes travel as an uppercase-hex STRING (injective, and
+    # identical between Spark F.hex and DuckDB hex): the driver harness
+    # canonicalizes result frames with pandas, which cannot hash raw
+    # bytearray cells (r4 ERR).  One fixture file is not valid UTF-8, so
+    # hex — not a VARCHAR cast — is the faithful rendering.
     oracle="""
     SELECT replace(filename, '/root/repo/data/hashtree/', '') AS rel_path,
            CAST(size AS BIGINT) AS length,
-           content
+           hex(content) AS content_hex
     FROM read_blob('/root/repo/data/hashtree/**')
     WHERE size > 0
     """,
@@ -200,7 +202,7 @@ def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.regexp_replace("path", r"^file:.*?/hashtree/", "").alias("rel_path"),
             "length",
-            "content",
+            F.hex("content").alias("content_hex"),
         )
         .orderBy("rel_path")
     )

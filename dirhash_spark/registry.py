@@ -52,79 +52,84 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: Names pinned to the FRONT of ``all_queries()`` order, in this order.
 #: The external driver's CORRECTNESS run verifies a prefix window of the
 #: registry (50 entries per round), so we rotate which queries appear
-#: first.  Round 1 verified the relational surface; round 2 the dedup/
-#: similarity/text/UDF/streaming/sink/skew surface; round 3 the codec/
-#: asof/time-series/SQL-surface slice.  Round 4 fronts (a) the 11
-#: queries that have NEVER had a driver row in any round, (b) the 4
-#: queries whose r3 rows were hard ERRs, now fixed (the TIMESTAMP_NTZ
-#: catalog normalization + the mm_feature_extract hashable reshape),
-#: (c) queries whose code or input dtypes changed this round (join_asof
-#: lost its per-operator NTZ casts; every streaming query consumes the
-#: retyped events.ts), then (d) a re-verification slice of the round-1
-#: relational core — chosen to favor timestamp consumers, since
-#: o_orderdate/l_shipdate/ts all changed from TIMESTAMP_NTZ to TIMESTAMP
-#: at the catalog this round.
+#: first.  Rounds 1-3 covered the relational / dedup+text+streaming /
+#: codec+asof+SQL slices; round 4 fronted the never-checked + fixed +
+#: new queries (all 50 r4 rows green except the 3 binary-output ERRs).
+#: Round 5 fronts (a) the 3 binary-output queries re-projected to hex
+#: STRINGs so the driver's pandas canonicalizer can hash them (the only
+#: red r4 rows), then (b) every query whose NEWEST driver row is still
+#: round-1 code — 41 queries; the r3 TIMESTAMP_NTZ incident proved
+#: driver-config divergence is the one bug class the builder's own HEAD
+#: sweep cannot catch, so no registry query's newest driver row may
+#: predate r2 code after this rotation — then (c) the 6 stalest r2-code
+#: rows (the dirhash columnar chain + the dedup/similarity anchors,
+#: including the twice-noisy dedup_minhash).  Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
+#: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
+#: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) never inside any driver window (rounds 1-3)
-    "sql_correlated_exists",
-    "sql_scalar_subquery",
-    "agg_histogram",
-    "fn_xml_parse",
-    "fn_try_arith",
-    "text_repetition_score",
-    "corpus_mixture_weights",
-    "maintenance_compact",
-    "udtf_group_apply_arrow",
-    "pipeline_incremental_refresh",
-    "scan_cached_branches",
-    # (b) r3 hard ERRs, fixed this round
-    "sessionize_batch",       # was: unix_micros over NTZ ts
-    "join_event_window",      # same
-    "ts_interpolate_linear",  # same (window() over NTZ)
-    "mm_feature_extract",     # was: unhashable array cells; now exploded + oracle
-    # (c) code/dtype changed this round
-    "join_asof",              # per-operator NTZ casts removed (catalog owns it)
-    "join_asof_pairwise",     # equivalence witness, same inputs
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_dedup",  # + NEW exact oracle (counts are deterministic)
-    "stream_stateful_running",
-    "stream_foreach_batch_sink",
-    "stream_static_join",
-    "stream_python_datasource",  # NEW: streaming Python DataSource (r4)
-    "embedding_quantize_int8",   # NEW: int8 PTQ of the embedding column (r4)
-    "scd2_history",              # NEW: SCD type-2 validity intervals (r4)
-    "fn_collation",              # NEW: UTF8_LCASE collation grouping (r4)
-    "pack_sequences",            # NEW: token-budget training-bin packing (r4)
-    "udtf_python_chunker",       # NEW: class-based @udtf via SQL LATERAL (r4)
-    "query_observe_metrics",     # NEW: df.observe one-pass metrics (r4)
-    "sink_time_travel",          # NEW: manifest-versioned snapshots (r4)
-    "dirhash_verify",            # r4: golden-pinned oracle (was rows-only)
-    "agg_approx_percentile",     # r4: exact-regime oracle (was rows-only)
-    "ts_zscore",              # now the broadcast two-pass form
-    "ts_zscore_window",       # NEW equivalence witness (same oracle)
-    "udtf_cogroup_asof",      # now bucketed (64-way) instead of per-user
-    # (e) rows-only → exact-oracle flips this round: the driver can now
-    # hash-verify what it previously only counted
-    "mm_meta_extract",        # sha256-derived fake decode restated in SQL
-    "mm_resize",              # same + half-up resize math on both sides
-    "mm_frame_sample",        # positional slices via hex/unhex in DuckDB
-    "hash_string_codec",      # v1 grammar rebuilt in SQL from the domain
-    "blocksize_codec",        # blocksize rules re-implemented in SQL
-    "scan_binary_file",       # read_blob as the independent reader
-    "recursive_listing",      # dirs reconstructed from file-path prefixes
-    "scan_fixed_binary",      # independent positional chunker
-    # (d) round-1 relational core at current code, timestamp consumers
-    # first (the dropped r1 queries keep their green r1 rows)
-    "flagship_revenue_by_nation",  # anchor: also the entry() smoke
-    "fn_datetime",
-    "filter_pred",
-    "sort_multi",
-    "agg_basic",
+    # (a) r4 driver ERRs (bytearray unhashable), now hex-projected
+    "scan_fixed_binary",
+    "scan_binary_file",
+    "mm_frame_sample",
+    # (b) newest driver row is r1 code — scans/sinks
+    "scan_parquet",
+    "scan_csv_infer",
+    "sink_parquet",
+    "project_rename",
+    # joins
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    # filters
+    "filter_in_like",
+    "filter_null",
+    # aggregates
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_stats",
+    "agg_percentile",
+    "agg_collect_sorted",
+    # windows / ordering
+    "win_rank",
+    "win_lag_lead",
+    "win_running",
+    "win_moving_avg",
+    "win_first_last",
+    "win_percent_rank",
+    "win_range_frame",
+    "limit_topk",
+    "topk_per_group",
+    # set ops
+    "set_union_all",
+    "set_union_dist",
+    "set_intersect",
+    "set_except",
+    # scalar functions
+    "fn_string",
+    "fn_math_cond",
+    "fn_array",
+    # dirhash rows-only exposures last touched r1
+    "dirhash_chunk_digests",
+    "dirhash_full",
+    # (c) stalest r2-code rows: the columnar dirhash chain + anchors
+    "hash_sha2_text",
+    "chunk_split_text",
+    "merkle_fold_group",
+    "dedup_exact",
+    "dedup_minhash",   # twice-noisy in past rounds — keep a fresh row
+    "sim_topk_cosine",
 )
 
 

@@ -28,58 +28,71 @@ def test_every_oracle_has_a_query():
 def test_priority_order_names_all_registered():
     """Every PRIORITY_ORDER name resolves — all_queries() raises on
     phantoms, so a stale planned-query name can't silently drop its
-    intended driver-row coverage (round-2 postmortem)."""
+    intended driver-row coverage (round-2 postmortem).  The round-5
+    window's hand-picked anchors must sit inside the 50-entry prefix."""
     from dirhash_spark.registry import PRIORITY_ORDER, all_queries
 
     qs = all_queries()
     assert set(PRIORITY_ORDER) <= set(qs)
-    # The driver's correctness window is a 50-entry prefix: the
-    # must-cover names (never driver-checked before round 3) must all
-    # sit inside it.
+    assert len(PRIORITY_ORDER) == 50  # exactly one driver window
     window = list(qs)[:50]
     for must in (
-        # never inside any driver window through round 3
-        "sql_correlated_exists",
-        "sql_scalar_subquery",
-        "agg_histogram",
-        "fn_xml_parse",
-        "fn_try_arith",
-        "text_repetition_score",
-        "corpus_mixture_weights",
-        "maintenance_compact",
-        "udtf_group_apply_arrow",
-        "pipeline_incremental_refresh",
-        "scan_cached_branches",
-        # round-3 hard ERRs, fixed in round 4 — need green rows
-        "sessionize_batch",
-        "join_event_window",
-        "ts_interpolate_linear",
-        "mm_feature_extract",
-        # rows-only → exact-oracle flips (round 4) — first hash verdicts
-        "mm_meta_extract",
-        "mm_resize",
-        "mm_frame_sample",
-        "stream_watermark_dedup",
-        "hash_string_codec",
-        "blocksize_codec",
-        "scan_binary_file",
-        "recursive_listing",
+        # r4 driver ERRs (bytearray unhashable), hex-projected in r5
         "scan_fixed_binary",
-        # physical-form changes (round 4) — re-verify at current code
-        "join_asof",
-        "ts_zscore",
-        "ts_zscore_window",
-        "udtf_cogroup_asof",
-        # new operators (round 4) — first driver rows
-        "stream_python_datasource",
-        "embedding_quantize_int8",
-        "scd2_history",
-        "fn_collation",
-        "pack_sequences",
-        "udtf_python_chunker",
-        "query_observe_metrics",
-        "sink_time_travel",
-        "dirhash_verify",
-        "agg_approx_percentile",
+        "scan_binary_file",
+        "mm_frame_sample",
+        # r2-code rows deliberately re-fronted (columnar dirhash chain
+        # + twice-noisy dedup_minhash)
+        "hash_sha2_text",
+        "chunk_split_text",
+        "merkle_fold_group",
+        "dedup_exact",
+        "dedup_minhash",
+        "sim_topk_cosine",
     ):
         assert must in window, must
+
+
+def test_window_covers_stalest_driver_rows():
+    """Self-enforcing rotation policy (round-4 verdict item 7): the
+    50-entry prefix window must contain EVERY query whose newest driver
+    CORRECTNESS row predates the second-newest committed round artifact
+    — i.e. after each rotation, no registry query's newest driver row
+    may lag the newest artifact by three or more rounds (165 queries /
+    50 slots means a full sweep takes ~4 rounds; three-behind is the
+    tightest bound a single window can always restore).  Reads the
+    committed CORRECTNESS_r*.json files, so the test re-derives the
+    stale set automatically as rounds accumulate."""
+    import glob
+    import json
+    import os
+    import re
+
+    from dirhash_spark.registry import all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rnd)
+        for name in json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    assert rounds, "no CORRECTNESS artifacts found"
+
+    qs = all_queries()
+    window = set(list(qs)[:50])
+    # stale = newest driver row is three or more rounds behind the
+    # newest artifact, or never checked at all
+    threshold = max(rounds) - 2
+    stale = sorted(
+        name
+        for name in qs
+        if latest.get(name, 0) < threshold
+    )
+    missing = [name for name in stale if name not in window]
+    assert len(stale) <= 50, (
+        f"{len(stale)} stale queries exceed one 50-slot window; rotation "
+        f"has fallen behind: {stale[:10]}..."
+    )
+    assert not missing, f"stale queries not fronted in the window: {missing}"

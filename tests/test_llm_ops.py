@@ -91,7 +91,7 @@ def test_mm_frame_sample_expansion(spark, sf_dir):
     df = QUERIES["mm_frame_sample"].fn(spark, sf_dir)
     rows = df.limit(50).collect()
     assert all(r["frame_idx"] % 4 == 0 for r in rows)
-    assert all(len(r["frame_bytes"]) <= 64 for r in rows)
+    assert all(len(bytes.fromhex(r["frame_hex"])) <= 64 for r in rows)
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
