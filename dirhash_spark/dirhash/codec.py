@@ -69,7 +69,14 @@ def get_hash_func(name: str):
 
 
 def parse_blocksize(blocksize: str) -> int:
-    """``'32M'`` → 33554432.  Integer part must be in 1..1023."""
+    """``'32M'`` → 33554432.  Integer part must be in 1..1023.
+
+    Deliberate deviation: the reference raises AttributeError on regex
+    non-matches ('x', '-3', '2G5' — ``match.group`` on None,
+    dirhash.py:227-228) and ValueError only for out-of-range integers.
+    We normalize both rejection paths to ValueError; the accepted/
+    rejected DOMAIN is identical, only the accidental error class of
+    the non-match path differs."""
     m = _BLOCKSIZE_RE.match(str(blocksize))
     if m is None:
         raise ValueError(f"malformed blocksize: {blocksize!r}")

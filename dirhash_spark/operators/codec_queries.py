@@ -66,9 +66,13 @@ def hash_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocksize_codec",
     # Independent SQL re-implementation of the blocksize rules
     # (/root/reference/dirhash.py:223-248): ``\\A\\d+[kKMG]?\\Z`` with the
-    # integer part in 1..1023; anything else is a ValueError.  The
-    # suffix arithmetic is stated with literal factors so a codec bug
-    # cannot hide on both sides.
+    # integer part in 1..1023.  The suffix arithmetic is stated with
+    # literal factors so a codec bug cannot hide on both sides.  Error
+    # classes are deliberately normalized to ValueError: the reference
+    # raises an accidental AttributeError for regex non-matches
+    # (match.group on None) and ValueError only for out-of-range
+    # integers; the accepted/rejected domain — what this oracle pins —
+    # is identical (see dirhash/codec.py:parse_blocksize).
     oracle="""
     WITH inputs AS (
       SELECT unnest(['1','8','1023','1k','1K','16M','128M','1G',

@@ -482,10 +482,14 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE round(o_totalprice, 2) END AS price
       FROM orders
     )
-    SELECT 1 AS version, count(*) AS n_rows, round(sum(price), 2) AS total_price
+    SELECT 1 AS version, count(*) AS n_rows,
+           CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM v1
     UNION ALL
-    SELECT 2, count(*), round(sum(price), 2) FROM v2
+    SELECT 2, count(*),
+           CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM v2
     """,
     tags=("sink", "versioning", "time-travel"),
 )
@@ -549,11 +553,19 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish(v2, 2)
 
     def summarize(version: int):
+        # Integer-cents sum, not round(sum(double)): per-row floor to
+        # cents is exact on already-2-decimal prices, and a BIGINT sum
+        # is order-independent — round(sum(...)) on doubles could flake
+        # on a tie-adjacent total because each engine sums in its own
+        # order (the repo's floor-scale discipline, applied to the
+        # aggregate as well as the row values).
         return read_version(version).agg(
             F.lit(version).alias("version"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("price"), 2).alias("total_price"),
-        ).select("version", "n_rows", "total_price")
+            F.sum(F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")).alias(
+                "total_cents"
+            ),
+        ).select("version", "n_rows", "total_cents")
 
     # time travel: v1 is still readable after v2 became current
     return summarize(1).unionByName(summarize(2))

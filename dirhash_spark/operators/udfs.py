@@ -192,17 +192,23 @@ def udtf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas pays one Python invocation per group, so keying on
     the natural id means millions of interpreter crossings at scale
     (measured here: 1,500 users → 12.7 s at sf0.1).  Bucketing bounds
-    the group count at 64 regardless of user cardinality — each call
+    the group count regardless of user cardinality — each call
     receives a whole bucket and ``pd.merge_asof(by="user_id")`` aligns
     the users *inside* the batch, vectorized (same rewrite: 12.7 s →
-    ~1 s).  State still never crosses users, so semantics are
+    ~1 s).  The bucket count scales with the cluster
+    (``max(64, 4 * defaultParallelism)``) so the cogrouped stage is
+    never capped below the executor count on a large cluster and a
+    single hot bucket stays small, while bucket *membership* for a
+    given count stays deterministic (pmod-of-xxhash64); the result is
+    bucket-count-invariant, so the oracle is unaffected.
+    State still never crosses users, so semantics are
     unchanged; the JVM-side twin is ``join_asof``, and this form is the
     escape hatch when per-key logic outgrows SQL.  The oracle states
     the as-of semantics relationally (max click ≤ purchase per
     purchase row).
     """
     cat = Catalog(spark, sf_dir)
-    n_buckets = 64
+    n_buckets = max(64, 4 * spark.sparkContext.defaultParallelism)
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("bucket")
     purchases = cat.events.where(F.col("event_type") == "purchase").select(
         bucket, "user_id", "event_id", "ts"

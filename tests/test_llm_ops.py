@@ -180,4 +180,11 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert r["first_doc_id"] <= r["last_doc_id"]
     for shard, nos in by_shard.items():
         nos.sort()
-        assert nos == list(range(len(nos))), (shard, nos[:5])  # dense from 0
+        # pack_no = cum_tokens_before // budget: starts at 0 (first doc
+        # has no prefix) and is strictly increasing, but a single doc
+        # longer than the 2048 budget legitimately skips numbers (it
+        # spans multiple budget windows) — so density is asserted only
+        # when the fixture has no such doc, not as a universal law.
+        assert nos[0] == 0 and len(set(nos)) == len(nos), (shard, nos[:5])
+        if max_doc_tokens <= 2048:
+            assert nos == list(range(len(nos))), (shard, nos[:5])
