@@ -188,6 +188,57 @@ def _train_centroids(cat: Catalog) -> np.ndarray:
     return cents
 
 
+#: Distributed-trained coarse quantizers, keyed by sf_dir (twin of
+#: _CENTROID_CACHE for the dataflow trainer).
+_CENTROID_CACHE_DIST: dict[str, np.ndarray] = {}
+
+
+def _train_centroids_distributed(cat: Catalog, iters: int = _IVF_ITERS) -> np.ndarray:
+    """Dataflow twin of the sampled trainer: Lloyd's k-means where every
+    pass runs over the FULL corpus as a Spark aggregation — the answer
+    to "what if the training sample can't represent 100 TB".
+
+    Per iteration: assignment reuses the same codegen argmin the query
+    path uses (``_nearest_centroid`` — no Python in the pass), and
+    re-centering is one ``groupBy(cluster).agg(avg per dimension)``
+    shuffle whose output is exactly K rows of K×64 doubles.  Only those
+    K centroids (a few KiB) return to the driver between iterations —
+    the kmeans‖ execution shape: O(corpus) work per pass, O(K·dim)
+    driver state, never a corpus collect.  Init is the first K vectors
+    by vec_id (deterministic, no RNG).  Empty clusters keep their
+    previous centroid, like the sampled trainer.
+
+    tests/test_llm_ops.py asserts IVF recall with these centroids is
+    within tolerance of the sampled trainer's.
+    """
+    cached = _CENTROID_CACHE_DIST.get(cat.sf_dir)
+    if cached is not None:
+        return cached
+    emb = cat.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    init = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_K)
+        .select("v")
+        .toPandas()["v"]
+        .tolist()
+    )
+    cents = np.asarray(init, dtype=np.float64)
+    dim = cents.shape[1]
+    for _ in range(iters):
+        recentered = (
+            emb.select(_nearest_centroid(F.col("v"), cents).alias("cid"), "v")
+            .groupBy("cid")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()  # exactly K rows — bounded by design
+        )
+        for r in recentered:
+            cents[r["cid"]] = [r[f"c{i}"] for i in range(dim)]
+    _CENTROID_CACHE_DIST[cat.sf_dir] = cents
+    return cents
+
+
 def _centroid_dist2(vec_col, c: np.ndarray):
     """Squared distance to one centroid, as a codegen expression."""
     carr = F.array(*[F.lit(float(xx)) for xx in c])
@@ -241,7 +292,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force is asserted in tests/test_llm_ops.py.
     """
     cat = Catalog(spark, sf_dir)
-    cents = _train_centroids(cat)
+    return _ivf_topk(cat, _train_centroids(cat))
+
+
+def _ivf_topk(cat: Catalog, cents: np.ndarray) -> DataFrame:
+    """The IVF query path, parameterized by the trained centroids —
+    shared by the sampled-trainer and distributed-trainer exposures so
+    the two differ ONLY in where the coarse quantizer came from."""
     v = F.col("embedding").cast("array<double>")
 
     probe = F.broadcast(
@@ -262,6 +319,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+@query("sim_ann_ivf_distfit", oracle=None, tags=("similarity", "ann", "ivf", "kmeans"))
+def sim_ann_ivf_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is trained by the DISTRIBUTED
+    k-means (``_train_centroids_distributed``: full-corpus Lloyd passes
+    as Spark aggregations, K centroids to the driver per iteration) —
+    the scale witness for the sampled trainer: same query path
+    (``_ivf_topk``), different fit.  rows-only like its twin; recall
+    parity with the sampled trainer is asserted in
+    tests/test_llm_ops.py.
+    """
+    cat = Catalog(spark, sf_dir)
+    return _ivf_topk(cat, _train_centroids_distributed(cat))
 
 
 # ------------------------------------------------- persisted ANN index

@@ -108,6 +108,30 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall@10 = {recall}"
 
 
+def test_ivf_distributed_trainer_recall_parity(spark, sf_dir):
+    """The distributed (full-corpus Lloyd passes as Spark aggregations)
+    and sampled (bounded driver-side) k-means trainers must yield IVF
+    recall within tolerance of each other on the same query path — the
+    'would the sampled trainer survive 100×' witness.  At these scale
+    factors the sample covers the whole corpus, so the two fits see the
+    same data and any recall gap is trainer drift, not sampling."""
+    from dirhash_spark.operators.similarity import sim_ann_ivf, sim_ann_ivf_distfit
+
+    exact = {r["vec_id"] for r in sim_topk_cosine(spark, sf_dir).collect()}
+    sampled = {r["vec_id"] for r in sim_ann_ivf(spark, sf_dir).collect()}
+    distfit = {r["vec_id"] for r in sim_ann_ivf_distfit(spark, sf_dir).collect()}
+    recall_sampled = len(exact & sampled) / len(exact)
+    recall_dist = len(exact & distfit) / len(exact)
+    assert recall_dist >= 0.3, f"distributed-fit recall@10 = {recall_dist}"
+    # one-sided: the distributed fit must not be materially WORSE than
+    # the sampled fit (being better is fine — on these fixtures its
+    # deterministic init happens to beat the sampled trainer's, e.g.
+    # 1.0 vs 0.6 at sf0.001)
+    assert recall_dist >= recall_sampled - 0.3, (
+        f"trainer drift: sampled={recall_sampled} distributed={recall_dist}"
+    )
+
+
 def test_indexed_ann_matches_unindexed(spark, sf_dir):
     """The persisted-index variants must return exactly the same rows as
     their scan-time twins: same centroids (cached per sf_dir), same
