@@ -71,6 +71,18 @@ EXTRA = [
     "scd2_history",         # one window pass per key
 ]
 
+#: headline_v2 = HEADLINE plus the round-4 operators promoted at the
+#: round-5 composition change.  The v1 headline total stays
+#: composition-stable (comparable to BASELINE.md r1); v2 is the total
+#: that accrues trend history for the promoted set too.  The members
+#: are timed once (they're in EXTRA) — v2 is derived, not re-run.
+HEADLINE_V2_PROMOTED = [
+    "scd2_history",
+    "embedding_quantize_int8",
+    "pack_sequences",
+    "udtf_python_chunker",
+]
+
 
 def _cpu_canary_mbps() -> float:
     """Single-thread sha256 throughput over a fixed in-memory buffer —
@@ -130,6 +142,7 @@ def main() -> int:
     extra = measure(EXTRA)
 
     total = round(sum(timings.values()), 3)
+    headline_v2 = dict(timings, **{n: extra[n] for n in HEADLINE_V2_PROMOTED})
     print(
         json.dumps(
             {
@@ -139,6 +152,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
+                "headline_v2_total": round(sum(headline_v2.values()), 3),
+                "headline_v2_members": sorted(headline_v2),
                 "sf": sf,
                 "canary_sha256_mbps": _cpu_canary_mbps(),
             }

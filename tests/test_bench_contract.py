@@ -31,3 +31,17 @@ def test_bench_emits_one_valid_json_line():
     assert len(d["queries"]) >= 15
     assert all(isinstance(v, (int, float)) and v >= 0 for v in d["queries"].values())
     assert abs(d["value"] - round(sum(d["queries"].values()), 3)) < 0.01
+    # headline_v2 (round-5 composition change): v1 total stays stable
+    # for trend comparison; v2 = v1 members + the promoted round-4 ops,
+    # all timed once under extra_queries and summed, never re-run.
+    promoted = {
+        "scd2_history",
+        "embedding_quantize_int8",
+        "pack_sequences",
+        "udtf_python_chunker",
+    }
+    assert set(d["headline_v2_members"]) == set(d["queries"]) | promoted
+    expect_v2 = sum(d["queries"].values()) + sum(
+        d["extra_queries"][n] for n in promoted
+    )
+    assert abs(d["headline_v2_total"] - round(expect_v2, 3)) < 0.01
