@@ -61,9 +61,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: round-1 code — 41 queries; the r3 TIMESTAMP_NTZ incident proved
 #: driver-config divergence is the one bug class the builder's own HEAD
 #: sweep cannot catch, so no registry query's newest driver row may
-#: predate r2 code after this rotation — then (c) the 6 stalest r2-code
-#: rows (the dirhash columnar chain + the dedup/similarity anchors,
-#: including the twice-noisy dedup_minhash).  Exactly 50 names.
+#: predate r2 code after this rotation — then (c) the 5 stalest r2-code
+#: rows (the dirhash columnar chain + the dedup anchors, including the
+#: twice-noisy dedup_minhash) and the round-5-new distributed-IVF
+#: query, which has no driver row yet.  Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
@@ -129,7 +130,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "merkle_fold_group",
     "dedup_exact",
     "dedup_minhash",   # twice-noisy in past rounds — keep a fresh row
-    "sim_topk_cosine",
+    # new this round (never driver-checked): distributed-trained IVF
+    "sim_ann_ivf_distfit",
 )
 
 

@@ -48,7 +48,8 @@ def test_priority_order_names_all_registered():
         "merkle_fold_group",
         "dedup_exact",
         "dedup_minhash",
-        "sim_topk_cosine",
+        # round-5-new query: never driver-checked, needs its first row
+        "sim_ann_ivf_distfit",
     ):
         assert must in window, must
 
