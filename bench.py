@@ -69,6 +69,9 @@ EXTRA = [
     "mm_feature_extract",   # Arrow batch + posexplode
     "embedding_quantize_int8",  # map-only array math
     "scd2_history",         # one window pass per key
+    # round-5 additions
+    "corpus_temperature_sampling",  # broadcast quotas + output-sized rank
+    "sim_ann_ivf_distfit",          # IVF with distributed-trained centroids
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

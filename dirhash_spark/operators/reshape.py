@@ -160,6 +160,92 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_temperature_sampling",
+    # alpha = 0.5 (temperature 2) on purpose: the quota formula reduces
+    # to floor(sqrt(n_min * n_l)), and IEEE sqrt is correctly rounded in
+    # both engines — pow(x, 0.7) is not guaranteed bit-identical across
+    # libm implementations, and a last-ulp difference under floor()
+    # would flake the oracle.  Selection key is a Knuth multiplicative
+    # hash in pure BIGINT arithmetic (identical cross-engine; at real
+    # scale with 64-bit ids use xxhash64 — engine-local, same shape).
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    q AS (
+      SELECT lang, n_l,
+             CAST(floor(sqrt(CAST(n_l * (SELECT min(n_l) FROM n) AS DOUBLE)))
+                  AS BIGINT) AS quota
+      FROM n
+    ),
+    keyed AS (
+      SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS skey
+      FROM documents
+    ),
+    pre AS (
+      SELECT k.doc_id, k.lang, k.skey, q.quota
+      FROM keyed k JOIN q USING (lang)
+      WHERE k.skey < (4294967296 * q.quota * 11) / (10 * q.n_l) + 1024
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quota,
+             row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rk
+      FROM pre
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= quota
+    """,
+    tags=("sampling", "temperature", "multilingual"),
+)
+def corpus_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the mT5/XLM-R
+    recipe): downsample so per-language counts become proportional to
+    ``n_l^alpha`` with alpha=0.5 — the head language shrinks, the tail
+    survives.  Anchoring the scale at the smallest language (quota_l =
+    floor(sqrt(n_min * n_l)), the largest downsample-only solution of
+    ``c_l ∝ sqrt(n_l)``) makes the result a pure selection, so the
+    whole op is exact-oracle-checkable; membership depends only on
+    (doc_id, lang) via a deterministic key, never on partitioning or
+    iteration order (same reproducibility contract as
+    ``sample_hash_deterministic``).
+
+    Scale shape: language counts and quotas are a 5-row broadcast; the
+    corpus-side work is one map-only key computation + an integer
+    threshold prefilter that admits ~1.1 × quota rows, and the exact
+    per-language rank runs over THAT — the window input is sized by the
+    output (which must be materialized anyway), not the corpus.  The
+    prefilter threshold mirrors the oracle exactly, so cross-engine
+    equality holds by construction even where the hash happens to be
+    locally dense.  Dropping the rank and keeping only the threshold
+    filter is the zero-sort approximate variant (quota ± sampling
+    noise) — the exact form costs one output-sized sort per language.
+    """
+    cat = Catalog(spark, sf_dir)
+    n = cat.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = n.agg(F.min("n_l").alias("n_min"))
+    quotas = (
+        n.crossJoin(F.broadcast(n_min))
+        .select(
+            "lang",
+            "n_l",
+            F.floor(F.sqrt((F.col("n_l") * F.col("n_min")).cast("double")))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    keyed = cat.documents.select(
+        "doc_id", "lang", ((F.col("doc_id") * 2654435761) % 4294967296).alias("skey")
+    )
+    pre = keyed.join(F.broadcast(quotas), "lang").where(
+        F.col("skey")
+        < (F.lit(4294967296) * F.col("quota") * 11) / (10 * F.col("n_l")) + 1024
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        pre.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
     "corpus_mixture_weights",
     oracle=r"""
     WITH per_lang AS (

@@ -124,14 +124,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # dirhash rows-only exposures last touched r1
     "dirhash_chunk_digests",
     "dirhash_full",
-    # (c) stalest r2-code rows: the columnar dirhash chain + anchors
+    # (c) stalest r2-code rows: the columnar dirhash chain endpoints +
+    # anchors (chunk_split_text, between them, keeps its green r2 row)
     "hash_sha2_text",
-    "chunk_split_text",
     "merkle_fold_group",
     "dedup_exact",
     "dedup_minhash",   # twice-noisy in past rounds — keep a fresh row
-    # new this round (never driver-checked): distributed-trained IVF
+    # new this round (never driver-checked): distributed-trained IVF +
+    # temperature resampling
     "sim_ann_ivf_distfit",
+    "corpus_temperature_sampling",
 )
 
 

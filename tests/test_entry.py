@@ -42,14 +42,14 @@ def test_priority_order_names_all_registered():
         "scan_binary_file",
         "mm_frame_sample",
         # r2-code rows deliberately re-fronted (columnar dirhash chain
-        # + twice-noisy dedup_minhash)
+        # endpoints + twice-noisy dedup_minhash)
         "hash_sha2_text",
-        "chunk_split_text",
         "merkle_fold_group",
         "dedup_exact",
         "dedup_minhash",
-        # round-5-new query: never driver-checked, needs its first row
+        # round-5-new queries: never driver-checked, need first rows
         "sim_ann_ivf_distfit",
+        "corpus_temperature_sampling",
     ):
         assert must in window, must
 

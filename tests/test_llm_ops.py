@@ -212,3 +212,23 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert nos[0] == 0 and len(set(nos)) == len(nos), (shard, nos[:5])
         if max_doc_tokens <= 2048:
             assert nos == list(range(len(nos))), (shard, nos[:5])
+
+
+def test_temperature_sampling_quota_property(spark, sf_dir):
+    """Per-language output counts must equal the closed-form quota
+    floor(sqrt(n_min * n_l)) — the counts-proportional-to-sqrt(n)
+    contract — as long as the hash prefilter admitted enough rows
+    (true on these fixtures; the oracle pins cross-engine equality
+    regardless)."""
+    import collections
+    import math
+
+    out = QUERIES["corpus_temperature_sampling"].fn(spark, sf_dir).collect()
+    got = collections.Counter(r["lang"] for r in out)
+    raw = collections.Counter(
+        r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang").collect()
+    )
+    n_min = min(raw.values())
+    for lang, n_l in raw.items():
+        assert got[lang] == math.floor(math.sqrt(n_min * n_l)), (lang, got[lang])

@@ -447,3 +447,15 @@ def test_runtime_bloom_filter_injects_through_catalog_tables(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_temperature_sampling_broadcast_only(spark):
+    """corpus_temperature_sampling: the quota table (one row per
+    language) must ride as broadcast joins — a sort-merge join against
+    a 5-row side would shuffle the whole corpus twice.  The only
+    corpus-wide exchange allowed is the per-language window's
+    hashpartitioning(lang) for the output-sized rank."""
+    p = plan(spark, "corpus_temperature_sampling", "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
