@@ -81,6 +81,84 @@ REGISTRY["join_asof"].oracle = REGISTRY["join_asof_pairwise"].oracle
 
 
 @query(
+    "join_asof_forward",
+    # Anchored click→purchase WITHIN events (orders end 2001, events
+    # start 2024, so an orders-anchored forward probe would be vacuous;
+    # clicks and purchases interleave, so this one isn't).
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS p_event_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT c.event_id, p.p_event_id, p.p_ts,
+             row_number() OVER (
+               PARTITION BY c.event_id ORDER BY p.p_ts, p.p_event_id
+             ) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts
+    )
+    SELECT event_id AS click_event_id,
+           p_event_id AS next_purchase_id,
+           p_ts AS next_purchase_ts
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "scale"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — for each click, the user's EARLIEST purchase
+    at-or-after it (ties to the lowest event id): the "next action after
+    the signal" lookup, pandas ``merge_asof(direction='forward')``.
+    Completes the as-of family: ``join_asof`` (backward, union-merge),
+    ``join_asof_pairwise`` (backward witness), this (forward).
+
+    Same union-merge machinery as ``join_asof``, mirrored: one tagged
+    union, one window pass per user — but the frame looks FORWARD
+    (``first IGNORE NULLS`` over currentRow..unboundedFollowing) and the
+    tie sort puts clicks BEFORE same-instant purchases (``is_click``
+    descending) so ``>=`` includes a purchase at the exact click
+    timestamp.  Each input shuffles exactly once and no pairwise
+    intermediate exists; the oracle states the semantics as the
+    readable join+rank form.
+    """
+    cat = Catalog(spark, sf_dir)
+    clicks = cat.events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_click"),
+        "event_id",
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = cat.events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.desc("is_click"), "p_event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        merged.select(
+            "is_click",
+            F.col("event_id").alias("click_event_id"),
+            F.first("p_event_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+            F.first("p_ts", ignorenulls=True).over(w).alias("next_purchase_ts"),
+        )
+        .where((F.col("is_click") == 1) & F.col("next_purchase_id").isNotNull())
+        .select("click_event_id", "next_purchase_id", "next_purchase_ts")
+    )
+
+
+@query(
     "join_range_binned",
     oracle="""
     WITH iv AS (

@@ -125,15 +125,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dirhash_chunk_digests",
     "dirhash_full",
     # (c) stalest r2-code rows: the columnar dirhash chain endpoints +
-    # anchors (chunk_split_text, between them, keeps its green r2 row)
+    # the twice-noisy dedup_minhash (chunk_split_text and dedup_exact,
+    # both stable, keep their green r2 rows)
     "hash_sha2_text",
     "merkle_fold_group",
-    "dedup_exact",
     "dedup_minhash",   # twice-noisy in past rounds — keep a fresh row
-    # new this round (never driver-checked): distributed-trained IVF +
-    # temperature resampling
+    # new this round (never driver-checked): distributed-trained IVF,
+    # temperature resampling, forward as-of
     "sim_ann_ivf_distfit",
     "corpus_temperature_sampling",
+    "join_asof_forward",
 )
 
 

@@ -45,11 +45,11 @@ def test_priority_order_names_all_registered():
         # endpoints + twice-noisy dedup_minhash)
         "hash_sha2_text",
         "merkle_fold_group",
-        "dedup_exact",
         "dedup_minhash",
         # round-5-new queries: never driver-checked, need first rows
         "sim_ann_ivf_distfit",
         "corpus_temperature_sampling",
+        "join_asof_forward",
     ):
         assert must in window, must
 
