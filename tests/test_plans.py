@@ -459,3 +459,17 @@ def test_temperature_sampling_broadcast_only(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
     assert "ShuffledHashJoin" not in p
+
+
+@pytest.mark.parametrize("name", ["join_asof", "join_asof_forward"])
+def test_asof_union_merge_single_shuffle(spark, name):
+    """The union-merge as-of forms must stay one exchange + one window
+    pass with no join node at all: the tagged union co-partitions both
+    inputs in a single hashpartitioning(user_id) shuffle and the window
+    resolves the as-of match.  A SortMergeJoin (or a second Exchange)
+    appearing here means the plan regressed to the pairwise form, whose
+    intermediate blows up on power users at scale."""
+    p = plan(spark, name, "simple")
+    assert p.count("Exchange") == 1, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "Window" in p
