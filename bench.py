@@ -72,6 +72,9 @@ EXTRA = [
     # round-5 additions
     "corpus_temperature_sampling",  # broadcast quotas + output-sized rank
     "sim_ann_ivf_distfit",          # IVF with distributed-trained centroids
+    "merge_upsert",                 # broadcast CDC apply, base never shuffles
+    "ts_anomaly_mad",               # 3-pass broadcast-stats robust outliers
+    "dedup_containment",            # inverted-index shingle containment
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

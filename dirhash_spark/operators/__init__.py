@@ -22,6 +22,7 @@ Module map (SURVEY.md §2 rows in parentheses):
   reshape.py           pivot / unpivot / lateral explode / hash sampling
   timeseries.py        batch sessionization (gaps-and-islands) + OHLC bars
   subqueries.py        SQL-text surface: correlated EXISTS / scalar subqueries
+  warehouse.py         batch MERGE (broadcast CDC apply)
 """
 
 from . import (  # noqa: F401
@@ -47,5 +48,6 @@ from . import (  # noqa: F401
     reshape,
     timeseries,
     subqueries,
+    warehouse,
 )
 from ..streaming import stateful  # noqa: E402,F401  (registers stream_stateful_running)

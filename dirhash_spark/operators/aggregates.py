@@ -585,3 +585,75 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+@query(
+    "agg_mode_median",
+    # Mode stated deterministically (count desc, value asc) rather than
+    # via mode(): both engines' native mode() picks an ARBITRARY value
+    # among tied-frequency candidates, which can never hash-match; the
+    # rank formulation is the same aggregate with the tie pinned.
+    # Median runs over integer cents: interpolation of two integers is
+    # exact IEEE arithmetic under either (a+b)/2 or a+(b-a)*0.5, so the
+    # engines agree bit-for-bit without a rounding guard.
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c_mktsegment, c_nationkey AS mode_nation,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey) AS rk
+      FROM counts
+    ),
+    med AS (
+      SELECT c_mktsegment,
+             CAST(median(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               AS median_cents
+      FROM customer GROUP BY 1
+    )
+    SELECT m.c_mktsegment, m.mode_nation, med.median_cents
+    FROM m JOIN med USING (c_mktsegment)
+    WHERE rk = 1
+    """,
+    tags=("agg", "mode", "median"),
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode + exact median — the two order
+    statistics ``agg_basic``'s algebraic aggregates can't express.
+
+    Physical shape: the mode branch is a two-level aggregate — partial
+    counts shuffle on (group, value), then a group-keyed window picks
+    the max-count value — and the median branch is one sort-based
+    aggregate on the group key.  Both branches shuffle *aggregated or
+    group-local* data only; the broadcast join reassembling them moves
+    five rows.  At 100 TB the (group, value) pre-aggregation is what
+    keeps the mode exact without ever materializing a per-group value
+    list (contrast collect_list-based formulations, which OOM at scale).
+    """
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    counts = cat.customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), "c_nationkey")
+    mode = (
+        counts.select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    med = (
+        cat.customer.select(
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.median("cents").cast("double").alias("median_cents"))
+    )
+    return mode.join(F.broadcast(med), "c_mktsegment")

@@ -914,3 +914,84 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    # Join on raw gram STRINGS on both engines (not hashes): equality
+    # is then definitionally identical, and the 0.5*|Sa| cut uses only
+    # exact integer/half-integer arithmetic — no rounding guard.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+4], ' ')
+                            FOR i IN generate_series(1, greatest(len(w) - 4, 1))])
+               AS grams
+      FROM toks
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    s AS (SELECT doc_id, len(grams) AS sz FROM g),
+    p AS (
+      SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, count(*) AS inter
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_small, p.doc_big,
+           floor(CAST(p.inter AS DOUBLE) / s.sz * 10000) / 10000 AS containment
+    FROM p JOIN s ON p.doc_small = s.doc_id
+    WHERE p.inter >= 0.5 * s.sz
+    """,
+    tags=("dedup", "containment", "ngram"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |Sa ∩ Sb| / |Sa| ≥ 0.5 over
+    distinct word 5-grams — catches the near-dup class Jaccard misses:
+    a short document quoted/embedded inside a much longer one (the
+    union term dilutes Jaccard toward 0 as the container grows, while
+    containment of the quoted side stays ~1).  Ordered pairs: the row
+    (a, b) asserts "a is half-contained in b".
+
+    Physical shape — the inverted-index join, the second canonical
+    near-dup topology next to ``dedup_ngram_jaccard``'s banded form:
+    distinct (doc, gram) postings shuffle once on the gram key, pair
+    counts aggregate map-side before one (doc_a, doc_b) shuffle, and
+    the per-doc size table joins back on the small pair set.  Linear
+    in postings + output pairs, never all-pairs.  At 100 TB the one
+    extra guard is a document-frequency cap on grams (drop postings
+    with df > threshold) — boilerplate grams are both the skew risk
+    and semantic noise; the fixture's vocabulary needs no cap, so the
+    cut here stays exactly the stated set formula.
+    """
+    cat = Catalog(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, 5), " "),
+        )
+    )
+    g = cat.documents.select("doc_id", grams.alias("grams"))
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    s = g.select("doc_id", F.size("grams").alias("sz"))
+    a = e.select(F.col("doc_id").alias("doc_small"), "gram")
+    b = e.select(F.col("doc_id").alias("doc_big"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .where(F.col("doc_small") != F.col("doc_big"))
+        .groupBy("doc_small", "doc_big")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(s, pairs["doc_small"] == s["doc_id"])
+        .where(F.col("inter") >= 0.5 * F.col("sz"))
+        .select(
+            "doc_small",
+            "doc_big",
+            (F.floor(F.col("inter").cast("double") / F.col("sz") * 10000) / 10000).alias(
+                "containment"
+            ),
+        )
+    )

@@ -527,3 +527,47 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower("k").alias("brand_ci"), "n")
     )
+
+
+@query(
+    "fn_regexp_all",
+    # Pattern stays in the Java/RE2 common dialect (a plain character
+    # class + bounded quantifier — no lookaround, no \\b) so Spark's
+    # java.util.regex and DuckDB's RE2 agree match-for-match; both
+    # engines' regexp_extract_all default to group 0 semantics here
+    # (Spark needs the explicit idx=0 — its default is group 1).
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]{5,}')) AS n_long,
+           coalesce(regexp_extract_all(text, '[a-z]{5,}')[1], '') AS first_long,
+           coalesce(array_to_string(
+             list_sort(list_distinct(regexp_extract_all(text, '[a-z]{5,}'))), ','
+           ), '') AS distinct_long,
+           regexp_replace(text, '[a-z]{5,}', '#', 'g') AS masked
+    FROM documents
+    """,
+    tags=("fn", "regexp"),
+)
+def fn_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regexp surface: extract-all, count, first match,
+    order-preserving distinct join, global replace — the text-wrangling
+    quartet behind tokenizers and PII scrubbers (text_pii_mask is the
+    applied form).  All five expressions are JVM regexp built-ins in
+    one map-only Project over the pruned (doc_id, text) scan: zero
+    shuffles, one pass, whole-stage codegen.  Cross-engine note: the
+    distinct match list is sorted before joining — DuckDB's
+    ``list_distinct`` does NOT preserve first-occurrence order (Spark's
+    ``array_distinct`` does), so only the sorted rendering compares.
+    """
+    cat = Catalog(spark, sf_dir)
+    pat = r"[a-z]{5,}"
+    matches = F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    return cat.documents.select(
+        "doc_id",
+        F.size(matches).alias("n_long"),
+        F.coalesce(F.element_at(matches, 1), F.lit("")).alias("first_long"),
+        F.array_join(F.array_sort(F.array_distinct(matches)), ",").alias(
+            "distinct_long"
+        ),
+        F.regexp_replace(F.col("text"), pat, "#").alias("masked"),
+    )

@@ -453,3 +453,86 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    # All arithmetic stays exact: cents are integers, each median of
+    # integers (or of their 0.5-multiples deviations) lands on an exact
+    # binary fraction, and k*MAD multiplies exactly — so the strict `>`
+    # cut is engine-independent with no rounding guard needed.
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS value_cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(median(value_cents) AS DOUBLE) AS med
+      FROM c GROUP BY 1
+    ),
+    d AS (
+      SELECT c.event_id, c.event_type, c.value_cents,
+             abs(c.value_cents - med.med) AS deviation
+      FROM c JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, CAST(median(deviation) AS DOUBLE) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.value_cents, d.deviation
+    FROM d JOIN mad USING (event_type)
+    WHERE d.deviation > 3 * mad.mad
+    """,
+    tags=("timeseries", "anomaly", "robust"),
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    events whose |value - median| exceeds 3x the per-type MAD.  MAD is
+    the robust twin of ``ts_zscore``'s stddev — a few extreme values
+    shift mean/stddev enough to mask each other, while the two medians
+    here ignore them (50% breakdown point), which is why quality
+    pipelines cut on MAD rather than z-score.
+
+    Physical shape: three fact passes, zero fact-side shuffles — pass 1
+    aggregates the per-type median (5 rows), pass 2 aggregates the MAD
+    against the broadcast median, pass 3 filters against the combined
+    broadcast (med, mad) stats table; only per-type aggregation
+    partials ever cross an exchange (same design as ``ts_zscore``).  At 100 TB the exact
+    medians would switch to ``approx_percentile`` sketches — same
+    plan, constant memory — at the documented cost of the exact-hash
+    oracle (the sketch twin is ``agg_approx_percentile``).
+    """
+    cat = Catalog(spark, sf_dir)
+    c = cat.events.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    # The 5-row median table is consumed by TWO branches (MAD's build
+    # side and the final stats join); Spark has no automatic cross-
+    # branch CSE (see scan_cached_branches), so without persist() each
+    # branch would re-run the full fact scan behind it.
+    med = (
+        c.groupBy("event_type")
+        .agg(F.median("value_cents").cast("double").alias("med"))
+        .persist()
+    )
+    mad = (
+        c.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("value_cents") - F.col("med")).alias("deviation"),
+        )
+        .groupBy("event_type")
+        .agg(F.median("deviation").cast("double").alias("mad"))
+    )
+    # One combined 5-row stats table for the final pass: joining med and
+    # mad separately would re-execute the deviation lineage inside the
+    # mad build side — a fourth full fact scan for nothing.
+    stats = med.join(mad, "event_type")
+    dev = F.abs(F.col("value_cents") - F.col("med"))
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .where(dev > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value_cents", dev.alias("deviation"))
+    )

@@ -124,17 +124,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # dirhash rows-only exposures last touched r1
     "dirhash_chunk_digests",
     "dirhash_full",
-    # (c) stalest r2-code rows: the columnar dirhash chain endpoints +
-    # the twice-noisy dedup_minhash (chunk_split_text and dedup_exact,
-    # both stable, keep their green r2 rows)
-    "hash_sha2_text",
-    "merkle_fold_group",
-    "dedup_minhash",   # twice-noisy in past rounds — keep a fresh row
-    # new this round (never driver-checked): distributed-trained IVF,
-    # temperature resampling, forward as-of
+    # (c) new this round (never driver-checked): distributed-trained
+    # IVF, temperature resampling, forward as-of, and three of the
+    # round-5 widening ops.  The r2-code anchors considered for these
+    # slots (hash_sha2_text / merkle_fold_group / dedup_minhash) lost
+    # the tiebreak: their r2 rows are green and golden-backed, while a
+    # never-checked query has no driver row at all; the two widening
+    # ops that didn't fit (agg_mode_median, fn_regexp_all) front at r6.
     "sim_ann_ivf_distfit",
     "corpus_temperature_sampling",
     "join_asof_forward",
+    "merge_upsert",
+    "dedup_containment",
+    "ts_anomaly_mad",
 )
 
 

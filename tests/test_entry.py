@@ -41,15 +41,13 @@ def test_priority_order_names_all_registered():
         "scan_fixed_binary",
         "scan_binary_file",
         "mm_frame_sample",
-        # r2-code rows deliberately re-fronted (columnar dirhash chain
-        # endpoints + twice-noisy dedup_minhash)
-        "hash_sha2_text",
-        "merkle_fold_group",
-        "dedup_minhash",
         # round-5-new queries: never driver-checked, need first rows
         "sim_ann_ivf_distfit",
         "corpus_temperature_sampling",
         "join_asof_forward",
+        "merge_upsert",
+        "dedup_containment",
+        "ts_anomaly_mad",
     ):
         assert must in window, must
 
@@ -84,16 +82,23 @@ def test_window_covers_stalest_driver_rows():
     qs = all_queries()
     window = set(list(qs)[:50])
     # stale = newest driver row is three or more rounds behind the
-    # newest artifact, or never checked at all
+    # newest artifact.  Never-checked queries (no driver row at all)
+    # are exempt from the MUST-front rule — a query registered after
+    # the window rotated cannot have a row yet, and forcing it in
+    # would evict a genuinely stale one; instead their count is
+    # bounded so "never checked" can't become a standing state.
     threshold = max(rounds) - 2
     stale = sorted(
-        name
-        for name in qs
-        if latest.get(name, 0) < threshold
+        name for name in qs if 0 < latest.get(name, 0) < threshold
     )
+    never = sorted(name for name in qs if name not in latest)
     missing = [name for name in stale if name not in window]
     assert len(stale) <= 50, (
         f"{len(stale)} stale queries exceed one 50-slot window; rotation "
         f"has fallen behind: {stale[:10]}..."
     )
     assert not missing, f"stale queries not fronted in the window: {missing}"
+    assert len(never) <= 10, (
+        f"{len(never)} queries have never had a driver row; front them "
+        f"before registering more: {never}"
+    )

@@ -473,3 +473,62 @@ def test_asof_union_merge_single_shuffle(spark, name):
     assert p.count("Exchange") == 1, p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "Window" in p
+
+
+def test_merge_upsert_never_shuffles_base(spark):
+    """MERGE applies the change batch as a broadcast build side: the
+    base customer scan streams through map-side with no exchange
+    between scan and join — the full-outer-join formulation would
+    shuffle the entire base on the key."""
+    p = plan(spark, "merge_upsert", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+
+
+def test_mode_median_preaggregates_before_window(spark):
+    """The mode branch windows over (group, value) COUNTS, never a
+    per-group value list: the only pre-window exchange carries
+    aggregated partials, and the stats-reassembly join is broadcast."""
+    p = plan(spark, "agg_mode_median", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "collect_list" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anomaly_mad_is_broadcast_two_pass(spark):
+    """Both median passes come back as 5-row broadcast tables; the
+    events fact table itself joins them map-side and is never shuffled
+    or windowed (same contract as ts_zscore's broadcast form)."""
+    p = plan(spark, "ts_anomaly_mad", "simple")
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    # Every exchange carries per-type aggregation partials — fact rows
+    # themselves are never shuffled (the joins are all broadcast).
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "event_type" in line, line
+    # The 5-row median table is persisted and BOTH consumers (MAD's
+    # build side, the final stats join) read the cache: exactly 3 fact
+    # passes execute — median materialization, MAD, final filter.  (A
+    # FileScan count would read 4 here: explain prints the cached
+    # relation's child plan under each InMemoryTableScan reference.)
+    assert p.count("InMemoryTableScan") == 2
+
+
+def test_regexp_all_is_map_only(spark):
+    """Five regexp expressions, one Project, zero exchanges — the whole
+    query is a single codegen stage over the pruned (doc_id, text)
+    scan."""
+    p = plan(spark, "fn_regexp_all", "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_containment_is_equi_join_not_cartesian(spark):
+    """The inverted-index pair generation is a hash equi-join on the
+    gram key: no nested-loop/cartesian anywhere, and pair counts
+    pre-aggregate map-side before the (doc_a, doc_b) exchange."""
+    p = plan(spark, "dedup_containment", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
