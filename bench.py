@@ -75,6 +75,8 @@ EXTRA = [
     "merge_upsert",                 # broadcast CDC apply, base never shuffles
     "ts_anomaly_mad",               # 3-pass broadcast-stats robust outliers
     "dedup_containment",            # inverted-index shingle containment
+    "join_asof_tolerance",          # bounded-staleness as-of, same 1-pass form
+    "ts_event_transitions",         # Markov edges, vocab^2-bounded tail
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

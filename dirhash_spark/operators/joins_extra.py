@@ -256,3 +256,95 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    # Readable pairwise+rank form with the tolerance as a join predicate;
+    # LEFT join keeps unmatched clicks.  Restricting to the tolerance
+    # band before taking the latest is equivalent to latest-then-check:
+    # if the overall latest purchase is out of band, every earlier one
+    # is further away still.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS p_event_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT c.event_id, c.ts, p.p_event_id, p.p_ts,
+             row_number() OVER (
+               PARTITION BY c.event_id ORDER BY p.p_ts DESC, p.p_event_id DESC
+             ) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id AND p.p_ts <= c.ts
+        AND epoch_us(c.ts) - epoch_us(p.p_ts) <= 600000000
+    )
+    SELECT c.event_id AS click_event_id,
+           r.p_event_id AS purchase_id,
+           CASE WHEN r.p_event_id IS NOT NULL
+                THEN epoch_us(c.ts) - epoch_us(r.p_ts) END AS staleness_us
+    FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON c.event_id = r.event_id
+    """,
+    tags=("join", "asof", "tolerance", "scale"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness — pandas ``merge_asof(...,
+    tolerance=...)``: each click matches the user's latest purchase
+    at-or-before it ONLY if that purchase is at most 10 minutes stale;
+    otherwise the click keeps NULLs (left semantics).  This is the
+    feature-freshness contract of every point-in-time feature store
+    lookup: a stale feature is worse than a missing one.
+
+    Same single-window-pass union-merge machinery as ``join_asof`` —
+    the tolerance adds one map-side comparison AFTER the carry-forward,
+    never a second pass: the latest at-or-before purchase is also the
+    closest, so checking only it against the band is exact.  Each input
+    shuffles exactly once (plan pinned with the other as-of forms).
+    """
+    cat = Catalog(spark, sf_dir)
+    tol_us = 10 * 60 * 1_000_000
+    clicks = cat.events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_click"),
+        "event_id",
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = cat.events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    merged = clicks.unionByName(purchases)
+    # purchases (is_click=0) sort before same-instant clicks => <= ;
+    # p_event_id ascending => `last` resolves purchase-time ties to the
+    # highest id, matching join_asof's convention.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_click", "p_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staleness = F.unix_micros(F.col("t")) - F.unix_micros(F.col("lp_ts"))
+    in_band = F.col("lp_ts").isNotNull() & (staleness <= tol_us)
+    return (
+        merged.select(
+            "is_click",
+            F.col("event_id").alias("click_event_id"),
+            "t",
+            F.last("p_event_id", ignorenulls=True).over(w).alias("lp_id"),
+            F.last("p_ts", ignorenulls=True).over(w).alias("lp_ts"),
+        )
+        .where(F.col("is_click") == 1)
+        .select(
+            "click_event_id",
+            F.when(in_band, F.col("lp_id")).alias("purchase_id"),
+            F.when(in_band, staleness).alias("staleness_us"),
+        )
+    )

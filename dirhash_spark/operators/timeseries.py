@@ -536,3 +536,70 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dev > 3 * F.col("mad"))
         .select("event_id", "event_type", "value_cents", dev.alias("deviation"))
     )
+
+
+@query(
+    "ts_event_transitions",
+    # DuckDB's windowed sum(BIGINT) returns HUGEINT — cast before the
+    # division; the probability is floor-scaled (integer/integer via
+    # double is the same IEEE value in both engines, floor pins it).
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           floor(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+                 * 10000) / 10000 AS p
+    FROM t
+    """,
+    tags=("timeseries", "markov", "funnel"),
+)
+def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (previous event type -> next event type) pair,
+    its count and conditional probability.  The behavioral-analytics
+    primitive behind funnel drop-off ("what follows a click?") and
+    sequence-anomaly detection; ``funnel_stages`` checks one fixed
+    path, this measures all 25 empirical edges at once.
+
+    Physical shape: one shuffle on user_id for the lag window (ordered
+    by (ts, event_id) — exact-microsecond deterministic), then pairs
+    pre-aggregate map-side into a type-squared-sized table (25 cells
+    here; bounded by |event vocabulary|^2 regardless of corpus size),
+    and the conditional-probability window runs over those 25 rows.
+    Nothing downstream of the lag scales with the data.
+    """
+    cat = Catalog(spark, sf_dir)
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cat.events.select(
+        "event_type",
+        F.lag("event_type").over(w_seq).alias("prev_type"),
+    )
+    t = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / F.sum("n").over(w_tot).cast("double")
+                * 10000
+            )
+            / 10000
+        ).alias("p"),
+    )

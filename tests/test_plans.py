@@ -461,7 +461,9 @@ def test_temperature_sampling_broadcast_only(spark):
     assert "ShuffledHashJoin" not in p
 
 
-@pytest.mark.parametrize("name", ["join_asof", "join_asof_forward"])
+@pytest.mark.parametrize(
+    "name", ["join_asof", "join_asof_forward", "join_asof_tolerance"]
+)
 def test_asof_union_merge_single_shuffle(spark, name):
     """The union-merge as-of forms must stay one exchange + one window
     pass with no join node at all: the tagged union co-partitions both
@@ -532,3 +534,17 @@ def test_containment_is_equi_join_not_cartesian(spark):
     p = plan(spark, "dedup_containment", "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_event_transitions_single_fact_shuffle(spark):
+    """The lag window's hashpartitioning(user_id) is the only exchange
+    that scales with the data; everything after it is the
+    |event vocabulary|^2-sized transition table."""
+    p = plan(spark, "ts_event_transitions", "simple")
+    assert "SortMergeJoin" not in p
+    fact_exchanges = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(fact_exchanges) == 1, p
