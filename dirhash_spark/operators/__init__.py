@@ -23,6 +23,9 @@ Module map (SURVEY.md §2 rows in parentheses):
   timeseries.py        batch sessionization (gaps-and-islands) + OHLC bars
   subqueries.py        SQL-text surface: correlated EXISTS / scalar subqueries
   warehouse.py         batch MERGE (broadcast CDC apply)
+  analytics.py         regression/corr sufficient-statistics aggs, cohort
+                       retention, rolling distinct, fixed-point PageRank,
+                       AES round-trip, corpus rarity scoring
 """
 
 from . import (  # noqa: F401
@@ -49,5 +52,6 @@ from . import (  # noqa: F401
     timeseries,
     subqueries,
     warehouse,
+    analytics,
 )
 from ..streaming import stateful  # noqa: E402,F401  (registers stream_stateful_running)

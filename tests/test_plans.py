@@ -548,3 +548,51 @@ def test_event_transitions_single_fact_shuffle(spark):
         if "Exchange hashpartitioning" in ln and "user_id" in ln
     ]
     assert len(fact_exchanges) == 1, p
+
+
+def test_regression_and_corr_single_shuffle(spark):
+    """The sufficient-statistics rewrite buys the whole regression /
+    correlation matrix for ONE partial-aggregated shuffle over the
+    3-row group key: no second pass per measure pair, no window, no
+    join.  (F.corr per pair would be 3 passes and engine-unstable.)"""
+    for name in ("agg_regression", "agg_corr_matrix"):
+        p = plan(spark, name, "simple")
+        assert p.count("Exchange hashpartitioning") == 1, (name, p)
+        assert "partial_" in p, (name, p)  # map-side combine
+        assert "Join" not in p, (name, p)
+
+
+def test_rolling_distinct_no_range_join(spark):
+    """The forward-expansion rewrite: no fact-fact range join (which
+    would be a BroadcastNestedLoopJoin or cartesian on the interval
+    predicate) — only hash exchanges on (day,user)/day plus a broadcast
+    semi-join against the dim-sized observed-day list."""
+    p = plan(spark, "ts_rolling_distinct", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # observed-days semi-join
+
+
+def test_pagerank_iterates_over_contracted_graph(spark):
+    """The 4-table edge-extraction join happens once (its aggregation
+    to nation-pair edges is cached); each of the 3 rank iterations
+    reuses that InMemoryRelation rather than re-running the fact
+    join — the plan shows the cache being read, and the heavy fact
+    tables never appear in a SortMergeJoin."""
+    p = plan(spark, "graph_pagerank", "simple")
+    assert "InMemoryTableScan" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rarity_score_vocabulary_join_colocates(spark):
+    """Token-frequency join keys on the token both sides — the exploded
+    stream and the vocabulary arrive at the join under the same
+    hashpartitioning(w), so the join itself adds no third exchange of
+    the token stream (Spark reuses the child partitioning)."""
+    p = plan(spark, "text_rarity_score", "simple")
+    assert "CartesianProduct" not in p
+    # exploded tokens shuffle on w for the count and for the join; the
+    # doc-side aggregate shuffles on doc_id: no more than 4 exchanges
+    # total (w-count, w-join x2 sides at worst, doc_id), never 5+.
+    assert p.count("Exchange hashpartitioning") <= 4, p
