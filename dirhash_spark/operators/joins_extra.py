@@ -348,3 +348,115 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_band, staleness).alias("staleness_us"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    # Pairwise argmin form: every (click, purchase) pair of a user,
+    # ranked by |Δt|, ties to the earlier (backward) purchase, then
+    # within a side: backward keeps the highest id (join_asof's
+    # convention), forward the lowest (join_asof_forward's) — the
+    # (CASE sign) * p_event_id term encodes both in one key.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS p_event_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT c.event_id, p.p_event_id,
+             abs(epoch_us(c.ts) - epoch_us(p.p_ts)) AS dist_us,
+             CASE WHEN p.p_ts <= c.ts THEN 'backward' ELSE 'forward' END AS direction,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.p_ts)),
+                        p.p_ts,
+                        (CASE WHEN p.p_ts <= c.ts THEN -1 ELSE 1 END) * p.p_event_id
+             ) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id
+    )
+    SELECT c.event_id AS click_event_id,
+           r.p_event_id AS purchase_id,
+           CAST(r.dist_us AS BIGINT) AS dist_us,
+           r.direction
+    FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON c.event_id = r.event_id
+    """,
+    tags=("join", "asof", "scale"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each click matches the user's closest purchase in
+    either time direction; equidistant ties prefer the backward
+    (earlier) purchase.  Completes the as-of family — backward
+    (``join_asof``), forward (``join_asof_forward``), tolerance-bounded
+    (``join_asof_tolerance``), nearest (this).
+
+    Single-sort trick: under the ONE merged ordering (t, is_click,
+    p_event_id) — purchases before same-instant clicks — the backward
+    carry (``last IGNORE NULLS`` over preceding) sees every purchase
+    at-or-before the click, and the forward carry (``first IGNORE
+    NULLS`` over following) sees every one strictly after; a
+    same-instant purchase lands only in the backward carry, which any
+    tie prefers anyway, so nothing is lost.  Both windows share the
+    partitioning AND the sort: one shuffle, one sort, two frame scans —
+    vs. the oracle's pairwise form, which materializes every
+    (click, purchase) pair of a user before the argmin prunes it.
+    Left semantics: clicks of purchase-less users keep NULLs."""
+    cat = Catalog(spark, sf_dir)
+    clicks = cat.events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_click"),
+        "event_id",
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = cat.events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    merged = clicks.unionByName(purchases)
+    order = [F.col("t"), F.col("is_click"), F.col("p_event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = merged.select(
+        "is_click",
+        F.col("event_id").alias("click_event_id"),
+        "t",
+        F.last("p_event_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last("p_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.first("p_event_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.first("p_ts", ignorenulls=True).over(wf).alias("f_ts"),
+    ).where(F.col("is_click") == 1)
+    b_dist = F.unix_micros(F.col("t")) - F.unix_micros(F.col("b_ts"))
+    f_dist = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("t"))
+    # backward wins when it exists and is at least as close (<= = tie
+    # preference); otherwise forward wins whenever it exists; neither
+    # leaves the click with NULLs (left semantics).
+    pick_b = F.col("b_ts").isNotNull() & (F.col("f_ts").isNull() | (b_dist <= f_dist))
+    pick_f = F.col("f_ts").isNotNull()
+    return carried.select(
+        "click_event_id",
+        F.when(pick_b, F.col("b_id"))
+        .when(pick_f, F.col("f_id"))
+        .alias("purchase_id"),
+        F.when(pick_b, b_dist).when(pick_f, f_dist).cast("bigint").alias("dist_us"),
+        F.when(pick_b, F.lit("backward"))
+        .when(pick_f, F.lit("forward"))
+        .alias("direction"),
+    )

@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import query
@@ -289,3 +290,81 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(base)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition and
+    watermarks on both sides: clicks matched to same-user purchases
+    within the following 30 minutes — the canonical attribution join.
+
+    This is the stateful join Spark buffers on BOTH sides: each side's
+    watermark plus the time-interval condition let the engine compute
+    exactly how long a buffered click can still find a purchase (30 min
+    + watermark delay) and evict state past it, so state size is bound
+    by the join window, not the stream length — the property that makes
+    the join runnable forever at production rates.  One availableNow
+    trigger consumes everything in a single micro-batch (no file limit
+    is set), so nothing is ever dropped as late and the append-mode
+    sink equals the batch join the oracle runs.  Scale shape: both
+    sides shuffle on user_id into the same state store partitions —
+    one co-partitioned exchange each, same as a batch SortMergeJoin."""
+    cat = Catalog(spark, sf_dir)
+    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "ss_ss_events")
+    cat.events.select("event_id", "ts", "user_id", "event_type").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    ).parquet(src)
+    clicks = (
+        stream.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """user_id = p_user_id
+               AND purchase_ts >= click_ts
+               AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"""
+        ),
+    ).select("click_id", "purchase_id", "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("dirhash_stream_stream_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        spark.table("dirhash_stream_stream_join").collect(),
+        "click_id BIGINT, purchase_id BIGINT, user_id BIGINT",
+    )

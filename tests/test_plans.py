@@ -462,7 +462,8 @@ def test_temperature_sampling_broadcast_only(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["join_asof", "join_asof_forward", "join_asof_tolerance"]
+    "name",
+    ["join_asof", "join_asof_forward", "join_asof_tolerance", "join_asof_nearest"],
 )
 def test_asof_union_merge_single_shuffle(spark, name):
     """The union-merge as-of forms must stay one exchange + one window
@@ -596,3 +597,25 @@ def test_rarity_score_vocabulary_join_colocates(spark):
     # doc-side aggregate shuffles on doc_id: no more than 4 exchanges
     # total (w-count, w-join x2 sides at worst, doc_id), never 5+.
     assert p.count("Exchange hashpartitioning") <= 4, p
+
+
+def test_snapshot_diff_colocated_full_outer(spark):
+    """Snapshot diffing is one key-keyed full-outer join: both snapshot
+    sides exchange once on the key and co-locate; change detection is
+    map-side column comparison above the join (no fingerprint subplan,
+    no nested loop)."""
+    p = plan(spark, "snapshot_diff", "simple")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quality_checks_fuse_into_one_fact_pass(spark):
+    """The four single-table expectations compile to ONE aggregate over
+    orders (conditional sums in a single pass, unpivoted after); only
+    the FK check adds a second scan, as a broadcast anti-join.  Two
+    fact scans total — not one per check."""
+    p = plan(spark, "quality_expectations")
+    assert p.count("orders.parquet") == 2, p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
