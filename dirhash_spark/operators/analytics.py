@@ -535,3 +535,99 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_drift_chi2",
+    oracle="""
+    WITH sl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+    st AS (SELECT source, sum(c) AS t FROM sl GROUP BY 1),
+    ll AS (SELECT lang, sum(c) AS lc FROM sl GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM sl),
+    terms AS (
+      SELECT sl.source, sl.lang, st.t,
+             (CAST(sl.c AS DOUBLE)
+              - CAST(st.t AS DOUBLE) * CAST(ll.lc AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             * (CAST(sl.c AS DOUBLE)
+                - CAST(st.t AS DOUBLE) * CAST(ll.lc AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             / (CAST(st.t AS DOUBLE) * CAST(ll.lc AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               AS term
+      FROM sl JOIN st USING (source) JOIN ll USING (lang) CROSS JOIN tot
+    )
+    SELECT source, CAST(max(t) AS BIGINT) AS n_docs,
+           floor(list_reduce(list(term ORDER BY lang), (x, y) -> x + y) * 1e6)
+             / 1e6 AS chi2
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    tags=("text", "llm", "stats"),
+)
+def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection per source: the chi-square statistic
+    of each source's language mix against the corpus-wide mix — the
+    monitoring primitive for "did this crawl slice drift from the
+    corpus?".  Chi-square is chosen over KL deliberately: it needs only
+    +,-,×,÷ on exact-integer-derived doubles (all correctly-rounded
+    IEEE, bit-identical across engines), where KL's ``ln`` is only
+    1-ulp-accurate per libm and NOT portable bit-for-bit.
+
+    The remaining cross-engine hazard is summation ORDER, and it is
+    removed structurally, not rounded away: per-(source,lang) terms are
+    folded in sorted-by-lang order on both engines (``F.aggregate``
+    over ``sort_array`` here, ``list_reduce(list(... ORDER BY lang))``
+    in DuckDB) — a deterministic sequential reduction, exact at any
+    scale.  Scale shape: the only corpus-sized pass is the first
+    (source,lang) count (map-side combined); everything after operates
+    on the (sources × languages) contingency table, which is dim-sized,
+    and the per-source fold arrays are |languages| long, never
+    |documents|."""
+    cat = Catalog(spark, sf_dir)
+    # The contingency table is (sources × languages)-sized: cache it so
+    # the corpus-sized count underneath runs ONCE, not once per derived
+    # marginal (row/column/grand totals all reuse the InMemoryRelation).
+    sl = (
+        cat.documents.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    st = sl.groupBy("source").agg(F.sum("c").alias("t"))
+    ll = sl.groupBy("lang").agg(F.sum("c").alias("lc"))
+    tot = sl.agg(F.sum("c").alias("n"))
+    cd, td, lcd, nd = (
+        F.col("c").cast("double"),
+        F.col("t").cast("double"),
+        F.col("lc").cast("double"),
+        F.col("n").cast("double"),
+    )
+    expected = td * lcd / nd
+    terms = (
+        sl.join(F.broadcast(st), "source")
+        .join(F.broadcast(ll), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "t",
+            ((cd - expected) * (cd - expected) / expected).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_docs"),
+            F.sort_array(F.collect_list(F.struct("lang", "term"))).alias("arr"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.floor(
+                    F.aggregate(
+                        "arr", F.lit(0.0), lambda acc, x: acc + x["term"]
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("chi2"),
+        )
+        .orderBy("source")
+    )

@@ -368,3 +368,113 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("dirhash_stream_stream_join").collect(),
         "click_id BIGINT, purchase_id BIGINT, user_id BIGINT",
     )
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, null-extended when no
+    same-user purchase follows within 30 minutes.  The semantics the
+    inner form can't give you — and the part of the streaming engine
+    the inner form never exercises: a null-extended row can only be
+    emitted once the PURCHASE-side watermark proves no match can still
+    arrive (past click_ts + 30 min + the 1 h delay), so unmatched
+    clicks sit in the state store until event time moves past them.
+
+    The query runs as two availableNow executions against ONE
+    checkpoint, which is exactly the production shape (a restarting
+    job):  run 1 ingests the real events — inner matches emit,
+    unmatched clicks are retained as state;  then a far-future
+    watermark-advancing sentinel pair (user_id −1, outside every real
+    join window) lands in the source, and run 2's batches carry the
+    watermark past every real click, flushing the null-extended rows
+    to the parquet sink.  The sink is parquet-append via the
+    checkpoint (exactly-once), read back at the end minus the
+    sentinel.  State size stays bounded by the join window at any
+    stream length — same eviction math as the inner form."""
+    import shutil
+
+    cat = Catalog(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "ss_louter")
+    src, dst, ckpt = (os.path.join(base, d) for d in ("src", "dst", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+    ev = cat.events.select("event_id", "ts", "user_id", "event_type")
+    ev.write.mode("overwrite").parquet(src)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+        ).parquet(src)
+        clicks = (
+            stream.where("event_type = 'click'")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            stream.where("event_type = 'purchase'")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                """user_id = p_user_id
+                   AND purchase_ts >= click_ts
+                   AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"""
+            ),
+            "left_outer",
+        ).select("click_id", "purchase_id", "user_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    run_once()  # real data: inner matches emit, unmatched clicks held
+    # Sentinel click+purchase 2 h past the last real event: run 2's
+    # watermark = sentinel_ts − 1 h clears every real click's
+    # (click_ts + 30 min) eviction bound, flushing the outer rows.
+    sentinel_ts = F.timestamp_micros(
+        F.unix_micros(F.max("ts")) + F.lit(2 * 3600 * 1_000_000)
+    )
+    bounds = ev.agg(sentinel_ts.alias("sts"))
+    sent = bounds.selectExpr(
+        "CAST(-1 AS BIGINT) AS event_id",
+        "sts AS ts",
+        "CAST(-1 AS BIGINT) AS user_id",
+        "'click' AS event_type",
+    ).unionByName(
+        bounds.selectExpr(
+            "CAST(-2 AS BIGINT) AS event_id",
+            "sts AS ts",
+            "CAST(-1 AS BIGINT) AS user_id",
+            "'purchase' AS event_type",
+        )
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # sentinel batch advances both watermarks; outer rows flush
+    return spark.read.parquet(dst).where(F.col("user_id") >= 0)

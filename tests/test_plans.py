@@ -619,3 +619,15 @@ def test_quality_checks_fuse_into_one_fact_pass(spark):
     assert p.count("orders.parquet") == 2, p
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_drift_chi2_single_corpus_pass(spark):
+    """Only the (source,lang) count touches the corpus; every join
+    after it is a broadcast over the dim-sized contingency table, and
+    the ordered fold runs over |languages|-long arrays — no second
+    corpus-sized exchange, no sort-merge join."""
+    p = plan(spark, "corpus_drift_chi2", "simple")
+    assert "SortMergeJoin" not in p
+    # the contingency table is cached: the corpus scan+count runs once
+    # and every marginal reads the InMemoryRelation
+    assert "InMemoryTableScan" in p, p
