@@ -973,19 +973,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(w, i, 5), " "),
         )
     )
+    # Posting-list form: ONE pass computes the (expensive) shingle
+    # strings — a gram-keyed self-join would re-run that lineage on
+    # both sides plus a third time for the size table (measured 3
+    # scans, no exchange reuse) — then each gram's posting list
+    # expands its ordered pairs IN-ROW (the dedup_minhash bucket
+    # trick), so pair counts need no join at all; |Sa| rides along in
+    # the posting struct, killing the size join-back too.
     g = cat.documents.select("doc_id", grams.alias("grams"))
-    e = g.select("doc_id", F.explode("grams").alias("gram"))
-    s = g.select("doc_id", F.size("grams").alias("sz"))
-    a = e.select(F.col("doc_id").alias("doc_small"), "gram")
-    b = e.select(F.col("doc_id").alias("doc_big"), "gram")
-    pairs = (
-        a.join(b, "gram")
-        .where(F.col("doc_small") != F.col("doc_big"))
-        .groupBy("doc_small", "doc_big")
-        .agg(F.count("*").alias("inter"))
+    e = g.select(
+        F.col("doc_id"), F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    postings = e.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "sz")).alias("docs")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "docs",
+                lambda x: F.transform(
+                    F.filter("docs", lambda y: y["doc_id"] != x["doc_id"]),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_small"),
+                        x["sz"].alias("sz"),
+                        y["doc_id"].alias("doc_big"),
+                    ),
+                ),
+            )
+        )
     )
     return (
-        pairs.join(s, pairs["doc_small"] == s["doc_id"])
+        postings.select(pair.alias("p"))
+        .groupBy("p.doc_small", "p.doc_big", "p.sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .where(F.col("inter") >= 0.5 * F.col("sz"))
         .select(
             "doc_small",

@@ -567,3 +567,74 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "amax", F.posexplode(quantized).alias("dim_idx", "q"))
         .select("vec_id", F.col("dim_idx").cast("int"), "q", "amax")
     )
+
+
+@query(
+    "sim_maxsim_late_interaction",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            v -> CAST(floor(v * 1e6) AS BIGINT)) AS arr
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, arr AS qarr FROM e WHERE vec_id < 5),
+    dots AS (
+      SELECT e.label, q.qid,
+             max(list_reduce(
+                   list_transform(list_zip(e.arr, q.qarr),
+                                  x -> x[1] * x[2]),
+                   (a, b) -> a + b)) AS max_dot
+      FROM e CROSS JOIN q
+      GROUP BY 1, 2
+    )
+    SELECT label, CAST(sum(max_dot) AS BIGINT) AS maxsim_score
+    FROM dots GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "llm", "multivector"),
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction (MaxSim) scoring, ColBERT-style:
+    each label group plays a document of 64-d token vectors, vec_ids
+    0-4 play the query's token vectors, and a document's score is
+    Σ_q max_d ⟨q, d⟩ — every query token finds its best-matching
+    document token, then the per-token maxima sum.
+
+    Exactness: vectors are quantized to 1e-6-scaled BIGINTs first, so
+    every dot product, max, and final sum is integer arithmetic — all
+    partials stay under 2^53, so even a double-typed accumulator
+    cannot round, and the oracle's fold order is irrelevant.  (This is
+    the engine's quantized-inner-product variant; production cosine
+    MaxSim adds a per-vector norm divide on top of the same plan.)
+
+    Scale shape: the query's token vectors broadcast (a query is tens
+    of vectors); document vectors NEVER shuffle — dot products compute
+    partition-local against the broadcast side, and the only exchange
+    carries slim (label, qid, max_dot) partials with a map-side max
+    already applied.  At corpus scale this is the re-rank stage after
+    an ANN prefilter (sim_ann_*) trims candidates."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda v: F.floor(v * 1e6).cast("long")
+        ).alias("arr"),
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("arr").alias("qarr")
+    )
+    dot = F.aggregate(
+        F.zip_with("arr", "qarr", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("label", "qid", dot.alias("dot"))
+        .groupBy("label", "qid")
+        .agg(F.max("dot").alias("max_dot"))
+        .groupBy("label")
+        .agg(F.sum("max_dot").cast("bigint").alias("maxsim_score"))
+        .orderBy("label")
+    )

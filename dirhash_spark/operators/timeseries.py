@@ -603,3 +603,90 @@ def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("p"),
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, sum(x) AS s FROM daily),
+    pre AS (
+      SELECT day, x,
+             row_number() OVER (ORDER BY day) AS k,
+             sum(x) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prefix
+      FROM daily
+    ),
+    cu AS (
+      SELECT day, CAST(x AS BIGINT) AS x,
+             CAST(tot.n * pre.prefix - pre.k * tot.s AS BIGINT) AS cusum
+      FROM pre, tot
+    ),
+    m AS (
+      SELECT day, x, cusum,
+             max(abs(cusum)) OVER () AS peak
+      FROM cu
+    )
+    SELECT day, x, cusum,
+           day = min(CASE WHEN abs(cusum) = peak THEN day END) OVER ()
+             AS is_changepoint
+    FROM m ORDER BY day
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series: the
+    day where the cumulative deviation from the series mean peaks is
+    the single most likely level-shift point (the classic offline CUSUM
+    statistic).  Kept integer-exact by clearing the mean's denominator:
+    CUSUM_k = Σ_{i≤k}(x_i − S/n) scaled by n is n·prefix_k − k·S — all
+    BIGINT, no float anywhere, so the argmax (ties to the earliest day)
+    is bit-stable at any scale factor.
+
+    Scale shape: the only corpus-sized work is the per-day count
+    (map-side combined, one shuffle); the CUSUM windows then run over
+    the DAILY series, which is calendar-sized — a deliberately
+    unpartitioned window over dim-sized data, the same tier as
+    PageRank's rank state.  At 100 TB the daily rollup is what you'd
+    checkpoint; the detector re-runs on it in milliseconds."""
+    cat = Catalog(spark, sf_dir)
+    # Calendar-sized: cached so the corpus-sized count underneath runs
+    # once, not once per derived branch (totals + prefix series).
+    daily = (
+        cat.events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .cache()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    wo = Window.orderBy("day")
+    pre = daily.select(
+        "day",
+        "x",
+        F.row_number().over(wo).alias("k"),
+        F.sum("x")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+    )
+    cu = pre.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.col("x").cast("bigint").alias("x"),
+        (F.col("n") * F.col("prefix") - F.col("k") * F.col("s"))
+        .cast("bigint")
+        .alias("cusum"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    peak = F.max(F.abs(F.col("cusum"))).over(wall)
+    first_peak_day = F.min(
+        F.when(F.abs(F.col("cusum")) == peak, F.col("day"))
+    ).over(wall)
+    return cu.select(
+        "day", "x", "cusum", (F.col("day") == first_peak_day).alias("is_changepoint")
+    ).orderBy("day")

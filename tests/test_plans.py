@@ -631,3 +631,46 @@ def test_drift_chi2_single_corpus_pass(spark):
     # the contingency table is cached: the corpus scan+count runs once
     # and every marginal reads the InMemoryRelation
     assert "InMemoryTableScan" in p, p
+
+
+def test_maxsim_vectors_never_shuffle(spark):
+    """Late-interaction scoring: the query token vectors broadcast;
+    document vectors score partition-local and only slim
+    (label, qid, max_dot) partials reach the exchanges — same contract
+    as sim_knn_join."""
+    p = plan(spark, "sim_maxsim_late_interaction", "simple")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "arr" not in ln and "embedding" not in ln, ln
+
+
+def test_triangle_count_iterates_cached_edges(spark):
+    """The 4-table edge extraction contracts the graph once (cached);
+    the triangle closure joins run over the edge list, not the fact
+    tables."""
+    p = plan(spark, "graph_triangle_count", "simple")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cusum_single_fact_shuffle(spark):
+    """Only the daily rollup touches the corpus: one
+    hashpartitioning(day) exchange with map-side combine; the CUSUM
+    windows run on the calendar-sized series (SinglePartition is
+    deliberate and bounded)."""
+    p = plan(spark, "ts_changepoint_cusum", "simple")
+    assert "InMemoryTableScan" in p, p  # daily rollup cached, corpus read once
+    assert "partial_count" in p or "partial_" in p
+
+
+def test_containment_posting_list_single_gram_pass(spark):
+    """The posting-list rewrite computes the shingle strings ONCE (one
+    documents scan) and replaces the gram self-join + size join-back
+    with in-row pair expansion: exactly two hash exchanges (gram,
+    pair), no join operator at all."""
+    p = plan(spark, "dedup_containment", "simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "Join" not in p, p
