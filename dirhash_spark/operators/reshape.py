@@ -378,3 +378,63 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc_id"),
         )
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 4294967296 AS skey
+      FROM documents
+    ),
+    m AS (
+      SELECT min(cnt) AS mc
+      FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, lang FROM r, m WHERE rn <= mc
+    ORDER BY lang, doc_id
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: downsample every language class to the size of
+    the smallest one — the deterministic core of "don't let the head
+    language drown the tail" training-mix construction (the inverse
+    lever of ``corpus_temperature_sampling``, which reweights instead
+    of truncating).
+
+    Selection must be identical on both engines AND stable under
+    re-partitioning, so "random" is a Knuth multiplicative scramble of
+    the doc key ((id · 2654435761) mod 2³²) — pure BIGINT arithmetic,
+    no engine RNG — and each class keeps its min-count lowest-scramble
+    docs (doc_id tie-break).  Scale shape: one (lang, count) aggregate
+    broadcasts the floor; the per-class row_number is a single shuffle
+    on the class key.  Classes are few, so each class sorts in one
+    task — at 100 TB swap the exact rank for a scramble-key threshold
+    estimated from the class counts (map-only, approximately exact);
+    the fixture-scale form keeps the exact rank the oracle states."""
+    cat = Catalog(spark, sf_dir)
+    k = cat.documents.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * 2654435761) % 4294967296).alias("skey"),
+    )
+    mc = (
+        cat.documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("mc"))
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        k.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(mc))
+        .where(F.col("rn") <= F.col("mc"))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

@@ -569,3 +569,71 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # time travel: v1 is still readable after v2 became current
     return summarize(1).unionByName(summarize(2))
+
+
+@query(
+    "join_dynamic_partition_prune",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    SELECT f.ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_extendedprice
+          FROM lineitem) f
+    JOIN dim USING (ship_month)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "partition", "scale"),
+)
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is laid out
+    partitioned by ship month, and the month set to read is only known
+    at RUNTIME (it comes out of a filtered dim-side subquery) — Spark
+    inserts a ``dynamicpruning`` subquery into the fact scan's
+    PartitionFilters, so only the matching month directories are ever
+    listed and read.  At 100 TB this is the third leg of the pruning
+    tripod next to static partition pruning (sink_parquet_partitioned)
+    and runtime bloom filters (DESIGN.md): a selective dim filter
+    cutting the fact I/O itself, before any join executes.
+
+    The write side pays one shuffle-free partitioned write (84 month
+    directories at TPC-H date range); the read-back joins on the
+    partition column with a broadcastable dim, the DPP-qualifying
+    shape.  Revenue is exact cents (BIGINT), so the post-prune
+    aggregate hash-matches the oracle, which states the same join
+    unpartitioned — two different I/O strategies, one answer."""
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "lineitem_by_month")
+    (
+        cat.lineitem.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            "l_extendedprice",
+        )
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        cat.orders.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("ship_month")
+    )

@@ -690,3 +690,53 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.select(
         "day", "x", "cusum", (F.col("day") == first_peak_day).alias("is_changepoint")
     ).orderBy("day")
+
+
+@query(
+    "sessionize_pattern_match",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day, path, CAST(n_events AS BIGINT) AS n_events
+    FROM paths
+    WHERE regexp_matches(path, 'click(>[a-z]+)*>purchase')
+    ORDER BY user_id, day
+    """,
+    tags=("timeseries", "session", "pattern"),
+)
+def sessionize_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per user-day session, serialize the
+    event-type sequence into a path string ('view>click>...') and keep
+    sessions where a click is EVENTUALLY followed by a purchase — the
+    regex-over-event-sequences idiom that covers most funnel/pattern
+    queries without a dedicated CEP operator (Spark has no
+    MATCH_RECOGNIZE; a path string + RLIKE is the portable encoding).
+
+    Determinism: the path is built from an array sorted by (ts,
+    event_id) — sort_array on structs, the engine-side twin of the
+    oracle's ``ORDER BY`` inside string_agg — so tie-stamped events
+    serialize identically on both engines.  Scale shape: one shuffle
+    on (user, day); each group folds to one path row, so the regex
+    runs on session-count rows, not event-count.  Path length is
+    bounded by session size (daily sessions here); a pathological hot
+    session would cap the path, not the shuffle."""
+    cat = Catalog(spark, sf_dir)
+    path = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return (
+        cat.events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(path.alias("path"), F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .where(F.col("path").rlike("click(>[a-z]+)*>purchase"))
+        .orderBy("user_id", "day")
+    )

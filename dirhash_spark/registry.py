@@ -138,6 +138,18 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_containment",
     "ts_anomaly_mad",
 )
+# r6 rotation backlog (queries with no driver row after r5, all green in
+# ORACLE_SNAPSHOT_r05 — tests/test_entry.py pins that invariant): the
+# r5 widening batch (agg_regression, agg_corr_matrix, ts_cohort_retention,
+# ts_rolling_distinct, graph_pagerank, graph_triangle_count,
+# fn_aes_roundtrip, text_rarity_score, corpus_drift_chi2,
+# stream_stream_join, stream_stream_left_outer, snapshot_diff,
+# quality_expectations, join_asof_nearest, join_asof_tolerance,
+# sim_maxsim_late_interaction, ts_changepoint_cusum, ts_event_transitions,
+# sessionize_pattern_match, sample_balanced_classes,
+# join_dynamic_partition_prune) plus the two r5 leftovers
+# (agg_mode_median, fn_regexp_all).  These fill the r6 window's slack
+# after the then-stale r2/r3-code rows take their mandatory slots.
 
 
 def all_queries() -> dict[str, Query]:

@@ -674,3 +674,19 @@ def test_containment_posting_list_single_gram_pass(spark):
     assert p.count("FileScan parquet") == 1, p
     assert p.count("Exchange hashpartitioning") == 2, p
     assert "Join" not in p, p
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark):
+    """The runtime month set from the filtered dim side must reach the
+    partitioned fact scan as a dynamicpruning subquery — without it the
+    join reads all month directories and filters after I/O."""
+    p = plan(spark, "join_dynamic_partition_prune")
+    assert "dynamicpruning" in p, p[:800]
+
+
+def test_pattern_match_single_session_shuffle(spark):
+    """Path serialization is one shuffle on the session key; the regex
+    runs post-aggregation on session-count rows (no window, no join)."""
+    p = plan(spark, "sessionize_pattern_match", "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p
