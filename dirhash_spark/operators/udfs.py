@@ -196,7 +196,7 @@ def udtf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     receives a whole bucket and ``pd.merge_asof(by="user_id")`` aligns
     the users *inside* the batch, vectorized (same rewrite: 12.7 s →
     ~1 s).  The bucket count scales with the cluster
-    (``max(64, 4 * defaultParallelism)``) so the cogrouped stage is
+    (``max(64, 2 * defaultParallelism)``) so the cogrouped stage is
     never capped below the executor count on a large cluster and a
     single hot bucket stays small, while bucket *membership* for a
     given count stays deterministic (pmod-of-xxhash64); the result is
