@@ -657,3 +657,47 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.median("cents").cast("double").alias("median_cents"))
     )
     return mode.join(F.broadcast(med), "c_mktsegment")
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping()``/``grouping_id()`` metadata over a ROLLUP: the
+    bitmask that tells a subtotal row apart from a data row whose key
+    really IS null — without it, rollup output is ambiguous the moment
+    a grouping column is nullable.  (agg_rollup/B20 shows the lattice;
+    this shows the disambiguation contract.)  The gid is composed from
+    per-column ``grouping()`` bits so both engines state the same
+    number regardless of their internal bitmask conventions.  Plan is
+    the standard expand+aggregate: one shuffle, rollup rows expanded
+    map-side."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "total_qty",
+        )
+    )

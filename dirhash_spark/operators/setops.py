@@ -86,3 +86,55 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cat.customer.select(F.col("c_nationkey").alias("nationkey"))
     s = cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
     return c.unionAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "set_intersect_all",
+    # Bag intersection keeps min(multiplicity) copies of each value —
+    # the modulo-bucketed balances collide across tables with different
+    # repeat counts, so the ALL/DISTINCT difference is load-bearing.
+    oracle="""
+    SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket FROM customer
+    INTERSECT ALL
+    SELECT CAST(floor(s_acctbal / 1000) AS BIGINT) AS bal_bucket FROM supplier
+    """,
+    tags=("setop", "bag"),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a value appearing m times on the
+    left and n times on the right survives min(m, n) times (SQL:2016;
+    ``df.intersectAll``).  Physically still one shuffle on the value:
+    Catalyst counts multiplicities per side and replays the minimum —
+    no pairwise join, so scale cost equals the distinct variant's."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select(
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal_bucket")
+    )
+    s = cat.supplier.select(
+        F.expr("CAST(floor(s_acctbal / 1000) AS BIGINT)").alias("bal_bucket")
+    )
+    return c.intersectAll(s)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket FROM customer
+    EXCEPT ALL
+    SELECT CAST(floor(s_acctbal / 1000) AS BIGINT) AS bal_bucket FROM supplier
+    """,
+    tags=("setop", "bag"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: m left copies minus n right copies
+    leaves max(m − n, 0) (``df.exceptAll``), vs. the distinct EXCEPT
+    of B33 which drops a value entirely on any right-side hit.  Same
+    single-shuffle multiplicity-counting plan as INTERSECT ALL."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select(
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal_bucket")
+    )
+    s = cat.supplier.select(
+        F.expr("CAST(floor(s_acctbal / 1000) AS BIGINT)").alias("bal_bucket")
+    )
+    return c.exceptAll(s)

@@ -405,3 +405,32 @@ def query_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["max_orderkey"], m["sum_price"])],
         "n_rows BIGINT, max_orderkey BIGINT, sum_price DOUBLE",
     )
+
+
+@query(
+    "udf_python_arrow",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) || '#' || CAST(length(c_name) AS VARCHAR) AS tagged
+    FROM customer
+    """,
+    tags=("udf", "arrow", "spark4"),
+)
+def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``@udf(useArrow=True)``) —
+    the Spark 3.5+/4 middle rung between the row-at-a-time pickled UDF
+    (B46, ~100× slow path) and a full ``pandas_udf``: same scalar
+    per-value signature as B46 so existing UDF code ports unchanged,
+    but arguments cross the boundary as Arrow record batches, not
+    pickled rows.  The demo tags each customer name with its length —
+    trivially SQL-expressible (the oracle states it natively), which
+    is exactly what makes it a clean boundary-correctness probe.  Plan
+    shows ArrowEvalPython, not BatchEvalPython."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def tag(name: str) -> str:
+        return f"{name.upper()}#{len(name)}"
+
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.select("c_custkey", tag("c_name").alias("tagged"))

@@ -690,3 +690,12 @@ def test_pattern_match_single_session_shuffle(spark):
     p = plan(spark, "sessionize_pattern_match", "simple")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Join" not in p
+
+
+def test_arrow_udf_plans_arrow_eval(spark):
+    """@udf(useArrow=True) must cross the Python boundary as Arrow
+    batches (ArrowEvalPython), never the pickled row path
+    (BatchEvalPython) — the entire point of the middle rung."""
+    p = plan(spark, "udf_python_arrow", "simple")
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p, p
