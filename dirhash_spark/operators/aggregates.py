@@ -701,3 +701,65 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal > 9000) AS any_premium,
+           CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_debtors
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregate", "boolean"),
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (``every``/``bool_and``, ``any``/``bool_or``,
+    ``count_if``) — the predicate-rollup vocabulary that turns row-level
+    assertions into group-level facts without a CASE-sum workaround.
+    Ordinary partial+final hash agg: booleans combine map-side like any
+    other aggregate."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.groupBy("c_mktsegment")
+        .agg(
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_premium"),
+            F.count_if(F.col("c_acctbal") < 0).cast("bigint").alias("n_debtors"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregate", "string", "spark4"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 ``listagg`` WITHIN GROUP ≡
+    DuckDB ``string_agg(... ORDER BY)``): supplier roster per nation.
+    The in-group ORDER BY is the correctness load-bearing part — an
+    unordered concat is nondeterministic under shuffle partitioning and
+    can never hash-match a second engine (or a re-run of the same one).
+    Group sizes here are dim-bounded; at scale an unbounded LISTAGG is
+    the string-blowup smell to cap or replace with collect+slice."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.nation.join(
+            cat.supplier, F.expr("s_nationkey = n_nationkey")
+        )
+        .groupBy("n_nationkey")
+        .agg(
+            F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)").alias(
+                "suppliers"
+            )
+        )
+        .orderBy("n_nationkey")
+    )
