@@ -740,3 +740,171 @@ def sessionize_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("path").rlike("click(>[a-z]+)*>purchase"))
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events GROUP BY 1
+    ),
+    lagk AS (
+      SELECT k.k,
+             d.x AS x,
+             lag(d.x, k.k) OVER (PARTITION BY k.k ORDER BY d.day) AS y
+      FROM daily d CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) k
+    ),
+    s AS (
+      SELECT k, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM lagk WHERE y IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(k AS INT) AS lag_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1e6) / 1e6 AS acf
+    FROM s ORDER BY lag_days
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1-7 days — the seasonality probe (a weekly cycle shows as a peak at
+    lag 7).  Same engine-stable machinery as ``agg_regression``: the
+    (x_t, x_{t-k}) pair moments are exact integer sums, so the Pearson
+    formula runs once per lag on identical IEEE inputs (sqrt is
+    correctly-rounded; no transcendentals).  Each lag uses its own
+    pairwise-complete mean (the statistically honest variant when the
+    series is short).  Scale shape: corpus work is the daily rollup
+    (cached); the lag windows and moment sums run over calendar-sized
+    data × 7 lags."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .cache()
+    )
+    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    # Spark's lag() needs a literal offset, so the per-lag shift is an
+    # rn-offset self-join on the (tiny, cached) daily series instead of
+    # a window per k.
+    ord_ = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("day"))
+    )
+    prev = ord_.select(F.col("rn").alias("prn"), F.col("x").alias("y"))
+    lagk = (
+        ord_.crossJoin(F.broadcast(ks))
+        .join(
+            F.broadcast(prev),
+            F.col("prn") == F.col("rn") - F.col("k"),
+        )
+    )
+    s = lagk.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    acf = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        F.col("k").cast("int").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.floor(acf * 1e6) / 1e6).alias("acf"),
+    ).orderBy("lag_days")
+
+
+@query(
+    "ts_ewma_fixed_point",
+    # alpha = 1/4 as an integer recurrence: s_t = (3*s_{t-1} + x_t*SCALE) div 4,
+    # s_0 = x_0*SCALE, SCALE = 1e6.  The oracle replays the same recurrence
+    # with a recursive CTE over the day-ordered series.
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS x
+      FROM events GROUP BY 1
+    ),
+    ord AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    rec AS (
+      SELECT day, x, rn, x * 1000000 AS s FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.day, o.x, o.rn, (3 * rec.s + o.x * 1000000) // 4
+      FROM ord o JOIN rec ON o.rn = rec.rn + 1
+    )
+    SELECT day, CAST(x AS BIGINT) AS x, CAST(s AS BIGINT) AS ewma_fp
+    FROM rec ORDER BY day
+    """,
+    tags=("timeseries", "recurrence"),
+)
+def ts_ewma_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event counts as an
+    INTEGER recurrence (alpha = 1/4, fixed-point scale 1e6): s_t =
+    div(3·s_{t-1} + x_t·1e6, 4).  EWMA is the textbook sequential
+    dependency — no window frame expresses it — and the float version
+    is unverifiable cross-engine (every step compounds rounding).  The
+    fixed-point form is bit-exact, so the DuckDB oracle can replay it
+    with a recursive CTE and hash-match.
+
+    Scale shape: the recurrence is inherently sequential, so it runs
+    where sequential work belongs — on the CALENDAR-sIZED daily rollup,
+    not the corpus: one corpus-sized count (map-side combined), then a
+    single sorted fold via ``F.aggregate`` over the collected
+    (day, x) series.  This is the same dim-sized-state tier as
+    PageRank's rank table; the corpus never sees the loop."""
+    cat = Catalog(spark, sf_dir)
+    daily = cat.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    # One row: the day-ordered series folded through the recurrence.
+    # acc is an array of (day, x, s) structs built left-to-right.
+    folded = daily.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            F.expr(
+                "CAST(array() AS ARRAY<STRUCT<day: DATE, x: BIGINT, s: BIGINT>>)"
+            ),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        e["day"].alias("day"),
+                        e["x"].cast("bigint").alias("x"),
+                        F.when(
+                            F.size(acc) == 0, e["x"].cast("bigint") * 1_000_000
+                        )
+                        .otherwise(
+                            (
+                                3 * F.element_at(acc, -1)["s"]
+                                + e["x"].cast("bigint") * 1_000_000
+                            )
+                            / 4
+                        )
+                        .cast("bigint")
+                        .alias("s"),
+                    )
+                ),
+            ),
+        ).alias("series")
+    )
+    return (
+        folded.select(F.explode("series").alias("r"))
+        .select(
+            F.col("r.day").alias("day"),
+            F.col("r.x").alias("x"),
+            F.col("r.s").alias("ewma_fp"),
+        )
+        .orderBy("day")
+    )
