@@ -571,3 +571,40 @@ def fn_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_replace(F.col("text"), pat, "#").alias("masked"),
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+    SELECT o_orderkey,
+           substr(sha256('ord' || '||' || CAST(o_orderkey AS VARCHAR)
+                         || '||' || CAST(o_custkey AS VARCHAR)), 1, 32)
+             AS sk
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("function", "warehouse"),
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate key: the dbt_utils.generate_surrogate_key
+    idiom — hash of a namespaced, delimiter-joined column tuple,
+    truncated to 128 bits.  Content-derived keys are what make
+    cross-system joins and idempotent re-loads possible without a
+    central sequence (a monotonically_increasing_id is neither stable
+    across runs nor comparable across engines).  Map-only, codegen'd
+    sha2; the '||' delimiter guards against concat ambiguity
+    ('ab'+'c' vs 'a'+'bc')."""
+    cat = Catalog(spark, sf_dir)
+    sk = F.substring(
+        F.sha2(
+            F.concat_ws(
+                "||",
+                F.lit("ord"),
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+            ),
+            256,
+        ),
+        1,
+        32,
+    )
+    return cat.orders.select("o_orderkey", sk.alias("sk")).orderBy("o_orderkey")

@@ -637,3 +637,50 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@query(
+    "scan_nested_pruning",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000
+    ORDER BY o_orderkey
+    """,
+    tags=("scan", "nested", "pruning"),
+)
+def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning + filter pushdown THROUGH a struct: orders
+    are re-laid-out with their attributes packed into a struct column
+    (`info: {priority, price, status}` — the shape every
+    denormalized/event payload table has), then the read-back selects
+    ONE struct field and filters on another.  With
+    ``nestedSchemaPruning`` (on by default) the parquet ReadSchema
+    shows only the two leaves — not the whole struct — so at 100 TB a
+    wide payload struct costs only the fields a query touches.  The
+    oracle states the same rows from the flat table; the struct
+    round-trip plus pruning must be semantics-free."""
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_nested")
+    (
+        cat.orders.select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("info"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .where(
+            (F.col("info.priority") == "1-URGENT")
+            & (F.col("info.price") > 100000)
+        )
+        .select("o_orderkey", F.col("info.price").alias("price"))
+        .orderBy("o_orderkey")
+    )

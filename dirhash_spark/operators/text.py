@@ -541,3 +541,81 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac(F.col("top1"), F.col("n_tokens")).alias("top_unigram_frac"),
         frac(F.col("btop1"), F.col("n_bigrams")).alias("top_bigram_frac"),
     )
+
+
+@query(
+    "pipeline_training_export",
+    oracle="""
+    WITH keeper AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    curated AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w <> '')) AS n_words
+      FROM keeper
+      WHERE rn = 1 AND len(text) BETWEEN 50 AND 5000
+    ),
+    sharded AS (
+      SELECT (doc_id * 2654435761) % 8 AS shard, n_words
+      FROM curated WHERE n_words >= 10
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM sharded GROUP BY 1 ORDER BY 1
+    """,
+    tags=("pipeline", "llm", "sink"),
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone export: the curation pipeline's output written as
+    training shards, returning the shard manifest.  Chain:
+
+        exact dedup (keeper per content hash)
+        → length/word-count quality gate
+        → shard id via Knuth multiplicative scramble mod 8
+          (engine- and partitioning-independent; hash sharding keeps
+          shard sizes balanced without a global sort)
+        → partitioned parquet write (one directory per shard — the
+          layout a data-parallel training loader expects)
+        → manifest read-back from the WRITTEN files (shard, docs,
+          token total): the returned numbers prove the export, not
+          just the plan.
+
+    One scan and one shuffle to the write (dedup window); the
+    partitioned write adds no extra exchange (shard is a column, the
+    writer splits files per task).  At 100 TB the same program only
+    changes mod-8 to mod-N(shards)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "dirhash_spark_sink", "training_shards"
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    curated = (
+        cat.documents.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & F.length("text").between(50, 5000))
+        .select("doc_id", "text", F.size(words).alias("n_words"))
+        .where(F.col("n_words") >= 10)
+        .withColumn("shard", (F.col("doc_id") * 2654435761) % 8)
+    )
+    curated.select("shard", "doc_id", "text", "n_words").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .select(F.col("shard").cast("bigint").alias("shard"), "n_docs", "total_words")
+        .orderBy("shard")
+    )

@@ -699,3 +699,15 @@ def test_arrow_udf_plans_arrow_eval(spark):
     p = plan(spark, "udf_python_arrow", "simple")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_nested_schema_pruning_and_pushdown(spark):
+    """Struct payloads must prune to the touched leaves (the untouched
+    `status` field absent from ReadSchema) AND push comparison filters
+    into the struct fields at the parquet reader."""
+    p = plan(spark, "scan_nested_pruning")
+    m = re.search(r"ReadSchema: (.*)", p)
+    assert m, p
+    assert "status" not in m.group(1), m.group(1)
+    assert "priority" in m.group(1) and "price" in m.group(1)
+    assert "GreaterThan(info.price" in p, p
