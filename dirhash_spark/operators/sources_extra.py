@@ -684,3 +684,113 @@ def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.col("info.price").alias("price"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scan_csv_multiline",
+    # The CSV is generated from nation with embedded newlines injected
+    # into the comment field; the oracle states the expected parse from
+    # the clean source table directly.
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           'line1 ' || n_name || chr(10) || 'line2 ' || CAST(n_regionkey AS VARCHAR)
+             AS note
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("scan", "csv", "parse"),
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with embedded newlines inside quoted fields (``multiLine``):
+    the parse mode that completes the malformed-CSV matrix (PERMISSIVE
+    / DROPMALFORMED / corrupt-record capture / and now quoted
+    newlines).  The fixture is generated by writing nation rows whose
+    note field CONTAINS a newline through Spark's own CSV writer
+    (which quotes it correctly), then read back with
+    ``multiLine=true`` — without the option, each record would split
+    at the embedded newline and shred the file.
+
+    Scale note: multiLine CSV is the one read mode that is NOT
+    splittable (a record boundary can't be found mid-file), so each
+    file parses as one task — the docstring-level warning is: land
+    multiline CSV as many medium files, or convert to parquet at the
+    edge; this operator exists to make that trade explicit."""
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "nation_mlcsv")
+    note = F.concat(
+        F.lit("line1 "),
+        F.col("n_name"),
+        F.lit("\n"),
+        F.lit("line2 "),
+        F.col("n_regionkey").cast("string"),
+    )
+    (
+        cat.nation.select("n_nationkey", "n_name", note.alias("note"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+        .select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name",
+            "note",
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "sql_exchange_reuse",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    top5 AS (
+      SELECT l_suppkey, cents, 'top' AS bucket
+      FROM rev ORDER BY cents DESC, l_suppkey LIMIT 5
+    ),
+    bot5 AS (
+      SELECT l_suppkey, cents, 'bottom' AS bucket
+      FROM rev ORDER BY cents ASC, l_suppkey LIMIT 5
+    )
+    SELECT l_suppkey, CAST(cents AS BIGINT) AS cents, bucket
+    FROM (SELECT * FROM top5 UNION ALL SELECT * FROM bot5)
+    ORDER BY bucket, l_suppkey
+    """,
+    tags=("sql", "plan", "scale"),
+)
+def sql_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange reuse: the top-5 and bottom-5 revenue suppliers both
+    consume the SAME per-supplier aggregate — Spark detects the two
+    identical shuffle subtrees and plans ONE exchange with a
+    ReusedExchange reading it (plan-asserted), so the corpus-sized
+    aggregation is paid once even though the program references it
+    twice.  This is the free sibling of explicit ``.cache()``: no
+    memory pinning, works across any identical subplans in one action.
+    Each branch then reduces via TakeOrderedAndProject (no global
+    sort).  Exact cents arithmetic for the oracle."""
+    cat = Catalog(spark, sf_dir)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    rev = cat.lineitem.groupBy("l_suppkey").agg(F.sum(cents).alias("cents"))
+    top = (
+        rev.orderBy(F.col("cents").desc(), "l_suppkey")
+        .limit(5)
+        .withColumn("bucket", F.lit("top"))
+    )
+    bot = (
+        rev.orderBy(F.col("cents").asc(), "l_suppkey")
+        .limit(5)
+        .withColumn("bucket", F.lit("bottom"))
+    )
+    return (
+        top.unionByName(bot)
+        .select("l_suppkey", F.col("cents").cast("bigint").alias("cents"), "bucket")
+        .orderBy("bucket", "l_suppkey")
+    )

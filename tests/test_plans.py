@@ -711,3 +711,14 @@ def test_nested_schema_pruning_and_pushdown(spark):
     assert "status" not in m.group(1), m.group(1)
     assert "priority" in m.group(1) and "price" in m.group(1)
     assert "GreaterThan(info.price" in p, p
+
+
+def test_exchange_reuse_at_runtime(spark):
+    """Two branches over the same per-supplier aggregate must share ONE
+    exchange: AQE's reuse detection replaces the second identical
+    shuffle subtree with a ReusedExchange in the executed plan, so the
+    corpus-sized aggregation runs once."""
+    df = all_queries()["sql_exchange_reuse"].fn(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p, p[:800]
