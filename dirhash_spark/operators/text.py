@@ -619,3 +619,80 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("shard").cast("bigint").alias("shard"), "n_docs", "total_words")
         .orderBy("shard")
     )
+
+
+@query(
+    "corpus_cross_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             unnest([array_to_string(w[i:i+4], ' ')
+                     FOR i IN generate_series(1, greatest(len(w) - 4, 1))])
+               AS gram
+      FROM toks
+    ),
+    posting AS (
+      SELECT gram, list_sort(list(DISTINCT source)) AS srcs FROM g GROUP BY 1
+    ),
+    pairs AS (
+      SELECT u1.s AS source_a, u2.s AS source_b
+      FROM posting, unnest(srcs) AS u1(s), unnest(srcs) AS u2(s)
+      WHERE u1.s < u2.s
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_grams
+    FROM pairs GROUP BY 1, 2
+    ORDER BY shared_grams DESC, source_a, source_b
+    LIMIT 20
+    """,
+    tags=("text", "llm", "provenance"),
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: how many distinct word
+    5-grams each PAIR of sources shares — the provenance question
+    behind every corpus-mixing decision ("how much of crawl B is
+    already in crawl A?"), asked pairwise over all sources at once.
+
+    Same posting-list topology as ``dedup_containment``: one shingle
+    pass to distinct (source, gram) postings, one gram-keyed shuffle
+    building the per-gram source list (≤ |sources| long — the blow-up
+    bound is sources², not documents²), in-row ordered-pair expansion,
+    and a final pair-keyed count with map-side combine, topped with
+    TakeOrderedAndProject.  At 100 TB add the same df-cap as
+    containment (drop boilerplate grams past a document-frequency
+    threshold) — the fixture needs none, keeping the oracle exact."""
+    cat = Catalog(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, 5), " "),
+        )
+    )
+    g = (
+        cat.documents.select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    posting = g.groupBy("gram").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "srcs",
+                lambda a: F.transform(
+                    F.filter("srcs", lambda b: b > a),
+                    lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+                ),
+            )
+        )
+    )
+    return (
+        posting.select(pair.alias("p"))
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+        .orderBy(F.col("shared_grams").desc(), "source_a", "source_b")
+        .limit(20)
+    )

@@ -908,3 +908,86 @@ def ts_ewma_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, min(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    conv AS (
+      SELECT fc.user_id,
+             min(epoch_us(p.ts) - epoch_us(fc.first_click)) AS lat_us
+      FROM fc JOIN events p
+        ON p.user_id = fc.user_id
+       AND p.event_type = 'purchase' AND p.ts >= fc.first_click
+      GROUP BY 1
+    ),
+    base AS (SELECT count(*) AS n_users FROM fc),
+    stats AS (
+      SELECT count(*) AS n_converted,
+             median(lat_us) AS med,
+             quantile_cont(lat_us, 0.9) AS p90
+      FROM conv
+    )
+    SELECT CAST(base.n_users AS BIGINT) AS n_users,
+           CAST(stats.n_converted AS BIGINT) AS n_converted,
+           CAST((stats.n_converted * 10000) // base.n_users AS BIGINT)
+             AS conversion_bp,
+           floor(stats.med / 1e6 * 100) / 100 AS median_latency_s,
+           floor(stats.p90 / 1e6 * 100) / 100 AS p90_latency_s
+    FROM base, stats
+    """,
+    tags=("timeseries", "funnel", "stats"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each user, latency from their
+    FIRST click to their first purchase at-or-after it; reported as
+    conversion rate (integer basis points) plus median and p90 latency
+    — the product-analytics summary next to ``funnel_stages`` (counts)
+    and ``ts_event_transitions`` (paths).
+
+    Exactness: latencies are integer microseconds, and both engines
+    interpolate percentiles with the same (1−g)·a[j] + g·a[j+1]
+    formula on those exact integers (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), so the halves-only results floor-scale
+    cleanly.  Scale shape: two user-keyed aggregations (first click,
+    min latency) that co-locate on the same shuffle key, then a
+    single-row summary."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    fc = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("first_click")
+    )
+    conv = (
+        fc.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("first_click")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("p_ts") - F.unix_micros("first_click")
+            ).alias("lat_us")
+        )
+    )
+    base = fc.agg(F.count(F.lit(1)).alias("n_users"))
+    stats = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(lat_us, 0.5D)").alias("med"),
+        F.expr("percentile(lat_us, 0.9D)").alias("p90"),
+    )
+    return base.crossJoin(stats).select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        F.expr("CAST(div(n_converted * 10000, n_users) AS BIGINT)").alias(
+            "conversion_bp"
+        ),
+        (F.floor(F.col("med") / 1e6 * 100) / 100).alias("median_latency_s"),
+        (F.floor(F.col("p90") / 1e6 * 100) / 100).alias("p90_latency_s"),
+    )
