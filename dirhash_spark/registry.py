@@ -54,102 +54,95 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: registry (50 entries per round), so we rotate which queries appear
 #: first.  Rounds 1-3 covered the relational / dedup+text+streaming /
 #: codec+asof+SQL slices; round 4 fronted the never-checked + fixed +
-#: new queries (all 50 r4 rows green except the 3 binary-output ERRs).
-#: Round 5 fronts (a) the 3 binary-output queries re-projected to hex
-#: STRINGs so the driver's pandas canonicalizer can hash them (the only
-#: red r4 rows), then (b) every query whose NEWEST driver row is still
-#: round-1 code — 41 queries; the r3 TIMESTAMP_NTZ incident proved
-#: driver-config divergence is the one bug class the builder's own HEAD
-#: sweep cannot catch, so no registry query's newest driver row may
-#: predate r2 code after this rotation — then (c) the 5 stalest r2-code
-#: rows (the dirhash columnar chain + the dedup anchors, including the
-#: twice-noisy dedup_minhash) and the round-5-new distributed-IVF
-#: query, which has no driver row yet.  Exactly 50 names.
+#: new queries; round 5 fronted the hex-projected binary outputs plus
+#: every remaining r1-code row.  Round 6 fronts (a) the 40 queries
+#: whose newest driver row is r2 code — now three rounds behind, the
+#: mandatory stale set under tests/test_entry.py's rotation guard —
+#: then (b) 10 slack slots drained from the never-checked backlog,
+#: starting with the two r5 leftovers (agg_mode_median, fn_regexp_all)
+#: the r5 comment promised would front.  Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) r4 driver ERRs (bytearray unhashable), now hex-projected
-    "scan_fixed_binary",
-    "scan_binary_file",
-    "mm_frame_sample",
-    # (b) newest driver row is r1 code — scans/sinks
-    "scan_parquet",
-    "scan_csv_infer",
-    "sink_parquet",
-    "project_rename",
-    # joins
-    "join_inner_hash",
-    "join_broadcast",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
-    # filters
-    "filter_in_like",
-    "filter_null",
-    # aggregates
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_stats",
-    "agg_percentile",
-    "agg_collect_sorted",
-    # windows / ordering
-    "win_rank",
-    "win_lag_lead",
-    "win_running",
-    "win_moving_avg",
-    "win_first_last",
-    "win_percent_rank",
-    "win_range_frame",
-    "limit_topk",
-    "topk_per_group",
-    # set ops
-    "set_union_all",
-    "set_union_dist",
-    "set_intersect",
-    "set_except",
-    # scalar functions
-    "fn_string",
-    "fn_math_cond",
-    "fn_array",
-    # dirhash rows-only exposures last touched r1
-    "dirhash_chunk_digests",
-    "dirhash_full",
-    # (c) new this round (never driver-checked): distributed-trained
-    # IVF, temperature resampling, forward as-of, and three of the
-    # round-5 widening ops.  The r2-code anchors considered for these
-    # slots (hash_sha2_text / merkle_fold_group / dedup_minhash) lost
-    # the tiebreak: their r2 rows are green and golden-backed, while a
-    # never-checked query has no driver row at all; the two widening
-    # ops that didn't fit (agg_mode_median, fn_regexp_all) front at r6.
-    "sim_ann_ivf_distfit",
-    "corpus_temperature_sampling",
-    "join_asof_forward",
-    "merge_upsert",
-    "dedup_containment",
-    "ts_anomaly_mad",
+    # (a) newest driver row is r2 code — the dirhash columnar chain
+    "hash_sha2_text",
+    "chunk_split_text",
+    "merkle_fold_group",
+    # dedup family anchors
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # similarity anchors
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_knn_join",
+    # text anchors
+    "text_tokens",
+    "text_token_count",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    # UDF surfaces
+    "udf_python",
+    "udaf_pandas",
+    "udtf_map_in_pandas",
+    # scans / sinks / layout family
+    "scan_json_lines",
+    "scan_text_lines",
+    "sink_orc",
+    "sink_parquet_partitioned",
+    "sink_parquet_clustered",
+    "sink_parquet_zorder",
+    # joins (physical strategies)
+    "join_bucketed",
+    "join_skew_salted",
+    # aggregates / reshape
+    "agg_pivot",
+    "agg_skew_salted",
+    "reshape_unpivot",
+    "reshape_posexplode",
+    # functions
+    "fn_json",
+    "fn_map",
+    "fn_struct_nested",
+    "fn_bitwise",
+    "fn_interval",
+    # corpus ops
+    "sample_hash_deterministic",
+    "pipeline_corpus_curation",
+    # (b) slack → never-checked backlog (38 waiting; these 10 front,
+    # the rest are enumerated below for r7)
+    "agg_mode_median",
+    "fn_regexp_all",
+    "agg_regression",
+    "graph_pagerank",
+    "stream_stream_join",
+    "ts_cohort_retention",
+    "quality_expectations",
+    "join_asof_nearest",
+    "sim_maxsim_late_interaction",
+    "corpus_drift_chi2",
 )
-# r6 rotation backlog (queries with no driver row after r5, all green in
-# ORACLE_SNAPSHOT_r05 — tests/test_entry.py pins that invariant): the
-# r5 widening batch (agg_regression, agg_corr_matrix, ts_cohort_retention,
-# ts_rolling_distinct, graph_pagerank, graph_triangle_count,
-# fn_aes_roundtrip, text_rarity_score, corpus_drift_chi2,
-# stream_stream_join, stream_stream_left_outer, snapshot_diff,
-# quality_expectations, join_asof_nearest, join_asof_tolerance,
-# sim_maxsim_late_interaction, ts_changepoint_cusum, ts_event_transitions,
-# sessionize_pattern_match, sample_balanced_classes,
-# join_dynamic_partition_prune) plus the two r5 leftovers
-# (agg_mode_median, fn_regexp_all).  These fill the r6 window's slack
-# after the then-stale r2/r3-code rows take their mandatory slots.
+# r7 rotation backlog (queries with no driver row after r6, all green in
+# ORACLE_SNAPSHOT_r06 — tests/test_entry.py pins that invariant):
+# agg_boolean, agg_corr_matrix, agg_grouping_id, agg_listagg,
+# corpus_cross_source_overlap, fn_aes_roundtrip, fn_surrogate_key,
+# funnel_time_to_convert, graph_triangle_count, join_asof_tolerance,
+# join_dynamic_partition_prune, pipeline_training_export,
+# sample_balanced_classes, scan_csv_multiline, scan_nested_pruning,
+# sessionize_pattern_match, set_except_all, set_intersect_all,
+# snapshot_diff, sql_exchange_reuse, stream_stream_left_outer,
+# text_rarity_score, ts_autocorr, ts_changepoint_cusum,
+# ts_event_transitions, ts_ewma_fixed_point, ts_rolling_distinct,
+# udf_python_arrow — plus anything registered during r6.  These fill
+# the r7 window's slack after the then-stale rows take their slots.
 
 
 def all_queries() -> dict[str, Query]:

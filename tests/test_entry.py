@@ -28,7 +28,7 @@ def test_every_oracle_has_a_query():
 def test_priority_order_names_all_registered():
     """Every PRIORITY_ORDER name resolves — all_queries() raises on
     phantoms, so a stale planned-query name can't silently drop its
-    intended driver-row coverage (round-2 postmortem).  The round-5
+    intended driver-row coverage (round-2 postmortem).  The round-6
     window's hand-picked anchors must sit inside the 50-entry prefix."""
     from dirhash_spark.registry import PRIORITY_ORDER, all_queries
 
@@ -37,17 +37,16 @@ def test_priority_order_names_all_registered():
     assert len(PRIORITY_ORDER) == 50  # exactly one driver window
     window = list(qs)[:50]
     for must in (
-        # r4 driver ERRs (bytearray unhashable), hex-projected in r5
-        "scan_fixed_binary",
-        "scan_binary_file",
-        "mm_frame_sample",
-        # round-5-new queries: never driver-checked, need first rows
-        "sim_ann_ivf_distfit",
-        "corpus_temperature_sampling",
-        "join_asof_forward",
-        "merge_upsert",
-        "dedup_containment",
-        "ts_anomaly_mad",
+        # r2-code-stale anchors the r5 verdict named explicitly
+        "dedup_minhash",
+        "merkle_fold_group",
+        "hash_sha2_text",
+        "sim_topk_cosine",
+        # never-checked backlog drained into r6 slack
+        "agg_mode_median",
+        "fn_regexp_all",
+        "graph_pagerank",
+        "stream_stream_join",
     ):
         assert must in window, must
 
