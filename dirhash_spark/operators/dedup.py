@@ -916,11 +916,24 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Max documents a 5-gram may appear in before its posting list is
+#: dropped from containment's pair expansion.  A boilerplate gram with
+#: document frequency d expands O(d^2) ordered pairs inside ONE posting
+#: row — the cap bounds that at CAP^2 structs (~16k) per row, turning
+#: the worst-case hot key from a task-killer into noise.  Dropped grams
+#: are boilerplate (license headers, navigation chrome), which near-dup
+#: practice EXCLUDES anyway; the fixtures' max df is 4, so the fixture
+#: results are byte-identical with or without the cap.
+CONTAINMENT_DF_CAP = 128
+
+
 @query(
     "dedup_containment",
     # Join on raw gram STRINGS on both engines (not hashes): equality
     # is then definitionally identical, and the 0.5*|Sa| cut uses only
-    # exact integer/half-integer arithmetic — no rounding guard.
+    # exact integer/half-integer arithmetic — no rounding guard.  The
+    # df cap is mirrored as a HAVING on the gram key; |Sa| (sz) stays
+    # the UNCAPPED distinct-gram count on both sides.
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -933,10 +946,12 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    kept AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 128),
+    ek AS (SELECT e.doc_id, e.gram FROM e JOIN kept USING (gram)),
     s AS (SELECT doc_id, len(grams) AS sz FROM g),
     p AS (
       SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, count(*) AS inter
-      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      FROM ek a JOIN ek b ON a.gram = b.gram AND a.doc_id <> b.doc_id
       GROUP BY 1, 2
     )
     SELECT p.doc_small, p.doc_big,
@@ -959,11 +974,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (doc, gram) postings shuffle once on the gram key, pair
     counts aggregate map-side before one (doc_a, doc_b) shuffle, and
     the per-doc size table joins back on the small pair set.  Linear
-    in postings + output pairs, never all-pairs.  At 100 TB the one
-    extra guard is a document-frequency cap on grams (drop postings
-    with df > threshold) — boilerplate grams are both the skew risk
-    and semantic noise; the fixture's vocabulary needs no cap, so the
-    cut here stays exactly the stated set formula.
+    in postings + output pairs, never all-pairs.
+
+    The 100 TB guard: grams with document frequency above
+    :data:`CONTAINMENT_DF_CAP` are dropped BEFORE pair expansion (a
+    HAVING on the aggregated posting list — same plan shape, no extra
+    exchange), bounding the in-row pair blow-up at CAP^2 per gram.
+    The drop is never silent — the posting stage carries an observed
+    metric ``dedup_containment_df_cap`` = (dropped_grams,
+    max_df) via ``DataFrame.observe``, so a production listener sees
+    exactly how much boilerplate the cap removed.  |Sa| remains the
+    uncapped distinct-gram count, so containment scores of surviving
+    pairs are unchanged; only intersections THROUGH ultra-common grams
+    are forgone.  Residual worst case: the collect_list buffer itself
+    is linear in df for the hot gram before the filter discards it —
+    if a corpus ever concentrates billions of postings in one gram,
+    pre-filter with a two-pass df table (count, then join) at the cost
+    of a second gram-keyed exchange; tests/test_llm_ops.py pins the
+    cap behavior under a synthetic boilerplate gram either way.
     """
     cat = Catalog(spark, sf_dir)
     w = F.split(F.col("text"), " ")
@@ -984,8 +1012,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = g.select(
         F.col("doc_id"), F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
-    postings = e.groupBy("gram").agg(
-        F.collect_list(F.struct("doc_id", "sz")).alias("docs")
+    postings = (
+        e.groupBy("gram")
+        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("docs"))
+        .observe(
+            "dedup_containment_df_cap",
+            F.sum((F.size("docs") > CONTAINMENT_DF_CAP).cast("long")).alias(
+                "dropped_grams"
+            ),
+            F.max(F.size("docs")).alias("max_df"),
+        )
+        .where(F.size("docs") <= CONTAINMENT_DF_CAP)
     )
     pair = F.explode(
         F.flatten(

@@ -64,9 +64,21 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     The star join from SURVEY §7 M0 — fact table joins dimensions
     (broadcast: nation/region are tiny, customer comfortably under the
     64 MB threshold at bench SF), then partial+final hash aggregation.
+
+    Money arithmetic follows the repo-wide exact-integer discipline:
+    price → cents and discount → basis points via ``floor(x*s + 0.5)``
+    (IEEE-identical in both engines), the per-item term
+    ``cents * (10000 - bps)`` is an exact BIGINT, and the sum rides
+    DECIMAL(38,0) (BIGINT would overflow near sf100: ~1e11/row · 6e9
+    rows) before one integer ``div`` back to cents.  No
+    engine-dependent float summation order anywhere — the old
+    ``round(sum(double), 2)`` form survived 5 rounds on luck, not
+    correctness.
     """
     cat = Catalog(spark, sf_dir)
-    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    bps = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    unit = (cents * (F.lit(10000) - bps)).cast("decimal(38,0)")
     return (
         cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
@@ -74,16 +86,24 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.sum(unit).alias("units"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy(F.col("revenue").desc())
+        .select(
+            "nation",
+            "region",
+            F.expr("CAST(units div 10000 AS BIGINT)").alias("revenue_cents"),
+            "n_items",
+        )
+        .orderBy(F.col("revenue_cents").desc())
     )
 
 
 FLAGSHIP_ORACLE = """
 SELECT n_name AS nation, r_name AS region,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+            // 10000 AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

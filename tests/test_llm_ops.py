@@ -289,3 +289,94 @@ def test_changepoint_unique_and_cusum_closes(spark, sf_dir):
     rows = QUERIES["ts_changepoint_cusum"].fn(spark, sf_dir).collect()
     assert sum(1 for r in rows if r["is_changepoint"]) == 1
     assert rows[-1]["cusum"] == 0
+
+
+# ---------------------------------------------------- skewed-corpus stress
+
+
+def _write_skew_docs(tmp_path):
+    """302-doc corpus with an adversarial boilerplate block: 300 short
+    docs share the same 10-word license header (every 5-gram inside it
+    has df=300, far over CONTAINMENT_DF_CAP=128), plus one planted
+    containment pair built from rare grams (df=2).  Returns the sf_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lic = " ".join(f"lic{j}" for j in range(10))
+    rows = [(i, f"{lic} uniq{i}") for i in range(300)]
+    small = " ".join(f"rare{j}" for j in range(12))
+    big = small + " " + " ".join(f"tail{j}" for j in range(12))
+    rows += [(1000, small), (1001, big)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["skew"] * len(rows),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_containment_df_cap_bounds_boilerplate_blowup(spark, tmp_path):
+    """Without the df cap the 300 boilerplate docs (containment 6/7
+    with each other) would emit ~300*299 ordered pairs through six
+    df=300 posting rows — an O(df^2) in-row expansion.  With the cap
+    those grams are dropped before expansion, so the ONLY surviving
+    pair is the planted rare-gram containment, and the worst posting
+    row expands <= CAP^2 structs."""
+    from dirhash_spark.operators.dedup import CONTAINMENT_DF_CAP
+
+    sf_dir = _write_skew_docs(tmp_path)
+    rows = QUERIES["dedup_containment"].fn(spark, sf_dir).collect()
+    assert [(r["doc_small"], r["doc_big"], r["containment"]) for r in rows] == [
+        (1000, 1001, 1.0)
+    ]
+    # the fixture really is adversarial: six grams exceed the cap, and
+    # every *kept* gram's posting list stays far under it
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.catalog import Catalog
+
+    w = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, 5), " "),
+        )
+    )
+    df_dist = (
+        Catalog(spark, sf_dir)
+        .documents.select(F.explode(grams).alias("gram"), "doc_id")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    over = df_dist.where(F.col("df") > CONTAINMENT_DF_CAP).collect()
+    assert len(over) == 6 and all(r["df"] == 300 for r in over)
+    kept_max = df_dist.where(F.col("df") <= CONTAINMENT_DF_CAP).agg(
+        F.max("df")
+    ).collect()[0][0]
+    assert kept_max <= 2  # kept pair expansion is O(1), not O(300^2)
+
+
+def test_neardup_family_bounded_under_skew(spark, tmp_path):
+    """The other near-dup stages hold their documented pair bounds on
+    the same adversarial fixture: jaccard's banded window caps pairs at
+    n*window regardless of content, and minhash buckets only ever
+    expand real near-dup groups (the 300 boilerplate docs ARE mutual
+    near-dups, so their pairs are required output, bounded by the
+    group size — never corpus^2 across groups)."""
+    from dirhash_spark.operators.dedup import _JACCARD_WINDOW
+
+    sf_dir = _write_skew_docs(tmp_path)
+    jac = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    assert 0 < len(jac) <= 302 * _JACCARD_WINDOW
+    mh = QUERIES["dedup_minhash"].fn(spark, sf_dir).collect()
+    n_group_pairs = 300 * 299 // 2 + 1  # boilerplate clique + planted pair
+    assert 0 < len(mh) <= n_group_pairs
+    pairs = {(r["doc_a"], r["doc_b"]) for r in mh}
+    # no candidate pair may bridge the boilerplate clique and the rare
+    # pair — that would be a spurious cross-group blow-up
+    assert not any(a < 1000 <= b for a, b in pairs)
