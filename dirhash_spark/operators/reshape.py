@@ -385,7 +385,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH k AS (
       SELECT doc_id, lang,
-             (doc_id * 2654435761) % 4294967296 AS skey
+             CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                  AS BIGINT) AS skey
       FROM documents
     ),
     m AS (
@@ -420,10 +421,15 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated from the class counts (map-only, approximately exact);
     the fixture-scale form keeps the exact rank the oracle states."""
     cat = Catalog(spark, sf_dir)
+    # The scramble product rides DECIMAL(38,0)/HUGEINT: doc_id ≳ 3.5e9
+    # would overflow BIGINT (Spark non-ANSI wraps negative, DuckDB
+    # raises — divergence exactly at the corpus sizes this targets).
     k = cat.documents.select(
         "doc_id",
         "lang",
-        ((F.col("doc_id") * 2654435761) % 4294967296).alias("skey"),
+        ((F.col("doc_id").cast("decimal(38,0)") * 2654435761) % 4294967296)
+        .cast("long")
+        .alias("skey"),
     )
     mc = (
         cat.documents.groupBy("lang")

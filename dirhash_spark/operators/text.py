@@ -559,7 +559,8 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn = 1 AND len(text) BETWEEN 50 AND 5000
     ),
     sharded AS (
-      SELECT (doc_id * 2654435761) % 8 AS shard, n_words
+      SELECT CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 8 AS BIGINT)
+               AS shard, n_words
       FROM curated WHERE n_words >= 10
     )
     SELECT CAST(shard AS BIGINT) AS shard,
@@ -604,7 +605,12 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & F.length("text").between(50, 5000))
         .select("doc_id", "text", F.size(words).alias("n_words"))
         .where(F.col("n_words") >= 10)
-        .withColumn("shard", (F.col("doc_id") * 2654435761) % 8)
+        # scramble rides DECIMAL(38,0)/HUGEINT — BIGINT wraps negative
+        # (Spark) / raises (DuckDB) once doc_id exceeds ~3.5e9
+        .withColumn(
+            "shard",
+            ((F.col("doc_id").cast("decimal(38,0)") * 2654435761) % 8).cast("long"),
+        )
     )
     curated.select("shard", "doc_id", "text", "n_words").write.mode(
         "overwrite"

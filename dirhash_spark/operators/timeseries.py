@@ -757,8 +757,10 @@ def sessionize_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT k, count(*) AS n,
-             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
-             sum(x*x) AS sxx, sum(y*y) AS syy
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
       FROM lagk WHERE y IS NOT NULL GROUP BY 1
     )
     SELECT CAST(k AS INT) AS lag_days,
@@ -806,13 +808,18 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prn") == F.col("rn") - F.col("k"),
         )
     )
+    # Second-order sums ride DECIMAL(38,0)/HUGEINT, like agg_regression:
+    # daily counts near 2e9 square to ~4e18 per row — a BIGINT sum
+    # overflows (wrapping silently under non-ANSI) within a year.
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     s = lagk.groupBy("k").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     n, sx, sy, sxy, sxx, syy = (
         F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
@@ -886,13 +893,18 @@ def ts_ewma_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.size(acc) == 0, e["x"].cast("bigint") * 1_000_000
                         )
                         .otherwise(
-                            (
+                            # TRUE integer division: div-by-4 on the
+                            # non-negative accumulator is shiftright 2,
+                            # a pure BIGINT op.  (`/ 4` + cast would
+                            # round-trip through DOUBLE and silently
+                            # diverge from the oracle's `// 4` once
+                            # 3*s + x*1e6 exceeds 2^53.)
+                            F.shiftright(
                                 3 * F.element_at(acc, -1)["s"]
-                                + e["x"].cast("bigint") * 1_000_000
+                                + e["x"].cast("bigint") * 1_000_000,
+                                2,
                             )
-                            / 4
                         )
-                        .cast("bigint")
                         .alias("s"),
                     )
                 ),

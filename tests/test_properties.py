@@ -165,3 +165,43 @@ def test_url_canonicalization_idempotent(host, path, params, frag, slash):
     url += frag
     once = _canon_url(url)
     assert _canon_url(once) == once, (url, once, _canon_url(once))
+
+
+def test_scramble_and_recurrence_exact_beyond_float53(spark):
+    """The Knuth scramble and the EWMA integer division must stay exact
+    for keys/sums past the BIGINT-product wrap point (~3.5e9 doc_ids)
+    and the 2^53 double-mantissa cliff: the DECIMAL(38,0) routing and
+    shiftright forms must agree with Python's arbitrary-precision ints,
+    where the old `* // via double` forms silently diverge."""
+    from pyspark.sql import functions as F
+
+    ids = [1, 3_500_000_000, 2**40 + 17, 2**62 + 11]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    got = {
+        r["doc_id"]: (r["skey"], r["shard"])
+        for r in df.select(
+            "doc_id",
+            ((F.col("doc_id").cast("decimal(38,0)") * 2654435761) % 4294967296)
+            .cast("long")
+            .alias("skey"),
+            ((F.col("doc_id").cast("decimal(38,0)") * 2654435761) % 8)
+            .cast("long")
+            .alias("shard"),
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == ((i * 2654435761) % 2**32, (i * 2654435761) % 8)
+
+    # EWMA step: div 4 via shiftright — exact where double division
+    # rounds.  At 2^56 the double grid spacing is 8, so 2^56 + 4 isn't
+    # representable: the old `/ 4` path computes on the rounded-to-even
+    # 2^56 and lands one off the true floor.
+    v = 2**56 + 4
+    assert float(v) != v  # precondition: v really is off-grid
+    step = (
+        spark.createDataFrame([(v,)], "v: long")
+        .select(F.shiftright(F.col("v"), 2).alias("s2"))
+        .collect()[0]["s2"]
+    )
+    assert step == v // 4 == 2**54 + 1
+    assert int(float(v) / 4) == 2**54  # the double path is wrong here
