@@ -77,6 +77,8 @@ EXTRA = [
     "dedup_containment",            # inverted-index shingle containment
     "join_asof_tolerance",          # bounded-staleness as-of, same 1-pass form
     "ts_event_transitions",         # Markov edges, vocab^2-bounded tail
+    # round-6 additions
+    "pipeline_neardup_e2e",         # LSH ∪ posting-index → verify → CC
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

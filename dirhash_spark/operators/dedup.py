@@ -404,7 +404,11 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     convergence into O(log diameter) — one more shuffle).  Convergence
     is detected by the monotonically-decreasing label sum, and lineage
     is truncated per round with localCheckpoint so the plan doesn't grow
-    exponentially across iterations.
+    exponentially across iterations.  The edge list itself is
+    checkpointed ONCE on entry: it is re-read every round, and leaving
+    it lazy would re-execute its whole upstream lineage (candidate
+    generation, sketches, verification) once per iteration — measured
+    170 s → 11 s on pipeline_neardup_e2e at sf0.1.
 
     This simple variant is fine up to graphs whose label table fits a
     normal shuffle (billions of nodes).  For web-scale edge sets the
@@ -413,6 +417,7 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     SoCC 2014) — same primitives, provably fewer rounds on skewed
     degree distributions.
     """
+    edges = edges.localCheckpoint()
     labels = nodes
     prev_sum = None
     for _ in range(_CC_MAX_ITERS):
@@ -1051,4 +1056,176 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "containment"
             ),
         )
+    )
+
+
+# ------------------------------------- composed near-dup pipeline (e2e)
+
+#: Exact word-5-gram Jaccard threshold for the e2e verify stage (tau).
+_E2E_TAU_NUM, _E2E_TAU_DEN = 1, 2  # tau = 1/2: keep iff den*i >= num*(a+b-i)
+
+
+@query(
+    "pipeline_neardup_e2e",
+    # Ground truth is EXACT and SQL-expressible because the candidate
+    # stage is a provably complete superset: any pair with word-gram
+    # Jaccard > 0 shares at least one gram, so the df-capped inverted
+    # index (cap far above the fixtures' max df of 4 — same guard as
+    # dedup_containment) reaches every tau-pair.  The closure is the
+    # dedup_cluster_canonical recursive CTE restricted to clustered
+    # docs.  tau = 1/2 compares as 3*i >= |A|+|B| — exact integers.
+    oracle=r"""
+    WITH RECURSIVE d AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+    n AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+4], ' ')
+                            FOR i IN generate_series(1, greatest(len(ws) - 4, 1))])
+               AS grams
+      FROM w
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM n),
+    kept AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 128),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT e.* FROM e JOIN kept USING (gram)) a
+      JOIN (SELECT e.* FROM e JOIN kept USING (gram)) b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    ver AS MATERIALIZED (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN n na ON na.doc_id = cand.doc_a
+      JOIN n nb ON nb.doc_id = cand.doc_b
+      WHERE 3 * len(list_intersect(na.grams, nb.grams))
+            >= len(na.grams) + len(nb.grams)
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM ver
+      UNION ALL
+      SELECT doc_b, doc_a FROM ver
+    ),
+    reach(doc, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT reach.doc, e2.v FROM reach JOIN edges e2 ON e2.u = reach.r
+    )
+    SELECT doc AS doc_id, min(r) AS cluster_id, (doc = min(r)) AS is_canonical
+    FROM reach GROUP BY doc
+    """,
+    tags=("dedup", "pipeline", "e2e"),
+)
+def pipeline_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dup pipeline a real corpus run executes, as ONE
+    operator exercising the hand-offs the stages only prove separately:
+
+        candidates (MinHash/LSH banding ∪ df-capped word-gram posting
+                    index)
+        → exact word-5-gram Jaccard >= 1/2 verify on CANDIDATE PAIRS
+          ONLY (never all-pairs)
+        → connected components over the verified pair graph
+        → canonical keep-list (doc_id, cluster_id, is_canonical)
+
+    Candidate union, deliberately: LSH (dedup_minhash's banded sketch)
+    is the 100 TB scale path but its recall is probabilistic; the
+    posting-index generator (dedup_containment's topology over word
+    5-grams, df-capped at 128) is exact-by-construction — any pair
+    with J > 0 shares a gram — which is what lets a declarative oracle
+    state ground truth.  Running both costs one extra cheap shuffle at
+    fixture scale and makes the verify stage's contract explicit: it
+    accepts ANY candidate stream and owns correctness from there.
+
+    Physical shape: the sketch is Arrow-batched pandas (one pass);
+    posting pairs expand in-row after the df cap (bounded CAP^2); the
+    verify joins broadcast the slim candidate pair list against the
+    gram-array table twice, so gram arrays never shuffle (at huge
+    candidate counts this flips to a doc_id-keyed SMJ — swap the hint,
+    not the program); components via min-label propagation + pointer
+    jumping (:func:`_connected_components`) on the verified-pair graph
+    only, which is near-dup-group-sized, not corpus-sized.
+    """
+    ver = _neardup_verified_pairs(spark, sf_dir).localCheckpoint()
+    # materialized ONCE (localCheckpoint): both the edge list and the
+    # node list read it, and the CC loop re-reads edges every round —
+    # left lazy, the sketch+verify lineage would execute 2+ more times.
+
+    edges = ver.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        ver.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    nodes = (
+        ver.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(ver.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    labels = _connected_components(nodes, edges)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def _neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation + exact verify for pipeline_neardup_e2e,
+    exposed unmaterialized so tests can assert its physical plan (the
+    registered query checkpoints this result before the CC loop, which
+    hides the upstream plan behind an RDD scan)."""
+    cat = Catalog(spark, sf_dir)
+    n_parts = spark.sparkContext.defaultParallelism
+    # The token ARRAY is pinned behind an exchange before the gram
+    # lambda runs: the lambda body references it per element, so left
+    # as an expression the whole normalize+split chain would re-run
+    # once per gram slot (the dedup_ngram_jaccard lesson, re-measured
+    # here: 11.6 s → 3.5 s for the posting explode at sf0.1).
+    base = cat.documents.select(
+        "doc_id", F.split(_NORM_SPARK(F.col("text")), " ").alias("ws")
+    ).repartition(n_parts)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(1))),
+            lambda i: F.array_join(F.slice(F.col("ws"), i, 5), " "),
+        )
+    )
+    g = base.select("doc_id", grams.alias("grams"), F.size(grams).alias("sz"))
+
+    # -- candidate stream 1: LSH banding (the probabilistic scale path)
+    cand_lsh = (
+        REGISTRY["dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    # -- candidate stream 2: exact posting index, df-capped (in-row i<j
+    #    expansion on the sorted bucket, as dedup_minhash's buckets do)
+    buckets = (
+        g.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= CONTAINMENT_DF_CAP))
+    )
+    cand_idx = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    cand = cand_lsh.unionByName(cand_idx).distinct()
+
+    # -- exact verify on candidates only (integer comparison, no floats)
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("sz").alias("sa"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("sz").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    return (
+        a.join(F.broadcast(cand), "doc_a")
+        .join(b, "doc_b")
+        .where(3 * inter >= F.col("sa") + F.col("sb"))
+        .select("doc_a", "doc_b")
     )

@@ -380,3 +380,18 @@ def test_neardup_family_bounded_under_skew(spark, tmp_path):
     # no candidate pair may bridge the boilerplate clique and the rare
     # pair — that would be a spurious cross-group blow-up
     assert not any(a < 1000 <= b for a, b in pairs)
+
+
+def test_neardup_e2e_on_skew_fixture(spark, tmp_path):
+    """End-to-end pipeline on the adversarial fixture: the 300
+    boilerplate docs are genuine mutual near-dups (word-gram Jaccard
+    6/8 between any two), so LSH candidates must carry them through
+    verify into ONE cluster with doc 0 canonical — even though the
+    df-capped posting index rightly drops their grams — while the
+    planted containment pair (Jaccard 8/20 < 1/2) must NOT cluster."""
+    sf_dir = _write_skew_docs(tmp_path)
+    rows = QUERIES["pipeline_neardup_e2e"].fn(spark, sf_dir).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert set(by_doc) == set(range(300))  # 1000/1001 below tau
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert [d for d, r in by_doc.items() if r["is_canonical"]] == [0]

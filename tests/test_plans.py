@@ -722,3 +722,25 @@ def test_exchange_reuse_at_runtime(spark):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p, p[:800]
+
+
+def test_neardup_e2e_verify_stage_no_all_pairs(spark):
+    """The composed near-dup pipeline's candidate+verify stage (planned
+    pre-checkpoint — the registered query materializes it before the CC
+    loop) must never fall back to an all-pairs topology: candidates come
+    from the LSH band equi-join and the df-capped posting index, and the
+    verify joins broadcast the slim pair list against the gram arrays."""
+    import contextlib as _ctx
+    import io as _io
+
+    from dirhash_spark.operators.dedup import _neardup_verified_pairs
+
+    df = _neardup_verified_pairs(spark, SF)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # pair list broadcasts, arrays don't shuffle
