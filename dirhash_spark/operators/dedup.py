@@ -999,6 +999,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap behavior under a synthetic boilerplate gram either way.
     """
     cat = Catalog(spark, sf_dir)
+    # Perf note (r6 audit): unlike dedup_ngram_jaccard/e2e, pinning the
+    # split array behind an exchange does NOT help here — profiled at
+    # sf0.1, the 3 s gram stage is the interpreted per-element
+    # slice+join+distinct itself (split-on-space is cheap; the jaccard
+    # regression came from a REGEX chain in the lambda), so the extra
+    # round-robin shuffle would be pure cost at scale.  Kept single
+    # gram-keyed exchange.
     w = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(
