@@ -1236,3 +1236,319 @@ def _neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(3 * inter >= F.col("sa") + F.col("sb"))
         .select("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------- bloom-filter dedup manifest
+
+_BLOOM_M = 16384  # bits, packed 32/word (bit 63 would overflow DuckDB's
+# signed left shift, so words are 32-bit halves stored in BIGINT) -> 512 rows
+_BLOOM_K = 4      # probes per key, from disjoint sha256 hex slices
+
+
+def _bloom_positions_spark(hcol):
+    """K probe positions from disjoint 8-hex-char slices of a sha256:
+    exact integer parses, identical to the oracle's ('0x'||slice)::BIGINT."""
+    return F.array(
+        *[
+            (F.conv(F.substring(hcol, 1 + 8 * i, 8), 16, 10).cast("long") % _BLOOM_M)
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+_BLOOM_POS_SQL = ", ".join(
+    f"(('0x' || substr(h, {1 + 8 * i}, 8))::BIGINT % {_BLOOM_M})"
+    for i in range(_BLOOM_K)
+)
+
+
+@query(
+    "dedup_bloom_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT sha256(text) AS h FROM documents WHERE doc_id < {_INCR_SPLIT}
+    ),
+    pos AS (SELECT unnest([{_BLOOM_POS_SQL}]) AS pos FROM h)
+    SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+           CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+    FROM pos GROUP BY 1
+    """,
+    tags=("dedup", "bloom", "manifest"),
+)
+def dedup_bloom_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom-filter membership manifest over the corpus's
+    content hashes (docs below the id split, as in dedup_incremental):
+    K={_BLOOM_K} probe positions per document from disjoint sha256 hex
+    slices, OR-ed into {_BLOOM_M}-bit words.  The returned
+    (word_idx, bits) table IS the manifest — at 100 TB it replaces the
+    32-byte-per-doc hash manifest with ~1.25 bits/doc/probe: a 1e12-doc
+    corpus needs a ~2 TB hash manifest but only a few GB of bloom
+    words, small enough to BROADCAST to every ingest executor.
+
+    Exactness: probe positions are integer parses of hex slices
+    (conv base 16 == DuckDB '0x' cast), and the bit OR is associative-
+    commutative integer math — no engine variance anywhere, so even
+    the false-positive pattern is reproducible.  One shuffle on the
+    word index (256 groups), map-side combined.
+    """
+    cat = Catalog(spark, sf_dir)
+    pos = (
+        cat.documents.where(F.col("doc_id") < _INCR_SPLIT)
+        .select(F.explode(_bloom_positions_spark(F.sha2("text", 256))).alias("pos"))
+    )
+    return (
+        pos.select(
+            F.expr("CAST(pos div 32 AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").cast("bigint").alias("bits"))
+    )
+
+
+@query(
+    "dedup_bloom_probe",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT sha256(text) AS h FROM documents WHERE doc_id < {_INCR_SPLIT}
+    ),
+    manifest AS (
+      SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      FROM (SELECT unnest([{_BLOOM_POS_SQL}]) AS pos FROM corpus)
+      GROUP BY 1
+    ),
+    batch AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id >= {_INCR_SPLIT}
+    ),
+    probes AS (
+      SELECT doc_id, h, unnest([{_BLOOM_POS_SQL}]) AS pos FROM batch
+    ),
+    hit AS (
+      SELECT p.doc_id,
+             bool_and((coalesce(m.bits, 0) >> CAST(p.pos % 32 AS INT)) & 1 = 1)
+               AS maybe_seen
+      FROM probes p LEFT JOIN manifest m ON p.pos // 32 = m.word_idx
+      GROUP BY 1
+    ),
+    truth AS (
+      SELECT b.doc_id, (c.h IS NOT NULL) AS is_dup
+      FROM batch b LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON b.h = c.h
+    )
+    SELECT hit.doc_id, hit.maybe_seen, truth.is_dup
+    FROM hit JOIN truth ON hit.doc_id = truth.doc_id
+    """,
+    tags=("dedup", "bloom", "incremental"),
+)
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe an incoming batch against the Bloom manifest — the
+    constant-memory form of dedup_incremental's hash-manifest probe.
+    Output per batch doc: ``maybe_seen`` (all K bits set — bloom
+    verdict, false positives possible but deterministic) alongside the
+    exact ``is_dup`` truth, which is both the correctness oracle for
+    the bloom math AND the operational measurement of its
+    false-positive rate on this corpus (maybe_seen & !is_dup rows).
+
+    Scale shape: the manifest aggregates to {_BLOOM_M}/64 rows and
+    broadcasts; the batch explodes K probe rows per doc, joins the
+    broadcast manifest, and folds back to one row per doc with
+    bool_and — map-side work plus one doc_id-keyed shuffle.  The
+    exact-truth join probes the corpus hash set exactly as
+    dedup_incremental does (32-byte key semi-probe); production runs
+    bloom-first and only hash-verifies the maybe_seen survivors,
+    cutting manifest I/O by the true-negative rate.
+    """
+    cat = Catalog(spark, sf_dir)
+    corpus = cat.documents.where(F.col("doc_id") < _INCR_SPLIT).select(
+        F.sha2("text", 256).alias("h")
+    )
+    manifest = (
+        corpus.select(F.explode(_bloom_positions_spark(F.col("h"))).alias("pos"))
+        .select(
+            F.expr("CAST(pos div 32 AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    batch = cat.documents.where(F.col("doc_id") >= _INCR_SPLIT).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    probes = batch.select(
+        "doc_id", F.explode(_bloom_positions_spark(F.col("h"))).alias("pos")
+    )
+    hit = (
+        probes.join(
+            F.broadcast(manifest),
+            F.expr("pos div 32") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            (
+                F.expr(
+                    "(shiftright(coalesce(bits, CAST(0 AS BIGINT)), CAST(pos % 32 AS INT)) & 1) = 1"
+                )
+            ).alias("bit_set"),
+        )
+        .groupBy("doc_id")
+        .agg(F.bool_and("bit_set").alias("maybe_seen"))
+    )
+    seen = corpus.distinct().select(F.col("h").alias("ch"), F.lit(True).alias("seen"))
+    truth = batch.join(F.broadcast(seen), F.col("h") == F.col("ch"), "left").select(
+        "doc_id", F.coalesce("seen", F.lit(False)).alias("is_dup")
+    )
+    return hit.join(truth, "doc_id").select("doc_id", "maybe_seen", "is_dup")
+
+
+# ------------------------------------------- verbatim run detection
+
+_VERBATIM_W = 12  # anchor window length (words)
+
+
+@query(
+    "dedup_verbatim_runs",
+    # Windows join on raw STRINGS (definitionally identical equality);
+    # run stitching is the diagonal gaps-and-islands trick in exact
+    # integer arithmetic.  The df cap mirrors the Spark bucket filter.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(ws) - {_VERBATIM_W - 1})) AS pos,
+             unnest([array_to_string(ws[i:i+{_VERBATIM_W - 1}], ' ')
+                     FOR i IN generate_series(1, len(ws) - {_VERBATIM_W - 1})]) AS win
+      FROM d WHERE len(ws) >= {_VERBATIM_W}
+    ),
+    kept AS (
+      SELECT win FROM e GROUP BY win
+      HAVING count(*) >= 2 AND count(*) <= 128
+    ),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM (SELECT e.* FROM e JOIN kept USING (win)) a
+      JOIN (SELECT e.* FROM e JOIN kept USING (win)) b
+        ON a.win = b.win AND a.doc_id < b.doc_id
+    ),
+    i AS (
+      SELECT da, db, pa, pb,
+             pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+               AS grp,
+             pa - pb AS diag
+      FROM p
+    ),
+    r AS (
+      SELECT da, db, diag, grp,
+             count(*) + {_VERBATIM_W - 1} AS run, count(*) AS nwin
+      FROM i GROUP BY 1, 2, 3, 4
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(max(run) AS BIGINT) AS max_run_words,
+           CAST(sum(nwin) AS BIGINT) AS n_matching_windows
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("dedup", "verbatim", "forensics"),
+)
+def dedup_verbatim_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-copy forensics: for every document pair sharing at
+    least one {w}-word window, the length of the LONGEST contiguous
+    shared word run and the total number of matching window pairs —
+    the quote/boilerplate detector that set-overlap dedup
+    (jaccard/containment) cannot express, because it is order- and
+    adjacency-sensitive: 60 shared words scattered through a document
+    score the same Jaccard as a 60-word verbatim quote, but only the
+    quote yields max_run_words = 60.
+
+    Algorithm (all exact integers): explode every {w}-word window with
+    its position; bucket by window string (df-capped, the
+    dedup_containment guard) and expand cross-doc position pairs
+    in-row; matches at positions (pa, pb) with equal diagonal pa-pb
+    that are CONSECUTIVE in pa belong to one verbatim run, stitched by
+    the gaps-and-islands trick (pa - row_number over the diagonal);
+    island of n windows = run of n + {w} - 1 words.  At 100 TB the
+    window strings would be 8-byte rolling hashes with a verify pass
+    (same topology, one more broadcast join); strings here keep the
+    oracle equality definitional.
+
+    Scale shape: one shuffle on the window key (bounded buckets →
+    bounded in-row expansion), one shuffle on the (pair, diagonal)
+    window, one pair rollup — linear in postings + matched windows,
+    never all-pairs.
+    """.format(w=_VERBATIM_W)
+    cat = Catalog(spark, sf_dir)
+    n_parts = spark.sparkContext.defaultParallelism
+    # token array pinned behind the exchange: the window lambda
+    # references it per element and the NORM regex chain must run once
+    # per row, not once per window slot (measured on the e2e pipeline)
+    base = cat.documents.select(
+        "doc_id",
+        F.filter(F.split(_NORM_SPARK(F.col("text")), " "), lambda x: x != "").alias(
+            "ws"
+        ),
+    ).repartition(n_parts)
+    win_t = "ARRAY<STRUCT<pos: INT, win: STRING>>"
+    wins = F.when(
+        F.size("ws") >= _VERBATIM_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (_VERBATIM_W - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.array_join(F.slice(F.col("ws"), i, _VERBATIM_W), " ").alias("win"),
+            ),
+        ),
+    ).otherwise(F.expr(f"CAST(array() AS {win_t})"))
+    e = base.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win")
+    )
+    buckets = (
+        e.groupBy("win")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= CONTAINMENT_DF_CAP))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("da"),
+                        y["doc_id"].alias("db"),
+                        x["pos"].alias("pa"),
+                        y["pos"].alias("pb"),
+                    ),
+                ),
+            )
+        )
+    )
+    p = (
+        buckets.select(pair.alias("p"))
+        .select("p.da", "p.db", "p.pa", "p.pb")
+        .where(F.col("da") < F.col("db"))
+    )
+    from pyspark.sql.window import Window as W
+
+    diag_w = W.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    i = p.select(
+        "da",
+        "db",
+        "pa",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(diag_w)).alias("grp"),
+    )
+    r = i.groupBy("da", "db", "diag", "grp").agg(
+        (F.count(F.lit(1)) + (_VERBATIM_W - 1)).alias("run"),
+        F.count(F.lit(1)).alias("nwin"),
+    )
+    return r.groupBy("da", "db").agg(
+        F.max("run").cast("bigint").alias("max_run_words"),
+        F.sum("nwin").cast("bigint").alias("n_matching_windows"),
+    ).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        "max_run_words",
+        "n_matching_windows",
+    )

@@ -702,3 +702,149 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_grams").desc(), "source_a", "source_b")
         .limit(20)
     )
+
+
+# ------------------------------------------------- chunking / surprisal
+
+_CHUNK_W, _CHUNK_S = 32, 24  # window, stride (8-token overlap)
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(0,
+               CAST((greatest(len(ws) - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                    // {_CHUNK_S} AS INT))) AS chunk_id
+      FROM d
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(ws[chunk_id*{_CHUNK_S}+1 : chunk_id*{_CHUNK_S}+{_CHUNK_W}], ' ')
+             AS chunk_text,
+           CAST(len(ws[chunk_id*{_CHUNK_S}+1 : chunk_id*{_CHUNK_S}+{_CHUNK_W}]) AS INT)
+             AS n_chunk_tokens
+    FROM c
+    """,
+    tags=("text", "llm", "chunk"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the training-prep/RAG step
+    that turns documents into overlapping {_CHUNK_W}-token windows with
+    stride {_CHUNK_S} (trailing chunk keeps the remainder; stride <=
+    window guarantees full coverage).  Chunk count is the exact integer
+    1 + ceil(max(n-W,0)/S), so both engines enumerate identical chunk
+    ids.
+
+    Scale shape: map-only — tokenize once, explode a per-doc integer
+    sequence, slice the token array per chunk.  No shuffle at all; at
+    100 TB this runs at scan speed and the downstream shard write
+    (pipeline_training_export's layout) keys on (doc_id, chunk_id).
+    """
+    cat = Catalog(spark, sf_dir)
+    ws = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    base = cat.documents.select("doc_id", ws.alias("ws"))
+    nc_minus1 = F.expr(
+        f"(greatest(size(ws) - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) div {_CHUNK_S}"
+    ).cast("int")
+    start = F.col("chunk_id") * _CHUNK_S + 1
+    chunk = F.slice("ws", start, F.lit(_CHUNK_W))
+    return (
+        base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), nc_minus1)).alias("chunk_id"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
+@query(
+    "text_surprisal_bits",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ),
+    v AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    n AS (SELECT sum(c) AS total FROM v),
+    b AS (
+      SELECT word,
+             CAST(length(bin(CAST(n.total // v.c AS BIGINT))) - 1 AS BIGINT)
+               AS bits
+      FROM v, n
+    ),
+    s AS (
+      SELECT tok.doc_id, count(*) AS n_tokens, sum(b.bits) AS total_bits
+      FROM tok JOIN b USING (word) GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(total_bits AS BIGINT) AS total_bits,
+           CAST((total_bits * 100) // n_tokens AS BIGINT) AS mean_centibits
+    FROM s
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus unigram LM, in
+    EXACT integer arithmetic: per-token surprisal = floor(log2(N/c)) =
+    bit_length(N div c) - 1 (N = corpus token count, c = token count),
+    summed per document, plus the mean in centibits.  A document of
+    nothing but ultra-common tokens scores low (template/boilerplate);
+    one of rare tokens scores high (noise) — the standard two-sided
+    quality cut, but with zero transcendentals: floor(log2(x)) computed
+    as the binary-digit count of an integer is bit-identical on any
+    engine, where ln/log2 doubles are only 1-ulp-accurate per libm
+    (the repo's float discipline, DESIGN.md).
+
+    Scale shape: the vocabulary aggregation and the token→vocab join
+    key on the same word column, so the exploded token stream shuffles
+    once and Spark reuses the exchange (text_rarity_score's topology);
+    the 1-row total broadcasts; the doc rollup is the only other
+    exchange.  The vocab table never collects to the driver.
+    """
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
+            "word"
+        ),
+    )
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    bits = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            (
+                F.length(F.conv(F.expr("CAST(total div c AS STRING)"), 10, 2)) - 1
+            )
+            .cast("bigint")
+            .alias("bits"),
+        )
+    )
+    s = (
+        tok.join(bits, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("bits").alias("total_bits"))
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("total_bits").cast("bigint").alias("total_bits"),
+        F.expr("CAST((total_bits * 100) div n_tokens AS BIGINT)").alias(
+            "mean_centibits"
+        ),
+    )

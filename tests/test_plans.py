@@ -744,3 +744,40 @@ def test_neardup_e2e_verify_stage_no_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p  # pair list broadcasts, arrays don't shuffle
+
+
+def test_chunk_sliding_is_map_only(spark):
+    """Chunking is tokenize + sequence-explode + slice: zero exchanges,
+    runs at scan speed."""
+    p = plan(spark, "text_chunk_sliding", "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_surprisal_token_stream_shuffles_once_per_purpose(spark):
+    """Vocabulary count and token→vocab join key on the same word
+    column (exchange reuse), the 1-row total broadcasts, and the doc
+    rollup is the only other exchange — never a second corpus-sized
+    shuffle."""
+    p = plan(spark, "text_surprisal_bits", "simple")
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 4, p
+
+
+def test_bloom_probe_manifest_broadcasts(spark):
+    """The bloom manifest (512 words) must broadcast to the probe side;
+    the exact-truth hash probe broadcasts too (dedup_incremental's
+    contract) — no shuffle of the batch against either."""
+    p = plan(spark, "dedup_bloom_probe", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_verbatim_runs_no_join_topology(spark):
+    """Verbatim-run stitching is bucket-collect + in-row expansion +
+    one windowed island pass: no join operator anywhere, no
+    nested-loop/cartesian fallback."""
+    p = plan(spark, "dedup_verbatim_runs", "simple")
+    assert "CartesianProduct" not in p
+    assert "Join" not in p, p
