@@ -1197,7 +1197,15 @@ def _neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(F.col("ws"), i, 5), " "),
         )
     )
-    g = base.select("doc_id", grams.alias("grams"), F.size(grams).alias("sz"))
+    # Materialize the gram table ONCE: three consumers read it (the
+    # posting explode and both verify sides) and the interpreted gram
+    # construction is the dominant per-row cost — left lazy it runs
+    # 3×, measured 12.0 s → 5.9 s for the verify stage at sf0.1.  At
+    # cluster scale this is the same call: one pass over the corpus
+    # building the gram column, persisted, instead of three.
+    g = base.select(
+        "doc_id", grams.alias("grams"), F.size(grams).alias("sz")
+    ).localCheckpoint()
 
     # -- candidate stream 1: LSH banding (the probabilistic scale path)
     cand_lsh = (
