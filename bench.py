@@ -79,6 +79,10 @@ EXTRA = [
     "ts_event_transitions",         # Markov edges, vocab^2-bounded tail
     # round-6 additions
     "pipeline_neardup_e2e",         # LSH ∪ posting-index → verify → CC
+    "dedup_verbatim_runs",          # diagonal islands over window postings
+    "dedup_bloom_probe",            # bloom manifest + probe + exact truth
+    "text_chunk_sliding",           # map-only sliding-window chunking
+    "text_surprisal_bits",          # integer unigram-LM surprisal
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

@@ -395,3 +395,13 @@ def test_neardup_e2e_on_skew_fixture(spark, tmp_path):
     assert set(by_doc) == set(range(300))  # 1000/1001 below tau
     assert all(r["cluster_id"] == 0 for r in rows)
     assert [d for d, r in by_doc.items() if r["is_canonical"]] == [0]
+
+
+def test_bloom_probe_never_false_negative(spark, sf_dir):
+    """The Bloom contract: maybe_seen is allowed to be wrong only in
+    ONE direction.  Every exact duplicate must probe positive (a false
+    negative would silently admit a duplicate at ingest); false
+    positives are permitted and measured."""
+    rows = QUERIES["dedup_bloom_probe"].fn(spark, sf_dir).collect()
+    assert rows, "probe batch is empty"
+    assert all(r["maybe_seen"] for r in rows if r["is_dup"])
