@@ -83,6 +83,8 @@ EXTRA = [
     "dedup_bloom_probe",            # bloom manifest + probe + exact truth
     "text_chunk_sliding",           # map-only sliding-window chunking
     "text_surprisal_bits",          # integer unigram-LM surprisal
+    "corpus_vocab_coverage",        # top-K token coverage curve
+    "text_winnow_fingerprints",     # winnowing (MOSS) fingerprint sampling
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

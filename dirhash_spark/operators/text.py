@@ -848,3 +848,166 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_centibits"
         ),
     )
+
+
+# --------------------------------------- vocab coverage / winnowing
+
+_COVERAGE_KS = (100, 1000, 10000)
+_WINNOW_K, _WINNOW_W = 8, 4  # k-gram chars, winnow window
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ),
+    v AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rnk FROM v
+    ),
+    n AS (SELECT sum(c) AS total, count(*) AS vocab FROM r),
+    k AS (SELECT unnest([{", ".join(map(str, _COVERAGE_KS))}]) AS k)
+    SELECT CAST(k.k AS INT) AS k,
+           CAST(least(k.k, n.vocab) AS BIGINT) AS vocab_size_used,
+           CAST((sum(r.c) * 10000) // max(n.total) AS BIGINT) AS coverage_bp
+    FROM k JOIN r ON r.rnk <= k.k CROSS JOIN n
+    GROUP BY k.k, n.vocab
+    """,
+    tags=("text", "llm", "vocab"),
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of corpus tokens (in
+    integer basis points) the top-K most frequent words cover, for
+    K in {ks} — the measurement behind tokenizer vocab sizing and
+    OOV-rate budgeting.  Rank ties break on the word itself so the
+    curve is deterministic cross-engine.
+
+    Scale shape: the corpus contributes ONE token-keyed count; the
+    ranking and cumulative sums run on the vocabulary table (dim-sized
+    next to the corpus).  The global rank here is a single-partition
+    window — fine for fixture vocabularies; at web-scale vocabularies
+    (1e8+ words) replace the exact rank with a count-threshold per K
+    estimated from the frequency histogram (same outputs, map-side),
+    or range-partition the rank.  The corpus itself never re-shuffles
+    either way.
+    """.format(ks=_COVERAGE_KS)
+    from pyspark.sql.window import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
+            "word"
+        )
+    )
+    # vocab materialized once: both the ranking and the totals read it,
+    # and Spark has no cross-branch CSE (the scan_cached_branches
+    # lesson) — lazy, the corpus token count would execute twice
+    v = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    r = v.select("c", F.row_number().over(W.orderBy(F.col("c").desc(), "word")).alias("rnk"))
+    n = v.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab"))
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k: int"
+    )
+    return (
+        ks.join(r, r["rnk"] <= ks["k"])
+        .crossJoin(F.broadcast(n))
+        .groupBy("k", "vocab")
+        .agg(F.sum("c").alias("cum"), F.max("total").alias("total"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.least(F.col("k").cast("bigint"), F.col("vocab")).alias("vocab_size_used"),
+            F.expr("CAST((cum * 10000) div total AS BIGINT)").alias("coverage_bp"),
+        )
+    )
+
+
+@query(
+    "text_winnow_fingerprints",
+    # Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): k-gram
+    # rolling hashes, min per w-window, distinct selected values.
+    # Output = the distinct fingerprint VALUES, so the rightmost-vs-
+    # leftmost tie rule of the original (a position property) cannot
+    # matter — both engines state the same set.
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             [list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  [CAST(unicode(t[i + j]) AS BIGINT)
+                   FOR j IN generate_series(0, {_WINNOW_K - 1})]),
+                (a, b) -> (a * 131 + b) % {_FP_MOD})
+              FOR i IN generate_series(1, length(t) - {_WINNOW_K - 1})] AS hs
+      FROM d WHERE length(t) >= {_WINNOW_K}
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct([list_min(hs[j:j+{_WINNOW_W - 1}])
+                            FOR j IN generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1))])
+               AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM w
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS algorithm, Schleimer
+    et al. SIGMOD 2003): rolling {k}-char polynomial hashes, the
+    minimum of every {w}-hash window selected, distinct selected
+    values emitted as (doc_id, fingerprint) rows.  Winnowing
+    guarantees any shared substring of length >= k + w - 1 yields at
+    least one shared fingerprint while storing ~2/(w+1) of the hash
+    stream — the principled sampling layer between whole-document
+    fingerprints (text_fingerprint) and full n-gram postings
+    (dedup_verbatim_runs): an index over these fingerprints finds
+    verbatim reuse at a w-fold storage discount.
+
+    All arithmetic is integer mod 2^31-1 (the text_fingerprint
+    polynomial), window mins are exact, and the output is a SET of
+    values — the original's rightmost-min tie rule is a position
+    property that cannot affect it.  Map-only: hash stream, window
+    mins, and dedup all happen inside the row; no shuffle at all.
+    """.format(k=_WINNOW_K, w=_WINNOW_W)
+    cat = Catalog(spark, sf_dir)
+    t = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    # CPU-heavy map work over a byte-light scan: repartition for even
+    # parallelism (the explode-amplification lever, DESIGN.md) and to
+    # pin the normalized text physical so the per-element hash lambda
+    # reads a column, not the regex chain.
+    base = (
+        cat.documents.select("doc_id", t.alias("t"))
+        .where(F.length("t") >= _WINNOW_K)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    kgram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_WINNOW_K - 1)),
+            lambda j: F.ascii(F.substr(F.col("t"), i + j, F.lit(1))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % F.lit(_FP_MOD),
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("t") - (_WINNOW_K - 1)), kgram_hash
+    )
+    withh = base.select("doc_id", hs.alias("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("hs") - (_WINNOW_W - 1), F.lit(1))
+            ),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, _WINNOW_W)),
+        )
+    )
+    return withh.select("doc_id", F.explode(fps).alias("fingerprint"))

@@ -52,15 +52,24 @@ def test_priority_order_names_all_registered():
 
 
 def test_window_covers_stalest_driver_rows():
-    """Self-enforcing rotation policy (round-4 verdict item 7): the
-    50-entry prefix window must contain EVERY query whose newest driver
-    CORRECTNESS row predates the second-newest committed round artifact
-    — i.e. after each rotation, no registry query's newest driver row
-    may lag the newest artifact by three or more rounds (165 queries /
-    50 slots means a full sweep takes ~4 rounds; three-behind is the
-    tightest bound a single window can always restore).  Reads the
-    committed CORRECTNESS_r*.json files, so the test re-derives the
-    stale set automatically as rounds accumulate."""
+    """Self-enforcing rotation policy (round-4 verdict item 7),
+    capacity-corrected in round 6: the registry outgrew the original
+    three-behind bound (217 queries / 50 slots = a 5-round re-check
+    cadence, so under ANY rotation some green row reaches age 4; a
+    three-behind MUST-front demand of ~217/3 rows/round exceeds the
+    window).  The sustainable contract is therefore two-tier:
+
+    - MUST front: every query whose newest driver row is FIVE or more
+      rounds behind the newest artifact (age >= 5 — the tightest bound
+      a 50-slot window can always restore at 217 queries, demand
+      ~217/5 = 44 rows/round);
+    - MAY spend slots on: rows aged three or more rounds (pre-emptive
+      rotation ahead of the MUST bound), never-checked queries, and
+      driver-red rows.  Anything younger while unverified queries wait
+      is still flagged as misspent.
+
+    Reads the committed CORRECTNESS_r*.json files, so both tiers
+    re-derive automatically as rounds accumulate."""
     import glob
     import json
     import os
@@ -86,7 +95,8 @@ def test_window_covers_stalest_driver_rows():
     # the window rotated cannot have a row yet, and forcing it in
     # would evict a genuinely stale one; instead their count is
     # bounded so "never checked" can't become a standing state.
-    threshold = max(rounds) - 2
+    threshold = max(rounds) - 4  # MUST-front: age >= 5
+    aging = max(rounds) - 2      # MAY-front: age >= 3
     stale = sorted(
         name for name in qs if 0 < latest.get(name, 0) < threshold
     )
@@ -114,9 +124,14 @@ def test_window_covers_stalest_driver_rows():
         for name, row in newest.items()
         if row.get("err") or row.get("hash_match") is False
     }
-    misspent = [n for n in window if n not in stale and n not in never and n not in red]
+    fresh_enough = {
+        n for n in qs if latest.get(n, 0) >= aging
+    }  # younger than the MAY-front tier
+    misspent = [
+        n for n in window if n in fresh_enough and n not in never and n not in red
+    ]
     assert not misspent, (
-        f"window slack spent on already-green queries while "
+        f"window slack spent on fresh green queries while "
         f"{len(never)} never-checked wait: {misspent}"
     )
     # A query may lack a DRIVER row (the 50-slot window lags a 190+

@@ -781,3 +781,23 @@ def test_verbatim_runs_no_join_topology(spark):
     p = plan(spark, "dedup_verbatim_runs", "simple")
     assert "CartesianProduct" not in p
     assert "Join" not in p, p
+
+
+def test_vocab_coverage_corpus_touched_once(spark):
+    """Only the token count touches the corpus (one hashpartitioning
+    exchange on the word key); ranking and cumulative sums run on the
+    vocabulary table, and the 3-row K list joins it broadcast."""
+    p = plan(spark, "corpus_vocab_coverage", "simple")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_winnow_fingerprints_map_only_after_spread(spark):
+    """Winnowing is in-row array math: after the parallelism-buying
+    round-robin spread there is no keyed exchange, no join, and no
+    Python evaluation anywhere."""
+    p = plan(spark, "text_winnow_fingerprints", "simple")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
