@@ -85,6 +85,7 @@ EXTRA = [
     "text_surprisal_bits",          # integer unigram-LM surprisal
     "corpus_vocab_coverage",        # top-K token coverage curve
     "text_winnow_fingerprints",     # winnowing (MOSS) fingerprint sampling
+    "vocab_bpe_merges",             # bounded BPE merge-rule trainer
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

@@ -1011,3 +1011,158 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return withh.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+# ------------------------------------------------------- BPE trainer
+
+_BPE_STEPS = 3
+
+
+def _bpe_iteration_sql(k: int) -> str:
+    """One unrolled BPE iteration: pair counts -> argmax rule m{k} ->
+    leftmost-nonoverlap merge into w{k+1} (islands of consecutive match
+    positions, odd ranks selected — provably the same positions the
+    Spark fold merges)."""
+    return f"""
+    p{k} AS (
+      SELECT (pp).l AS l, (pp).r AS r, sum(freq) AS cnt FROM (
+        SELECT freq, unnest([{{'l': syms[i], 'r': syms[i+1]}}
+                             FOR i IN generate_series(1, len(syms)-1)]) AS pp
+        FROM w{k} WHERE len(syms) >= 2
+      ) GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{k} AS (
+      SELECT word, freq,
+             unnest(generate_series(1, len(syms))) AS i, unnest(syms) AS s
+      FROM w{k}
+    ),
+    mm{k} AS (
+      SELECT s.word, s.freq, s.i, s.s,
+             (s.s = m.l AND lead(s.s) OVER (PARTITION BY s.word ORDER BY s.i) = m.r) AS hit
+      FROM s{k} s CROSS JOIN m{k} m
+    ),
+    sel{k} AS (
+      SELECT word, i FROM (
+        SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rk
+        FROM (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+              FROM mm{k} WHERE hit)
+      ) WHERE rk % 2 = 1
+    ),
+    w{k + 1} AS (
+      SELECT t.word, t.freq, list(CASE WHEN a.i IS NOT NULL THEN m.l || m.r ELSE t.s END ORDER BY t.i) AS syms
+      FROM mm{k} t
+      CROSS JOIN m{k} m
+      LEFT JOIN sel{k} a ON a.word = t.word AND a.i = t.i
+      LEFT JOIN sel{k} b ON b.word = t.word AND b.i = t.i - 1
+      WHERE b.i IS NULL
+      GROUP BY t.word, t.freq
+    )"""
+
+
+_BPE_ORACLE = (
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ),
+    w1 AS (
+      SELECT word, count(*) AS freq,
+             [word[i] FOR i IN generate_series(1, length(word))] AS syms
+      FROM tok GROUP BY word
+    ),"""
+    + ",".join(_bpe_iteration_sql(k) for k in range(1, _BPE_STEPS + 1))
+    + f"""
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, _BPE_STEPS + 1)
+      )}
+    ) ORDER BY step
+    """
+)
+
+
+@query("vocab_bpe_merges", oracle=_BPE_ORACLE, tags=("text", "llm", "bpe"))
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary trainer, bounded to {n} merge steps: the actual
+    byte-pair-encoding training loop (Sennrich et al., ACL 2016) run
+    as a Spark program.  Each step counts adjacent symbol pairs across
+    the frequency-weighted word vocabulary, picks the most frequent
+    pair (ties broken lexicographically so both engines pick the same
+    rule), and merges it leftmost-nonoverlapping into every word.
+    Output = the merge-rule table (step, pair, merged symbol, count) —
+    the artifact a tokenizer ships.
+
+    Merge equivalence across engines: Spark folds each word's symbol
+    array left-to-right, merging when the accumulator tail is `l` and
+    the next symbol is `r` — after a merge the tail becomes `lr`,
+    which cannot re-match `l`, so overlapping runs merge at odd
+    positions exactly like the oracle's islands-odd-ranks selection.
+
+    Scale shape: the corpus is touched ONCE (the word-frequency
+    aggregation); every iteration runs on the vocabulary table
+    (dim-sized, checkpointed per step so the loop re-reads data, not
+    lineage), and the argmax is a 1-row collect per step — the same
+    bounded-driver-state tier as PageRank's rank table and k-means'
+    centroids.  A production trainer runs more steps of exactly this
+    loop; cost is O(steps · vocab), independent of corpus size after
+    the first aggregation.
+    """.format(n=_BPE_STEPS)
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
+            "word"
+        )
+    )
+    symbols = F.transform(
+        F.sequence(F.lit(1), F.length("word")), lambda i: F.substr(F.col("word"), i, F.lit(1))
+    )
+    w = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", symbols.alias("syms"))
+        .localCheckpoint()
+    )
+    rules = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = w.where(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top_rows = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:  # vocabulary fully merged before N steps —
+            break         # the oracle's m{k} CTE is empty then too
+        top = top_rows[0]
+        a, b, cnt = top["l"], top["r"], int(top["cnt"])
+        rules.append((step, a, b, a + b, cnt))
+        merge = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        w = w.select("word", "freq", merge.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "step: int, left_sym: string, right_sym: string, merged: string, pair_count: bigint"
+    )

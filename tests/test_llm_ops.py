@@ -405,3 +405,29 @@ def test_bloom_probe_never_false_negative(spark, sf_dir):
     rows = QUERIES["dedup_bloom_probe"].fn(spark, sf_dir).collect()
     assert rows, "probe batch is empty"
     assert all(r["maybe_seen"] for r in rows if r["is_dup"])
+
+
+def test_bpe_merges_overlap_semantics(spark, tmp_path):
+    """Leftmost-nonoverlap merging on degenerate runs: 'aaaa' under
+    rule (a,a) becomes [aa, aa] (not three overlapping merges), so
+    step 2 must pick (aa, aa); after that the word is one symbol and
+    the trainer stops early with only 2 of the 3 requested rules —
+    exercising the early-exit the oracle reproduces with empty CTEs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["aaaa", "aaaa", "aaaa"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([4, 4, 4], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in QUERIES["vocab_bpe_merges"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [(1, "a", "a", "aa", 9), (2, "aa", "aa", "aaaa", 3)]
