@@ -431,3 +431,62 @@ def test_bpe_merges_overlap_semantics(spark, tmp_path):
         for r in QUERIES["vocab_bpe_merges"].fn(spark, str(tmp_path)).collect()
     ]
     assert rows == [(1, "a", "a", "aa", 9), (2, "aa", "aa", "aaaa", 3)]
+
+
+def test_winnowing_guarantee_shared_substring_collides(spark, tmp_path):
+    """The winnowing theorem (Schleimer et al.): two documents sharing
+    a substring of length >= k + w - 1 (= 11 chars at k=8, w=4) must
+    share at least one selected fingerprint.  Two otherwise-unrelated
+    docs embed the same 40-char quote; their fingerprint sets must
+    intersect, while a third unrelated doc shares nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    quote = "the quick brown fox jumps over the dog"
+    assert len(quote) >= 8 + 4 - 1  # >= k + w - 1, the theorem's bound
+    texts = [
+        "alpha beta gamma " + quote + " delta epsilon zeta",
+        "one two three four " + quote + " five six seven",
+        "completely unrelated content with no overlap at all here",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = QUERIES["text_winnow_fingerprints"].fn(spark, str(tmp_path)).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[0] & fps[1], "shared 40-char quote must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_chunk_sliding_covers_every_token(spark, sf_dir):
+    """Coverage completeness: with stride <= window every token index
+    of every document appears in at least one chunk, chunk_ids are
+    dense from 0, and reassembling non-overlap regions reproduces the
+    document's token count."""
+    from dirhash_spark.operators.text import _CHUNK_S, _CHUNK_W
+
+    rows = QUERIES["text_chunk_sliding"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["n_chunk_tokens"]
+    tok = {
+        r["doc_id"]: r["n_ws_tokens"]
+        for r in QUERIES["text_token_count"].fn(spark, sf_dir).collect()
+    }
+    for doc, chunks in by_doc.items():
+        nc = len(chunks)
+        assert sorted(chunks) == list(range(nc))  # dense ids
+        n = tok[doc]
+        # last chunk ends exactly at the last token
+        assert (nc - 1) * _CHUNK_S + chunks[nc - 1] == n
+        # every non-final chunk is full-width
+        assert all(chunks[i] == _CHUNK_W for i in range(nc - 1))
