@@ -794,3 +794,30 @@ def sql_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", F.col("cents").cast("bigint").alias("cents"), "bucket")
         .orderBy("bucket", "l_suppkey")
     )
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+    tags=("sink", "csv"),
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/scan round-trip, completing the sink matrix next to
+    parquet/ORC/JSONL.  Money rides as integer cents: CSV is a TEXT
+    format, so a double column would round-trip through decimal
+    rendering (engine-formatting territory) — integers are re-parsed
+    bit-exactly.  Written with header, read back with explicit schema
+    (inference on the read side is the scan_csv_infer query's job)."""
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "customer_csv")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    cat.customer.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_mktsegment", cents.alias("acctbal_cents")
+    ).write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "c_custkey BIGINT, c_mktsegment STRING, acctbal_cents BIGINT"
+    ).option("header", True).csv(out)
