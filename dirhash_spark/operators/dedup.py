@@ -1314,9 +1314,10 @@ def dedup_bloom_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_bloom_probe",
-    oracle=f"""
+#: Shared by dedup_bloom_probe AND the streaming ingest gate
+#: (stream_bloom_ingest_gate): the gate's verdicts are
+#: micro-batch-invariant, so the batch probe's SQL states both.
+BLOOM_PROBE_ORACLE = f"""
     WITH corpus AS (
       SELECT sha256(text) AS h FROM documents WHERE doc_id < {_INCR_SPLIT}
     ),
@@ -1344,7 +1345,12 @@ def dedup_bloom_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT hit.doc_id, hit.maybe_seen, truth.is_dup
     FROM hit JOIN truth ON hit.doc_id = truth.doc_id
-    """,
+    """
+
+
+@query(
+    "dedup_bloom_probe",
+    oracle=BLOOM_PROBE_ORACLE,
     tags=("dedup", "bloom", "incremental"),
 )
 def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,11 +141,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # snapshot_diff, sql_exchange_reuse, stream_stream_left_outer,
 # text_rarity_score, ts_autocorr, ts_changepoint_cusum,
 # ts_event_transitions, ts_ewma_fixed_point, ts_rolling_distinct,
-# udf_python_arrow — plus the nine queries registered during r6
+# udf_python_arrow — plus the eleven queries registered during r6
 # (pipeline_neardup_e2e, dedup_bloom_manifest, dedup_bloom_probe,
 # dedup_verbatim_runs, text_chunk_sliding, text_surprisal_bits,
-# corpus_vocab_coverage, text_winnow_fingerprints, vocab_bpe_merges;
-# all green in ORACLE_SNAPSHOT_r06{,_sf01}).  These fill the r7 window's slack
+# corpus_vocab_coverage, text_winnow_fingerprints, vocab_bpe_merges,
+# sink_csv_roundtrip, stream_bloom_ingest_gate; all green in
+# ORACLE_SNAPSHOT_r06{,_sf01}).  These fill the r7 window's slack
 # after the then-stale rows take their slots.  NOTE the rotation
 # contract changed in r6 (tests/test_entry.py): at 217 queries the
 # 50-slot window re-checks each query every ~5 rounds, so MUST-front

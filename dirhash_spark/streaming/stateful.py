@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..operators.dedup import BLOOM_PROBE_ORACLE as _BLOOM_PROBE_ORACLE
 from ..registry import query
 
 _OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
@@ -478,3 +479,120 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     sent.coalesce(1).write.mode("append").parquet(src)
     run_once()  # sentinel batch advances both watermarks; outer rows flush
     return spark.read.parquet(dst).where(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_bloom_ingest_gate",
+    # The verdict per document is micro-batch-invariant (every batch
+    # probes the same STATIC manifest), so the batch probe's SQL states
+    # the streaming sink's final contents exactly — one shared source
+    # of truth (a plain constant, NOT a registry lookup: Python workers
+    # re-import this module to unpickle the stateful UDF before the
+    # registry is populated, so module-level REGISTRY access crashes
+    # every Arrow-batched query defined here).
+    oracle=_BLOOM_PROBE_ORACLE,
+    tags=("streaming", "dedup", "bloom"),
+)
+def stream_bloom_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup gate — the production shape of
+    dedup_bloom_probe: documents arrive as a file stream in multiple
+    micro-batches (maxFilesPerTrigger=1 over a 4-file source), each
+    batch probes the STATIC corpus Bloom manifest inside foreachBatch
+    (manifest broadcast once, reused every trigger) and appends
+    per-document verdicts (bloom maybe_seen + exact is_dup truth) to
+    the sink.  Because the manifest is static, the verdict for a
+    document is independent of how the stream is batched — which is
+    what makes the gate exactly checkable: the sink's final contents
+    equal the batch probe, row for row.
+
+    Scale shape per trigger: the manifest is ~{m} bits packed in
+    BIGINT words (broadcast-sized at ANY corpus size — that is the
+    point of the bloom form over the 32-byte hash manifest), the probe
+    is map-side explode + broadcast join + bool_and, and the exact
+    truth probe broadcasts the corpus hash set exactly as
+    dedup_incremental does.  State stores hold nothing: the gate is
+    stateless per batch, so it runs at source parallelism forever.
+    """
+    import shutil
+
+    from ..operators.dedup import _INCR_SPLIT, _bloom_positions_spark
+
+    cat = Catalog(spark, sf_dir)
+    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_src")
+    dst = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_out")
+    shutil.rmtree(dst, ignore_errors=True)
+    # 4 source files -> 4 micro-batches under maxFilesPerTrigger=1
+    cat.documents.where(F.col("doc_id") >= _INCR_SPLIT).select(
+        "doc_id", "text"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    corpus = cat.documents.where(F.col("doc_id") < _INCR_SPLIT).select(
+        F.sha2("text", 256).alias("h")
+    )
+    manifest = (
+        corpus.select(F.explode(_bloom_positions_spark(F.col("h"))).alias("pos"))
+        .select(
+            F.expr("CAST(pos div 32 AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("bits"))
+        .localCheckpoint()  # built once; every micro-batch re-reads it
+    )
+    seen = (
+        corpus.distinct()
+        .select(F.col("h").alias("ch"), F.lit(True).alias("seen"))
+        .localCheckpoint()
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", F.sha2("text", 256).alias("h"))
+        probes = batch.select(
+            "doc_id", F.explode(_bloom_positions_spark(F.col("h"))).alias("pos")
+        )
+        hit = (
+            probes.join(
+                F.broadcast(manifest),
+                F.expr("pos div 32") == F.col("word_idx"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "(shiftright(coalesce(bits, CAST(0 AS BIGINT)), CAST(pos % 32 AS INT)) & 1) = 1"
+                ).alias("bit_set"),
+            )
+            .groupBy("doc_id")
+            .agg(F.bool_and("bit_set").alias("maybe_seen"))
+        )
+        truth = batch.join(
+            F.broadcast(seen), F.col("h") == F.col("ch"), "left"
+        ).select("doc_id", F.coalesce("seen", F.lit(False)).alias("is_dup"))
+        hit.join(truth, "doc_id").write.mode("append").parquet(dst)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_ckpt"),
+        )
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    import shutil as _sh
+
+    _sh.rmtree(
+        os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_ckpt"),
+        ignore_errors=True,
+    )
+    return spark.read.parquet(dst).select("doc_id", "maybe_seen", "is_dup")
+
