@@ -55,104 +55,91 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: first.  Rounds 1-3 covered the relational / dedup+text+streaming /
 #: codec+asof+SQL slices; round 4 fronted the never-checked + fixed +
 #: new queries; round 5 fronted the hex-projected binary outputs plus
-#: every remaining r1-code row.  Round 6 fronts (a) the 40 queries
-#: whose newest driver row is r2 code — now three rounds behind, the
-#: mandatory stale set under tests/test_entry.py's rotation guard —
-#: then (b) 10 slack slots drained from the never-checked backlog,
-#: starting with the two r5 leftovers (agg_mode_median, fn_regexp_all)
-#: the r5 comment promised would front.  Exactly 50 names.
+#: every remaining r1-code row; round 6 re-fronted the 40 r2-code rows
+#: plus 10 never-checked.  Round 7: the MUST-front stale set is empty
+#: (age histogram after r6: 34×r3, 47×r4, 50×r5, 50×r6), so per the
+#: two-tier contract the whole window drains backlog: (a) all 39
+#: never-checked queries (the 28-query r5 backlog + the 11 r6
+#: registrations), then (b) 11 slack slots on the oldest driver rows —
+#: r3-code rows, MAY-front tier (age >= 3), taken alphabetically.
+#: Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) newest driver row is r2 code — the dirhash columnar chain
-    "hash_sha2_text",
-    "chunk_split_text",
-    "merkle_fold_group",
-    # dedup family anchors
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    # similarity anchors
-    "sim_topk_cosine",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_knn_join",
-    # text anchors
-    "text_tokens",
-    "text_token_count",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint",
-    # UDF surfaces
-    "udf_python",
-    "udaf_pandas",
-    "udtf_map_in_pandas",
-    # scans / sinks / layout family
-    "scan_json_lines",
-    "scan_text_lines",
-    "sink_orc",
-    "sink_parquet_partitioned",
-    "sink_parquet_clustered",
-    "sink_parquet_zorder",
-    # joins (physical strategies)
-    "join_bucketed",
-    "join_skew_salted",
-    # aggregates / reshape
-    "agg_pivot",
-    "agg_skew_salted",
-    "reshape_unpivot",
-    "reshape_posexplode",
-    # functions
-    "fn_json",
-    "fn_map",
-    "fn_struct_nested",
-    "fn_bitwise",
-    "fn_interval",
-    # corpus ops
-    "sample_hash_deterministic",
-    "pipeline_corpus_curation",
-    # (b) slack → never-checked backlog (38 waiting; these 10 front,
-    # the rest are enumerated below for r7)
-    "agg_mode_median",
-    "fn_regexp_all",
-    "agg_regression",
-    "graph_pagerank",
-    "stream_stream_join",
-    "ts_cohort_retention",
-    "quality_expectations",
-    "join_asof_nearest",
-    "sim_maxsim_late_interaction",
-    "corpus_drift_chi2",
+    # (a) never-checked: the 28 queries registered by r5 whose rows
+    # never fit a window...
+    "agg_boolean",
+    "agg_corr_matrix",
+    "agg_grouping_id",
+    "agg_listagg",
+    "corpus_cross_source_overlap",
+    "fn_aes_roundtrip",
+    "fn_surrogate_key",
+    "funnel_time_to_convert",
+    "graph_triangle_count",
+    "join_asof_tolerance",
+    "join_dynamic_partition_prune",
+    "pipeline_training_export",
+    "sample_balanced_classes",
+    "scan_csv_multiline",
+    "scan_nested_pruning",
+    "sessionize_pattern_match",
+    "set_except_all",
+    "set_intersect_all",
+    "snapshot_diff",
+    "sql_exchange_reuse",
+    "stream_stream_left_outer",
+    "text_rarity_score",
+    "ts_autocorr",
+    "ts_changepoint_cusum",
+    "ts_event_transitions",
+    "ts_ewma_fixed_point",
+    "ts_rolling_distinct",
+    "udf_python_arrow",
+    # ...plus the 11 registered during r6 (green in
+    # ORACLE_SNAPSHOT_r06{,_sf01} at both scale factors)
+    "pipeline_neardup_e2e",
+    "dedup_bloom_manifest",
+    "dedup_bloom_probe",
+    "dedup_verbatim_runs",
+    "text_chunk_sliding",
+    "text_surprisal_bits",
+    "corpus_vocab_coverage",
+    "text_winnow_fingerprints",
+    "vocab_bpe_merges",
+    "sink_csv_roundtrip",
+    "stream_bloom_ingest_gate",
+    # (b) slack → pre-emptive rotation of the oldest driver rows (r3
+    # code, age 3 = MAY-front tier; first 11 of 34 alphabetically)
+    "agg_approx_top_k",
+    "agg_bitmap_distinct",
+    "agg_filtered",
+    "agg_hll_sketch_merge",
+    "csv_corrupt_records",
+    "decontaminate_ngram_overlap",
+    "dedup_cluster_canonical",
+    "dedup_incremental",
+    "dedup_levenshtein",
+    "dedup_url_canonical",
+    "dirhash_tree_fold",
 )
-# r7 rotation backlog (queries with no driver row after r6, all green in
-# ORACLE_SNAPSHOT_r06 — tests/test_entry.py pins that invariant):
-# agg_boolean, agg_corr_matrix, agg_grouping_id, agg_listagg,
-# corpus_cross_source_overlap, fn_aes_roundtrip, fn_surrogate_key,
-# funnel_time_to_convert, graph_triangle_count, join_asof_tolerance,
-# join_dynamic_partition_prune, pipeline_training_export,
-# sample_balanced_classes, scan_csv_multiline, scan_nested_pruning,
-# sessionize_pattern_match, set_except_all, set_intersect_all,
-# snapshot_diff, sql_exchange_reuse, stream_stream_left_outer,
-# text_rarity_score, ts_autocorr, ts_changepoint_cusum,
-# ts_event_transitions, ts_ewma_fixed_point, ts_rolling_distinct,
-# udf_python_arrow — plus the eleven queries registered during r6
-# (pipeline_neardup_e2e, dedup_bloom_manifest, dedup_bloom_probe,
-# dedup_verbatim_runs, text_chunk_sliding, text_surprisal_bits,
-# corpus_vocab_coverage, text_winnow_fingerprints, vocab_bpe_merges,
-# sink_csv_roundtrip, stream_bloom_ingest_gate; all green in
-# ORACLE_SNAPSHOT_r06{,_sf01}).  These fill the r7 window's slack
-# after the then-stale rows take their slots.  NOTE the rotation
-# contract changed in r6 (tests/test_entry.py): at 217 queries the
-# 50-slot window re-checks each query every ~5 rounds, so MUST-front
-# is now age >= 5 and slots MAY also go to rows aged >= 3 —
-# the r7 window should take every never-checked query first, then the
-# oldest r3-code rows pre-emptively.
+# r8 rotation backlog: after r7's window lands, the oldest rows are the
+# 23 remaining r3-code queries — fn_higher_order, fn_url_parse,
+# fn_variant, funnel_stages, join_null_safe, join_range_binned,
+# profile_columns, sample_stratified, scan_csv_dropmalformed,
+# scan_csv_permissive, scan_parquet_schema_evolution,
+# scan_python_datasource, sim_ann_ivf_indexed, sim_ann_lsh_indexed,
+# sink_upsert_parquet, sql_lateral_topk, sql_recursive_cte,
+# text_common_ngrams, text_pii_mask, text_tfidf, ts_gap_fill,
+# ts_resample_ohlc, udtf_map_in_arrow — which become MUST-front (age 5)
+# when CORRECTNESS_r08 lands, so the r8 window takes all 23 plus any
+# query registered during r7, then the oldest r4-code rows.  Backlog
+# arithmetic: 220 registered = 39 (r7 window never-checked) + 11 (r7
+# window r3 rows) + 23 (r8 must) + 47 (r4) + 100 (r5/r6) — every query
+# has either a driver row or a dated slot here.
 
 
 def all_queries() -> dict[str, Query]:
