@@ -86,6 +86,8 @@ EXTRA = [
     "corpus_vocab_coverage",        # top-K token coverage curve
     "text_winnow_fingerprints",     # winnowing (MOSS) fingerprint sampling
     "vocab_bpe_merges",             # bounded BPE merge-rule trainer
+    # round-7 additions
+    "dedup_simhash",                # bucket-collect rewrite (was banded self-join)
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

@@ -222,9 +222,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = toks.select("doc_id", fp.alias("fp"))
 
     # Band on 16-bit quarters; docs agreeing on any quarter are candidates.
+    # Candidate pairs via bucket-collect, NOT a banded self-join: the
+    # self-join form re-executed the expensive 64-aggregate vote stage
+    # on BOTH join inputs (two FileScans, no ReusedExchange) and
+    # broadcast the banded fingerprints of the whole corpus — an
+    # O(corpus) build side that dies at scale.  Collecting each
+    # (band_id, band_val) bucket instead costs ONE fingerprint pass and
+    # ONE shuffle, and the i<j expansion happens in-row on a bucket
+    # bounded by the near-dup group size (same topology as
+    # dedup_minhash above).  tests/test_plans.py pins the plan shape.
     bands = fps.select(
-        "doc_id",
-        "fp",
+        F.struct("doc_id", "fp").alias("doc"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -234,21 +242,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(4)
             ])
         ).alias("band"),
-    ).select("doc_id", "fp", "band.band_id", "band.band_val")
-
-    a, b = bands.alias("a"), bands.alias("b")
+    ).select("band.band_id", "band.band_val", "doc")
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("docs"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("docs"), i + 2, F.size("docs")),
+                            lambda y: F.struct(
+                                x["doc_id"].alias("doc_a"),
+                                y["doc_id"].alias("doc_b"),
+                                F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
-        )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
     )
     return pairs.where(F.col("hamming") <= 12)

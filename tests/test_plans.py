@@ -665,6 +665,18 @@ def test_cusum_single_fact_shuffle(spark):
     assert "partial_count" in p or "partial_" in p
 
 
+def test_simhash_bucket_collect_single_fingerprint_pass(spark):
+    """The banded self-join form executed the 64-aggregate per-bit vote
+    twice (two FileScans, no ReusedExchange) and broadcast the banded
+    fingerprints of the whole corpus; the bucket-collect rewrite must
+    scan documents ONCE and carry no broadcast at all — the pair
+    expansion happens in-row inside each (band_id, band_val) bucket."""
+    p = plan(spark, "dedup_simhash", "simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert "BroadcastExchange" not in p, p
+    assert "Join" not in p, p
+
+
 def test_containment_posting_list_single_gram_pass(spark):
     """The posting-list rewrite computes the shingle strings ONCE (one
     documents scan) and replaces the gram self-join + size join-back
