@@ -36,7 +36,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..catalog import Catalog
 from ..registry import REGISTRY, query
@@ -949,6 +956,77 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: results are byte-identical with or without the cap.
 CONTAINMENT_DF_CAP = 128
 
+_GRAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("grams", ArrayType(StringType(), False), False),
+        StructField("sz", IntegerType(), False),
+    ]
+)
+
+
+def _word5_gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, ws: array<string>) → (doc_id, grams: distinct word
+    5-grams, sz: their count), Arrow-batched and numpy-vectorized over
+    the token axis (the _minhash_bands pattern).
+
+    Replaces the interpreted Catalyst form
+    ``array_distinct(transform(sequence(...), i -> array_join(slice(ws,
+    i, 5), ' ')))`` whose per-element expression evaluation dominated
+    dedup_containment / pipeline_neardup_e2e (r6 audit: 3.15-4.3 s at
+    sf0.1).  Here the whole batch's tokens live in ONE object ndarray;
+    the five shifted views concatenate elementwise in C, and the
+    per-doc distinct is a single hash pass (pandas drop_duplicates)
+    over (doc, gram) — no per-gram Python, no per-gram expression tree.
+
+    Gram semantics are identical to the Catalyst form and the DuckDB
+    oracle (``w[i:i+4]`` 1-based inclusive): start positions 1..max(n-4,
+    1), window clamped at the document end, so docs under 5 tokens
+    yield their full token string and empty token lists yield "".
+    """
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield pd.DataFrame({"doc_id": [], "grams": [], "sz": []})
+            continue
+        # F.split never yields an empty array (empty input -> [""]),
+        # but normalize anyway so a zero-length list can't alias the
+        # next doc's tokens through the clamped gram window.
+        lists = [x if len(x) else [""] for x in pdf["ws"].tolist()]
+        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+        off = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        toks = np.empty(off[-1], dtype=object)
+        for j, x in enumerate(lists):
+            toks[off[j] : off[j + 1]] = x
+        n_grams = np.maximum(lens - 4, 1)
+        doc_idx = np.repeat(np.arange(len(lists)), n_grams)
+        gram_off = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum(n_grams, out=gram_off[1:])
+        # global token position of each gram's first word
+        pos = (
+            np.arange(gram_off[-1])
+            - np.repeat(gram_off[:-1], n_grams)
+            + np.repeat(off[:-1], n_grams)
+        )
+        end = np.repeat(off[1:], n_grams)
+        g = toks[pos].copy() if len(pos) else np.empty(0, dtype=object)
+        for k in range(1, 5):
+            idx = pos + k
+            m = idx < end
+            if m.any():
+                g[m] = g[m] + " "
+                g[m] = g[m] + toks[idx[m]]
+        dd = pd.DataFrame({"d": doc_idx, "g": g}).drop_duplicates()
+        grouped = dd.groupby("d", sort=True)["g"].agg(list)
+        ids = pdf["doc_id"].to_numpy()
+        yield pd.DataFrame(
+            {
+                "doc_id": ids[grouped.index.to_numpy()],
+                "grams": grouped.to_numpy(),
+                "sz": [len(x) for x in grouped],
+            }
+        )
+
 
 @query(
     "dedup_containment",
@@ -1017,20 +1095,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap behavior under a synthetic boilerplate gram either way.
     """
     cat = Catalog(spark, sf_dir)
-    # Perf note (r6 audit): unlike dedup_ngram_jaccard/e2e, pinning the
-    # split array behind an exchange does NOT help here — profiled at
-    # sf0.1, the 3 s gram stage is the interpreted per-element
-    # slice+join+distinct itself (split-on-space is cheap; the jaccard
-    # regression came from a REGEX chain in the lambda), so the extra
-    # round-robin shuffle would be pure cost at scale.  Kept single
-    # gram-keyed exchange.
-    w = F.split(F.col("text"), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
-            lambda i: F.array_join(F.slice(w, i, 5), " "),
-        )
-    )
+    # Perf note (r6 audit → r7 fix): the dominant cost was the
+    # interpreted per-element slice+join+distinct of the Catalyst gram
+    # expression (~3.8 s of the 3.35 s warm query at sf0.1), not the
+    # shuffle — so the r7 rewrite moved the gram construction to the
+    # Arrow-batched numpy stage (:func:`_word5_gram_batches`), measured
+    # 3.82 → 1.54 s warm for the full query at sf0.1 with identical
+    # gram sets.  An exchange-pin of the split array was profiled and
+    # rejected in r6 (the cost was expression eval, not lambda
+    # re-evaluation); the repartition here spreads the Python stage
+    # across workers, same as the minhash sketch.
+    #
     # Posting-list form: ONE pass computes the (expensive) shingle
     # strings — a gram-keyed self-join would re-run that lineage on
     # both sides plus a third time for the size table (measured 3
@@ -1038,10 +1113,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expands its ordered pairs IN-ROW (the dedup_minhash bucket
     # trick), so pair counts need no join at all; |Sa| rides along in
     # the posting struct, killing the size join-back too.
-    g = cat.documents.select("doc_id", grams.alias("grams"))
-    e = g.select(
-        F.col("doc_id"), F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    g = (
+        cat.documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_word5_gram_batches, _GRAM_SCHEMA)
     )
+    e = g.select("doc_id", "sz", F.explode("grams").alias("gram"))
     postings = (
         e.groupBy("gram")
         .agg(F.collect_list(F.struct("doc_id", "sz")).alias("docs"))
@@ -1092,16 +1169,23 @@ _E2E_TAU_NUM, _E2E_TAU_DEN = 1, 2  # tau = 1/2: keep iff den*i >= num*(a+b-i)
 
 @query(
     "pipeline_neardup_e2e",
-    # Ground truth is EXACT and SQL-expressible because the candidate
-    # stage is a provably complete superset: any pair with word-gram
-    # Jaccard > 0 shares at least one gram, so the df-capped inverted
-    # index (cap far above the fixtures' max df of 4 — same guard as
-    # dedup_containment) reaches every tau-pair.  The closure is the
-    # dedup_cluster_canonical recursive CTE restricted to clustered
-    # docs.  tau = 1/2 compares as 3*i >= |A|+|B| — exact integers.
-    oracle=r"""
+    # Ground truth is EXACT and SQL-expressible because BOTH engines
+    # generate the SAME candidate set by construction: the df-capped
+    # inverted gram index (a pair is a candidate iff it shares at least
+    # one gram whose document frequency is <= the cap).  Below the cap
+    # that set is provably complete (any pair with word-gram Jaccard
+    # > 0 shares a gram); a tau-pair whose shared grams ALL exceed the
+    # cap is dropped by both sides symmetrically, so the oracle match
+    # holds on ANY corpus, boilerplate-heavy or not.  The LSH-union
+    # variant that also recovers over-cap cliques is registered
+    # separately (pipeline_neardup_e2e_lsh_union, rows-only).  The
+    # closure is the dedup_cluster_canonical recursive CTE restricted
+    # to clustered docs.  tau = 1/2 compares as 3*i >= |A|+|B| — exact
+    # integers.  Both engines tokenize via the shared normalizer
+    # (_NORM_SPARK / _NORM_SQL), like every sibling dedup query.
+    oracle=f"""
     WITH RECURSIVE d AS MATERIALIZED (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      SELECT doc_id, {_NORM_SQL} AS t
       FROM documents
     ),
     w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
@@ -1113,7 +1197,8 @@ _E2E_TAU_NUM, _E2E_TAU_DEN = 1, 2  # tau = 1/2: keep iff den*i >= num*(a+b-i)
       FROM w
     ),
     e AS (SELECT doc_id, unnest(grams) AS gram FROM n),
-    kept AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 128),
+    kept AS (SELECT gram FROM e GROUP BY gram
+             HAVING count(*) <= {CONTAINMENT_DF_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM (SELECT e.* FROM e JOIN kept USING (gram)) a
@@ -1147,35 +1232,54 @@ def pipeline_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed near-dup pipeline a real corpus run executes, as ONE
     operator exercising the hand-offs the stages only prove separately:
 
-        candidates (MinHash/LSH banding ∪ df-capped word-gram posting
-                    index)
+        candidates (df-capped word-gram posting index — the
+                    oracle-symmetric exact generator)
         → exact word-5-gram Jaccard >= 1/2 verify on CANDIDATE PAIRS
           ONLY (never all-pairs)
         → connected components over the verified pair graph
         → canonical keep-list (doc_id, cluster_id, is_canonical)
 
-    Candidate union, deliberately: LSH (dedup_minhash's banded sketch)
-    is the 100 TB scale path but its recall is probabilistic; the
-    posting-index generator (dedup_containment's topology over word
-    5-grams, df-capped at 128) is exact-by-construction — any pair
-    with J > 0 shares a gram — which is what lets a declarative oracle
-    state ground truth.  Running both costs one extra cheap shuffle at
-    fixture scale and makes the verify stage's contract explicit: it
-    accepts ANY candidate stream and owns correctness from there.
+    The registered query uses the posting index ALONE so the engine and
+    the DuckDB oracle compute the identical candidate set on any corpus
+    (both drop pairs whose every shared gram exceeds the df cap — the
+    boilerplate-clique regime).  The production-scale variant that
+    unions MinHash/LSH candidates — recovering those over-cap cliques
+    at probabilistic recall — is :func:`pipeline_neardup_e2e_lsh_union`
+    (registered rows-only; the skew-fixture test pins its recall).
 
-    Physical shape: the sketch is Arrow-batched pandas (one pass);
-    posting pairs expand in-row after the df cap (bounded CAP^2); the
-    verify joins broadcast the slim candidate pair list against the
-    gram-array table twice, so gram arrays never shuffle (at huge
-    candidate counts this flips to a doc_id-keyed SMJ — swap the hint,
-    not the program); components via min-label propagation + pointer
-    jumping (:func:`_connected_components`) on the verified-pair graph
-    only, which is near-dup-group-sized, not corpus-sized.
+    Physical shape: posting pairs expand in-row after the df cap
+    (bounded CAP^2); the verify join broadcasts the slim candidate pair
+    list against the gram-array table so gram arrays never shuffle, and
+    flips to a doc_id-keyed sort-merge join at runtime when the counted
+    candidate list exceeds ``VERIFY_BROADCAST_MAX_PAIRS`` (near-dup-
+    dense corpora — the count is free, the list is checkpointed);
+    components via min-label propagation + pointer jumping
+    (:func:`_connected_components`) on the verified-pair graph only,
+    which is near-dup-group-sized, not corpus-sized.
     """
-    ver = _neardup_verified_pairs(spark, sf_dir).localCheckpoint()
+    return _neardup_cluster(spark, sf_dir, include_lsh=False)
+
+
+@query("pipeline_neardup_e2e_lsh_union", oracle=None, tags=("dedup", "pipeline", "e2e"))
+def pipeline_neardup_e2e_lsh_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_neardup_e2e with the candidate stream widened to
+    MinHash/LSH banding ∪ the df-capped posting index — the 100 TB
+    production shape.  The union recovers near-dup cliques whose shared
+    grams ALL exceed the df cap (boilerplate corpora), which the
+    oracle-symmetric posting index deliberately drops; that extra
+    recall is probabilistic (banded sketch), so this variant is
+    rows-only — its behavior is pinned by the adversarial skew-fixture
+    test instead (tests/test_llm_ops.py), and the verify stage's
+    contract is unchanged: it accepts ANY candidate stream and owns
+    correctness from there."""
+    return _neardup_cluster(spark, sf_dir, include_lsh=True)
+
+
+def _neardup_cluster(spark: SparkSession, sf_dir: str, include_lsh: bool) -> DataFrame:
+    ver = _neardup_verified_pairs(spark, sf_dir, include_lsh=include_lsh).localCheckpoint()
     # materialized ONCE (localCheckpoint): both the edge list and the
     # node list read it, and the CC loop re-reads edges every round —
-    # left lazy, the sketch+verify lineage would execute 2+ more times.
+    # left lazy, the posting+verify lineage would execute 2+ more times.
 
     edges = ver.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
         ver.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
@@ -1194,42 +1298,41 @@ def pipeline_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate generation + exact verify for pipeline_neardup_e2e,
-    exposed unmaterialized so tests can assert its physical plan (the
-    registered query checkpoints this result before the CC loop, which
-    hides the upstream plan behind an RDD scan)."""
+#: Candidate-pair count above which the e2e verify join abandons the
+#: broadcast of the pair list for a doc_id-keyed sort-merge join.  A
+#: pair row is two longs (~50 B serialized), so the default caps the
+#: broadcast near 100 MB — past that, shipping the list to every
+#: executor costs more than one shuffle of the gram table.
+VERIFY_BROADCAST_MAX_PAIRS = 2_000_000
+
+
+def _neardup_verified_pairs(
+    spark: SparkSession, sf_dir: str, include_lsh: bool = False
+) -> DataFrame:
+    """Candidate generation + exact verify for the e2e pipelines,
+    exposed so tests can assert its physical plan (the registered
+    queries checkpoint this result before the CC loop, which hides the
+    upstream plan behind an RDD scan)."""
     cat = Catalog(spark, sf_dir)
     n_parts = spark.sparkContext.defaultParallelism
-    # The token ARRAY is pinned behind an exchange before the gram
-    # lambda runs: the lambda body references it per element, so left
-    # as an expression the whole normalize+split chain would re-run
-    # once per gram slot (the dedup_ngram_jaccard lesson, re-measured
-    # here: 11.6 s → 3.5 s for the posting explode at sf0.1).
+    # Normalization stays JVM-side (_NORM_SPARK, in lockstep with the
+    # oracle's _NORM_SQL); the gram construction is the Arrow-batched
+    # numpy stage shared with dedup_containment — the interpreted
+    # Catalyst gram expression was the dominant per-row cost (r6
+    # audit; the swap measured 2.5x on the containment query).  The
+    # repartition spreads the Python stage across workers.
     base = cat.documents.select(
         "doc_id", F.split(_NORM_SPARK(F.col("text")), " ").alias("ws")
     ).repartition(n_parts)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(1))),
-            lambda i: F.array_join(F.slice(F.col("ws"), i, 5), " "),
-        )
-    )
     # Materialize the gram table ONCE: three consumers read it (the
-    # posting explode and both verify sides) and the interpreted gram
-    # construction is the dominant per-row cost — left lazy it runs
-    # 3×, measured 12.0 s → 5.9 s for the verify stage at sf0.1.  At
+    # posting explode and both verify sides) and the gram construction
+    # is the dominant per-row cost — left lazy it runs 3×, measured
+    # 12.0 → 5.9 s for the verify stage at sf0.1 (r6, pre-Arrow).  At
     # cluster scale this is the same call: one pass over the corpus
     # building the gram column, persisted, instead of three.
-    g = base.select(
-        "doc_id", grams.alias("grams"), F.size(grams).alias("sz")
-    ).localCheckpoint()
+    g = base.mapInPandas(_word5_gram_batches, _GRAM_SCHEMA).localCheckpoint()
 
-    # -- candidate stream 1: LSH banding (the probabilistic scale path)
-    cand_lsh = (
-        REGISTRY["dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
-    )
-    # -- candidate stream 2: exact posting index, df-capped (in-row i<j
+    # -- candidate stream 1: exact posting index, df-capped (in-row i<j
     #    expansion on the sorted bucket, as dedup_minhash's buckets do)
     buckets = (
         g.select("doc_id", F.explode("grams").alias("gram"))
@@ -1237,7 +1340,7 @@ def _neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where((F.size("ids") > 1) & (F.size("ids") <= CONTAINMENT_DF_CAP))
     )
-    cand_idx = buckets.select(
+    cand = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -1250,17 +1353,29 @@ def _neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    cand = cand_lsh.unionByName(cand_idx).distinct()
+    # -- candidate stream 2 (lsh_union variant only): LSH banding — the
+    #    probabilistic recovery path for over-cap boilerplate cliques
+    if include_lsh:
+        cand_lsh = REGISTRY["dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+        cand = cand.unionByName(cand_lsh)
+    # Checkpointed so the runtime count below is free AND the verify
+    # join doesn't re-execute the candidate lineage per join side.
+    cand = cand.distinct().localCheckpoint()
 
-    # -- exact verify on candidates only (integer comparison, no floats)
+    # -- exact verify on candidates only (integer comparison, no floats).
+    #    Join strategy decided at RUNTIME from the actual candidate
+    #    count: broadcast the slim pair list while it's small (gram
+    #    arrays never shuffle), flip to a doc_id-keyed sort-merge join
+    #    on near-dup-dense corpora where the list itself is huge.
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("sz").alias("sa"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("sz").alias("sb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    if cand.count() <= VERIFY_BROADCAST_MAX_PAIRS:
+        joined = a.join(F.broadcast(cand), "doc_a").join(b, "doc_b")
+    else:
+        joined = a.hint("merge").join(cand, "doc_a").join(b.hint("merge"), "doc_b")
     return (
-        a.join(F.broadcast(cand), "doc_a")
-        .join(b, "doc_b")
-        .where(3 * inter >= F.col("sa") + F.col("sb"))
-        .select("doc_a", "doc_b")
+        joined.where(3 * inter >= F.col("sa") + F.col("sb")).select("doc_a", "doc_b")
     )
 
 
@@ -1304,8 +1419,8 @@ _BLOOM_POS_SQL = ", ".join(
 def dedup_bloom_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom-filter membership manifest over the corpus's
     content hashes (docs below the id split, as in dedup_incremental):
-    K={_BLOOM_K} probe positions per document from disjoint sha256 hex
-    slices, OR-ed into {_BLOOM_M}-bit words.  The returned
+    K={k} probe positions per document from disjoint sha256 hex
+    slices, OR-ed into {m}-bit words.  The returned
     (word_idx, bits) table IS the manifest — at 100 TB it replaces the
     32-byte-per-doc hash manifest with ~1.25 bits/doc/probe: a 1e12-doc
     corpus needs a ~2 TB hash manifest but only a few GB of bloom
@@ -1316,7 +1431,7 @@ def dedup_bloom_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative integer math — no engine variance anywhere, so even
     the false-positive pattern is reproducible.  One shuffle on the
     word index (256 groups), map-side combined.
-    """
+    """.format(k=_BLOOM_K, m=_BLOOM_M)
     cat = Catalog(spark, sf_dir)
     pos = (
         cat.documents.where(F.col("doc_id") < _INCR_SPLIT)
@@ -1380,7 +1495,7 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bloom math AND the operational measurement of its
     false-positive rate on this corpus (maybe_seen & !is_dup rows).
 
-    Scale shape: the manifest aggregates to {_BLOOM_M}/64 rows and
+    Scale shape: the manifest aggregates to {m}/32 rows and
     broadcasts; the batch explodes K probe rows per doc, joins the
     broadcast manifest, and folds back to one row per doc with
     bool_and — map-side work plus one doc_id-keyed shuffle.  The
@@ -1388,7 +1503,7 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_incremental does (32-byte key semi-probe); production runs
     bloom-first and only hash-verifies the maybe_seen survivors,
     cutting manifest I/O by the true-negative rate.
-    """
+    """.format(m=_BLOOM_M)
     cat = Catalog(spark, sf_dir)
     corpus = cat.documents.where(F.col("doc_id") < _INCR_SPLIT).select(
         F.sha2("text", 256).alias("h")

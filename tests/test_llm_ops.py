@@ -383,18 +383,23 @@ def test_neardup_family_bounded_under_skew(spark, tmp_path):
 
 
 def test_neardup_e2e_on_skew_fixture(spark, tmp_path):
-    """End-to-end pipeline on the adversarial fixture: the 300
+    """End-to-end pipelines on the adversarial fixture: the 300
     boilerplate docs are genuine mutual near-dups (word-gram Jaccard
-    6/8 between any two), so LSH candidates must carry them through
-    verify into ONE cluster with doc 0 canonical — even though the
-    df-capped posting index rightly drops their grams — while the
-    planted containment pair (Jaccard 8/20 < 1/2) must NOT cluster."""
+    6/8 between any two) whose every shared gram exceeds the df cap.
+    The lsh_union variant must recover them — LSH candidates carry the
+    clique through verify into ONE cluster with doc 0 canonical — while
+    the planted containment pair (Jaccard 8/20 < 1/2) must NOT cluster.
+    The oracle-symmetric registered query must drop the over-cap clique
+    entirely (the documented engine↔oracle symmetry: both sides see no
+    candidate), leaving zero clustered docs."""
     sf_dir = _write_skew_docs(tmp_path)
-    rows = QUERIES["pipeline_neardup_e2e"].fn(spark, sf_dir).collect()
+    rows = QUERIES["pipeline_neardup_e2e_lsh_union"].fn(spark, sf_dir).collect()
     by_doc = {r["doc_id"]: r for r in rows}
     assert set(by_doc) == set(range(300))  # 1000/1001 below tau
     assert all(r["cluster_id"] == 0 for r in rows)
     assert [d for d, r in by_doc.items() if r["is_canonical"]] == [0]
+    sym = QUERIES["pipeline_neardup_e2e"].fn(spark, sf_dir).collect()
+    assert sym == []  # capped index drops the clique on BOTH engines
 
 
 def test_bloom_probe_never_false_negative(spark, sf_dir):

@@ -736,26 +736,48 @@ def test_exchange_reuse_at_runtime(spark):
     assert "ReusedExchange" in p, p[:800]
 
 
-def test_neardup_e2e_verify_stage_no_all_pairs(spark):
-    """The composed near-dup pipeline's candidate+verify stage (planned
-    pre-checkpoint — the registered query materializes it before the CC
-    loop) must never fall back to an all-pairs topology: candidates come
-    from the LSH band equi-join and the df-capped posting index, and the
-    verify joins broadcast the slim pair list against the gram arrays."""
+def _verify_stage_plan(spark, sf_dir, include_lsh=False):
     import contextlib as _ctx
     import io as _io
 
     from dirhash_spark.operators.dedup import _neardup_verified_pairs
 
-    df = _neardup_verified_pairs(spark, SF)
+    df = _neardup_verified_pairs(spark, sf_dir, include_lsh=include_lsh)
     buf = _io.StringIO()
     with _ctx.redirect_stdout(buf):
         df.explain("simple")
-    p = buf.getvalue()
+    return buf.getvalue()
+
+
+def test_neardup_e2e_verify_stage_no_all_pairs(spark):
+    """The composed near-dup pipeline's candidate+verify stage (planned
+    pre-checkpoint — the registered query materializes it before the CC
+    loop) must never fall back to an all-pairs topology: candidates come
+    from the df-capped posting index (plus the LSH band buckets in the
+    union variant), and on a benign corpus the verify join broadcasts
+    the slim pair list against the gram arrays — arrays don't shuffle."""
+    for include_lsh in (False, True):
+        p = _verify_stage_plan(spark, SF, include_lsh=include_lsh)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "SortMergeJoin" not in p
+        assert "BroadcastHashJoin" in p
+
+
+def test_neardup_e2e_verify_flips_to_smj_on_dense_candidates(spark, monkeypatch):
+    """The broadcast→sort-merge flip is code, not a docstring: when the
+    counted candidate list exceeds VERIFY_BROADCAST_MAX_PAIRS (here
+    pinned to 0 to simulate a near-dup-dense corpus; the skew fixture's
+    boilerplate clique is the real-world trigger), the verify stage must
+    plan doc_id-keyed SortMergeJoins with NO broadcast of the pair
+    list."""
+    from dirhash_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_MAX_PAIRS", 0)
+    p = _verify_stage_plan(spark, SF, include_lsh=False)
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "SortMergeJoin" not in p
-    assert "BroadcastHashJoin" in p  # pair list broadcasts, arrays don't shuffle
 
 
 def test_chunk_sliding_is_map_only(spark):
