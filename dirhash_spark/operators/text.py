@@ -735,8 +735,8 @@ _CHUNK_W, _CHUNK_S = 32, 24  # window, stride (8-token overlap)
 )
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — the training-prep/RAG step
-    that turns documents into overlapping {_CHUNK_W}-token windows with
-    stride {_CHUNK_S} (trailing chunk keeps the remainder; stride <=
+    that turns documents into overlapping {w}-token windows with
+    stride {s} (trailing chunk keeps the remainder; stride <=
     window guarantees full coverage).  Chunk count is the exact integer
     1 + ceil(max(n-W,0)/S), so both engines enumerate identical chunk
     ids.
@@ -745,7 +745,7 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence, slice the token array per chunk.  No shuffle at all; at
     100 TB this runs at scan speed and the downstream shard write
     (pipeline_training_export's layout) keys on (doc_id, chunk_id).
-    """
+    """.format(w=_CHUNK_W, s=_CHUNK_S)
     cat = Catalog(spark, sf_dir)
     ws = F.filter(F.split("text", r"\s+"), lambda t: t != "")
     base = cat.documents.select("doc_id", ws.alias("ws"))

@@ -520,7 +520,12 @@ def stream_bloom_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_src")
     dst = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_out")
+    ckpt = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_ckpt")
+    # The checkpoint must die WITH the sink: a stale checkpoint from a
+    # crashed/timed-out prior run would make this stream "resume"
+    # against a source dir we just rewrote, silently skipping batches.
     shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     # 4 source files -> 4 micro-batches under maxFilesPerTrigger=1
     cat.documents.where(F.col("doc_id") >= _INCR_SPLIT).select(
         "doc_id", "text"
@@ -578,21 +583,17 @@ def stream_bloom_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         stream.writeStream.foreachBatch(gate)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_ckpt"),
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
-        q.awaitTermination(180)
+        # awaitTermination returning False means the stream did NOT
+        # finish in time — stopping it then would truncate the sink and
+        # return a silently partial result, so fail loudly instead.
+        if not q.awaitTermination(180):
+            raise TimeoutError("stream_bloom_ingest_gate: stream still running after 180 s")
     finally:
         q.stop()
-    import shutil as _sh
-
-    _sh.rmtree(
-        os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_ckpt"),
-        ignore_errors=True,
-    )
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(dst).select("doc_id", "maybe_seen", "is_dup")
 
