@@ -445,7 +445,9 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     edges = edges.localCheckpoint()
     labels = nodes
     prev_sum = None
+    iters = 0
     for _ in range(_CC_MAX_ITERS):
+        iters += 1
         neigh = edges.join(labels, edges["u"] == labels["doc_id"]).select(
             F.col("v").alias("doc_id"), "label"
         )
@@ -463,12 +465,16 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         if s == prev_sum:
             break
         prev_sum = s
+    # exposed for the round-count comparison tests vs the
+    # large-star/small-star variant; not part of the operator contract
+    _connected_components.last_iters = iters
     return labels
 
 
-@query(
-    "dedup_cluster_canonical",
-    oracle=f"""
+#: Shared by dedup_cluster_canonical and its large-star/small-star twin
+#: — both compute the identical clustering fixpoint, so one declarative
+#: ground truth serves both.
+_CLUSTER_ORACLE = f"""
     WITH RECURSIVE n AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([substr(t, g, 3) FOR g IN generate_series(1, greatest(len(t) - 2, 1))]) AS grams
@@ -495,7 +501,12 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     SELECT doc AS doc_id, min(r) AS cluster_id,
            (doc = min(r)) AS is_canonical
     FROM reach GROUP BY doc
-    """,
+    """
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=_CLUSTER_ORACLE,
     tags=("dedup", "cluster"),
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,7 +517,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     one {{a,b,c}} cluster with a single survivor).
 
     Edges = exact trigram-Jaccard pairs (the dedup_ngram_jaccard
-    construction) at ≥ {_CLUSTER_JACCARD}; components via distributed
+    construction) at ≥ {tau}; components via distributed
     min-label propagation + pointer jumping (see
     :func:`_connected_components`); canonical = smallest doc_id in the
     component.  Every document appears in the output — singletons are
@@ -516,7 +527,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same fixpoint declaratively: a recursive
     CTE builds the reachability closure and takes min(reachable id) per
     doc — portable SQL, no engine-specific CC primitive.
-    """
+    """.format(tau=_CLUSTER_JACCARD)
     cat = Catalog(spark, sf_dir)
     pairs = (
         REGISTRY["dedup_ngram_jaccard"]
@@ -533,6 +544,121 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def _cc_large_small_star(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the web-scale refinement next to
+    :func:`_connected_components`' min-label propagation.
+
+    ``pairs`` is a distinct (doc_a < doc_b) edge list.  Each round
+    rewrites the EDGE SET (not a label table):
+
+    - large-star: per node u over its symmetric neighborhood, connect
+      every strictly larger neighbor to min(Γ(u) ∪ {u});
+    - small-star: per node u over its smaller neighbors (edges kept
+      (big, small)-oriented), connect u and every non-min neighbor to
+      the minimum.
+
+    Both steps preserve connectivity and only ever decrease the
+    (lexicographic) edge sum; the fixpoint is a star per component
+    rooted at its minimum node, reached in O(log n) rounds even on
+    high-diameter or skewed-degree graphs — where plain label
+    propagation pays O(diameter)-ish rounds (path halving brings it to
+    O(log diameter), but each round still touches the full label
+    table; star rounds shrink the edge set itself as stars form).
+
+    Returns (doc_id, label) for every node that appears in an edge —
+    singletons are the caller's join.  Sets ``last_iters`` like its
+    sibling for the round-count comparison tests.
+    """
+    # (u, v) with u > v, deduped; checkpointed so iteration re-reads
+    # rows, not the upstream candidate/verify lineage.
+    edges = (
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        # ---- large-star over the symmetric neighborhood
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nb = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        mstar = F.least(F.col("u"), F.array_min("nbrs"))
+        ls = (
+            nb.select(
+                F.explode(F.filter("nbrs", lambda x: x > F.col("u"))).alias("big"),
+                mstar.alias("small"),
+            )
+            .where(F.col("big") != F.col("small"))
+            .select(F.col("big").alias("u"), F.col("small").alias("v"))
+            .distinct()
+        )
+        # ---- small-star over the (big, small)-oriented result
+        nb2 = ls.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        m2 = F.array_min("nbrs")  # every neighbor is smaller than u
+        ss = (
+            nb2.select(
+                F.explode(F.array_union("nbrs", F.array(F.col("u")))).alias("node"),
+                m2.alias("m"),
+            )
+            .where(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = ss
+        cur = tuple(edges.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first())
+        if cur == prev:
+            break
+        prev = cur
+    _cc_large_small_star.last_iters = iters
+    # at the fixpoint each non-root points straight at its component
+    # minimum; the min() is a no-op guard against a max_iters bailout
+    return edges.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("doc_id"), "label"
+    )
+
+
+@query(
+    "dedup_cluster_canonical_bigstar",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup", "cluster"),
+)
+def dedup_cluster_canonical_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_canonical's exact twin computed with the
+    large-star/small-star algorithm (:func:`_cc_large_small_star`)
+    instead of min-label propagation — same edges (trigram Jaccard >=
+    {tau}), same oracle, same (doc_id, cluster_id, is_canonical)
+    fixpoint.  The alternating star rounds converge in O(log n) on
+    skewed degree distributions and long chains where label propagation
+    pays per-round full-label-table work; the round-count comparison on
+    the adversarial fixtures lives in tests/test_llm_ops.py.
+    """.format(tau=_CLUSTER_JACCARD)
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        REGISTRY["dedup_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .where(F.col("jaccard") >= _CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    member = _cc_large_small_star(pairs)
+    return (
+        cat.documents.select("doc_id")
+        .join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("label", F.col("doc_id"))).alias(
+                "is_canonical"
+            ),
+        )
     )
 
 

@@ -108,6 +108,31 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall@10 = {recall}"
 
 
+def test_ann_recall_floors_all_variants(spark):
+    """Fixed recall@10 floors vs exact brute force for ALL FOUR ANN
+    variants on both committed fixtures — everything here is
+    deterministic (fixed data, fixed hyperplanes, deterministic k-means
+    init), so these are exact regression tripwires: a silent recall
+    drop from a refactor fails loudly instead of hiding behind a
+    relative tolerance.  Measured at r7: 0.6 on sf0.001, 0.5 on sf0.01
+    for all four (distfit's full-corpus witness reads 1.0 and keeps its
+    floor in test_ivf_distributed_trainer_recall_parity)."""
+    from dirhash_spark.operators.similarity import (
+        sim_ann_ivf,
+        sim_ann_ivf_indexed,
+        sim_ann_lsh,
+        sim_ann_lsh_indexed,
+    )
+
+    floors = {"/root/testdata/sf0.001": 0.6, "/root/testdata/sf0.01": 0.5}
+    for sf, floor in floors.items():
+        exact = {r["vec_id"] for r in sim_topk_cosine(spark, sf).collect()}
+        for fn in (sim_ann_lsh, sim_ann_ivf, sim_ann_lsh_indexed, sim_ann_ivf_indexed):
+            approx = {r["vec_id"] for r in fn(spark, sf).collect()}
+            recall = len(exact & approx) / len(exact)
+            assert recall >= floor, f"{fn.__name__}@{sf}: recall@10 {recall} < {floor}"
+
+
 def test_ivf_distributed_trainer_recall_parity(spark, sf_dir):
     """The distributed (full-corpus Lloyd passes as Spark aggregations)
     and sampled (bounded driver-side) k-means trainers must yield IVF
@@ -359,6 +384,69 @@ def test_containment_df_cap_bounds_boilerplate_blowup(spark, tmp_path):
         F.max("df")
     ).collect()[0][0]
     assert kept_max <= 2  # kept pair expansion is O(1), not O(300^2)
+
+
+def test_bigstar_cc_matches_minlabel_and_round_counts(spark, tmp_path):
+    """The large-star/small-star CC twin must compute the identical
+    component labeling as min-label propagation on (a) a diameter-63
+    chain plus a 20-clique, (b) fixed-seed random graphs, and (c) the
+    adversarial skew fixture's near-dup graph (the 300-doc boilerplate
+    clique — the skewed-degree regime the star algorithm targets), and
+    must never need MORE rounds than the sibling on any of them."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.operators.dedup import (
+        _cc_large_small_star,
+        _connected_components,
+    )
+
+    def both(pairs_list):
+        pairs = spark.createDataFrame(pairs_list, "doc_a long, doc_b long")
+        star = dict(map(tuple, _cc_large_small_star(pairs).collect()))
+        it_star = _cc_large_small_star.last_iters
+        edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        nodes = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("label"))
+        )
+        ml = dict(map(tuple, _connected_components(nodes, edges).collect()))
+        # the star form omits component roots (label == self by
+        # construction); the registered query restores them via the
+        # documents left-join, so compare with that coalesce applied
+        star_full = {n: star.get(n, n) for n in ml}
+        assert star_full == ml
+        return it_star, _connected_components.last_iters
+
+    chain = [(i, i + 1) for i in range(63)]
+    clique = [(100 + i, 100 + j) for i in range(20) for j in range(i + 1, 20)]
+    it_star, it_ml = both(chain + clique)
+    assert it_star <= it_ml, (it_star, it_ml)
+
+    rng = random.Random(7)
+    rand = list({(min(a, b), max(a, b))
+                 for a, b in ((rng.randrange(200), rng.randrange(200)) for _ in range(150))
+                 if a != b})
+    it_star, it_ml = both(rand)
+    assert it_star <= it_ml, (it_star, it_ml)
+
+    # the skew fixture's actual verified near-dup graph (the 300-doc
+    # boilerplate clique, via LSH-union candidates + exact verify)
+    from dirhash_spark.operators.dedup import _neardup_verified_pairs
+
+    sf_dir = _write_skew_docs(tmp_path)
+    ver = [
+        (r["doc_a"], r["doc_b"])
+        for r in _neardup_verified_pairs(spark, sf_dir, include_lsh=True).collect()
+    ]
+    assert len(ver) > 1000  # really is the dense clique regime
+    it_star, it_ml = both(ver)
+    assert it_star <= it_ml, (it_star, it_ml)
 
 
 def test_neardup_family_bounded_under_skew(spark, tmp_path):
