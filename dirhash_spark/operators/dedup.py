@@ -285,6 +285,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_WINDOW = 5
 
 
+def _char3_gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, band, t: normalized text) → (doc_id, band, grams:
+    distinct character trigrams, first-occurrence order) — Arrow-batched
+    replacement for the interpreted ``transform(sequence, substr)``
+    chain, semantics identical to the Catalyst form and the DuckDB
+    oracle: texts under 3 chars yield the whole (clamped) string as
+    their single gram."""
+    for pdf in batches:
+        out = []
+        for t in pdf["t"]:
+            t = str(t)
+            ln = len(t)
+            if ln < 3:
+                out.append([t])
+            else:
+                out.append(list(dict.fromkeys(t[i : i + 3] for i in range(ln - 2))))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "band": pdf["band"], "grams": out})
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -311,14 +330,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       nested-loop over all pairs.  Banding ``doc_id div window`` and
       exploding the probe side into [band, band+1] makes it one equi
       join — only O(n·window) pairs materialize their gram arrays.
-    - The normalized text is materialized behind an exchange before the
-      trigram lambda runs.  Referencing the raw normalization
-      *expression* inside ``transform`` would make Catalyst re-evaluate
-      the regexp chain once per trigram (~300× per row — measured 98 s
-      vs 3 s at sf0.1); a repartition boundary pins it to a physical
-      column evaluated once per row, and doubles as the parallelism fix
-      for this byte-light/compute-heavy stage that AQE would otherwise
-      coalesce onto a single core.
+    - The trigram table is built by an Arrow-batched stage and
+      materialized ONCE (localCheckpoint) before the self-join: left as
+      an expression it would execute on BOTH join inputs (the simhash
+      lesson), and the interpreted per-slot substr chain was the
+      dominant cost anyway (r7 A/B at sf0.1, warm: interpreted-lazy
+      1.72 s → interpreted-ckpt 1.43 s → arrow-ckpt 1.33 s for the
+      full query).  The repartition spreads this byte-light/
+      compute-heavy stage across workers, which AQE would otherwise
+      coalesce onto a single core.  (Historical: referencing the raw
+      normalization expression inside ``transform`` re-evaluated the
+      regexp chain once per trigram — measured 98 s vs 3 s at sf0.1;
+      the Arrow stage obsoletes that trap entirely.)
     """
     cat = Catalog(spark, sf_dir)
     n_parts = spark.sparkContext.defaultParallelism
@@ -330,13 +353,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(n_parts, "band")
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1))),
-            lambda i: F.col("t").substr(i, F.lit(3)),
-        )
-    )
-    n = base.select("doc_id", "band", grams.alias("grams"))
+    n = base.mapInPandas(
+        _char3_gram_batches, "doc_id long, band long, grams array<string>"
+    ).localCheckpoint()
     a = n.select(
         F.col("doc_id").alias("a_id"),
         F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("jband"),
