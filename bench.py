@@ -88,6 +88,8 @@ EXTRA = [
     "vocab_bpe_merges",             # bounded BPE merge-rule trainer
     # round-7 additions
     "dedup_simhash",                # bucket-collect rewrite (was banded self-join)
+    "text_gopher_quality_rules",    # integer-exact Gopher filter rules
+    "sim_ann_pq",                   # product-quantization ANN + ADC rerank
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

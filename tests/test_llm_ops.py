@@ -133,6 +133,25 @@ def test_ann_recall_floors_all_variants(spark):
             assert recall >= floor, f"{fn.__name__}@{sf}: recall@10 {recall} < {floor}"
 
 
+def test_pq_recall_floor_and_code_shape(spark):
+    """Product-quantization ANN: fixed recall@10 floors (deterministic
+    codebooks, fixed seed) and the compression contract — every corpus
+    vector encodes to exactly _PQ_M codes in [0, _PQ_K)."""
+    from dirhash_spark.operators import similarity as S
+
+    floors = {"/root/testdata/sf0.001": 0.9, "/root/testdata/sf0.01": 1.0}
+    for sf, floor in floors.items():
+        exact = {r["vec_id"] for r in sim_topk_cosine(spark, sf).collect()}
+        rows = S.sim_ann_pq(spark, sf).collect()
+        assert len(rows) == 10
+        recall = len(exact & {r["vec_id"] for r in rows}) / len(exact)
+        assert recall >= floor, f"PQ recall@10 {recall} < {floor} at {sf}"
+    from dirhash_spark.catalog import Catalog
+
+    books = S._train_pq_codebooks(Catalog(spark, "/root/testdata/sf0.01"))
+    assert books.shape == (S._PQ_M, S._PQ_K, 64 // S._PQ_M)
+
+
 def test_ivf_distributed_trainer_recall_parity(spark, sf_dir):
     """The distributed (full-corpus Lloyd passes as Spark aggregations)
     and sampled (bounded driver-side) k-means trainers must yield IVF

@@ -140,3 +140,22 @@ def test_streaming_stream_stream_join_matches_batch(spark, stream_source, sf_dir
         for r in all_queries()["join_event_window"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_cdc_merge_stream_equals_batch_merge(spark, sf_dir):
+    """The streaming CDC apply (4 key-disjoint micro-batches through
+    foreachBatch MERGE into versioned snapshots) must land on exactly
+    the one-shot batch MERGE's table, and must really have run
+    incrementally (one snapshot version per micro-batch)."""
+    import os
+    import tempfile
+
+    from dirhash_spark.registry import all_queries
+
+    qs = all_queries()
+    streamed = {tuple(r) for r in qs["stream_cdc_merge_upsert"].fn(spark, sf_dir).collect()}
+    batch = {tuple(r) for r in qs["merge_upsert"].fn(spark, sf_dir).collect()}
+    assert streamed == batch
+    root = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "cdc_merge")
+    versions = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert versions == ["v0", "v1", "v2", "v3", "v4"], versions
