@@ -90,6 +90,7 @@ EXTRA = [
     "dedup_simhash",                # bucket-collect rewrite (was banded self-join)
     "text_gopher_quality_rules",    # integer-exact Gopher filter rules
     "sim_ann_pq",                   # product-quantization ANN + ADC rerank
+    "vocab_bpe_encode",             # trained-BPE apply (dictionary broadcast join)
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

@@ -1085,32 +1085,14 @@ _BPE_ORACLE = (
 )
 
 
-@query("vocab_bpe_merges", oracle=_BPE_ORACLE, tags=("text", "llm", "bpe"))
-def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary trainer, bounded to {n} merge steps: the actual
-    byte-pair-encoding training loop (Sennrich et al., ACL 2016) run
-    as a Spark program.  Each step counts adjacent symbol pairs across
-    the frequency-weighted word vocabulary, picks the most frequent
-    pair (ties broken lexicographically so both engines pick the same
-    rule), and merges it leftmost-nonoverlapping into every word.
-    Output = the merge-rule table (step, pair, merged symbol, count) —
-    the artifact a tokenizer ships.
 
-    Merge equivalence across engines: Spark folds each word's symbol
-    array left-to-right, merging when the accumulator tail is `l` and
-    the next symbol is `r` — after a merge the tail becomes `lr`,
-    which cannot re-match `l`, so overlapping runs merge at odd
-    positions exactly like the oracle's islands-odd-ranks selection.
 
-    Scale shape: the corpus is touched ONCE (the word-frequency
-    aggregation); every iteration runs on the vocabulary table
-    (dim-sized, checkpointed per step so the loop re-reads data, not
-    lineage), and the argmax is a 1-row collect per step — the same
-    bounded-driver-state tier as PageRank's rank table and k-means'
-    centroids.  A production trainer runs more steps of exactly this
-    loop; cost is O(steps · vocab), independent of corpus size after
-    the first aggregation.
-    """.format(n=_BPE_STEPS)
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (rules, w_final) where rules
+    is the (step, l, r, merged, count) list and w_final the vocabulary
+    table (word, freq, syms) AFTER all merges — the word-level encoder
+    table vocab_bpe_encode broadcasts.  See vocab_bpe_merges for the
+    algorithm and cross-engine merge-equivalence argument."""
     cat = Catalog(spark, sf_dir)
     tok = cat.documents.select(
         F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
@@ -1163,6 +1145,35 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(x))),
         )
         w = w.select("word", "freq", merge.alias("syms")).localCheckpoint()
+    return rules, w
+
+@query("vocab_bpe_merges", oracle=_BPE_ORACLE, tags=("text", "llm", "bpe"))
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary trainer, bounded to {n} merge steps: the actual
+    byte-pair-encoding training loop (Sennrich et al., ACL 2016) run
+    as a Spark program.  Each step counts adjacent symbol pairs across
+    the frequency-weighted word vocabulary, picks the most frequent
+    pair (ties broken lexicographically so both engines pick the same
+    rule), and merges it leftmost-nonoverlapping into every word.
+    Output = the merge-rule table (step, pair, merged symbol, count) —
+    the artifact a tokenizer ships.
+
+    Merge equivalence across engines: Spark folds each word's symbol
+    array left-to-right, merging when the accumulator tail is `l` and
+    the next symbol is `r` — after a merge the tail becomes `lr`,
+    which cannot re-match `l`, so overlapping runs merge at odd
+    positions exactly like the oracle's islands-odd-ranks selection.
+
+    Scale shape: the corpus is touched ONCE (the word-frequency
+    aggregation); every iteration runs on the vocabulary table
+    (dim-sized, checkpointed per step so the loop re-reads data, not
+    lineage), and the argmax is a 1-row collect per step — the same
+    bounded-driver-state tier as PageRank's rank table and k-means'
+    centroids.  A production trainer runs more steps of exactly this
+    loop; cost is O(steps · vocab), independent of corpus size after
+    the first aggregation.
+    """.format(n=_BPE_STEPS)
+    rules, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         rules, "step: int, left_sym: string, right_sym: string, merged: string, pair_count: bigint"
     )
@@ -1310,4 +1321,67 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stopwords",
         n_passed.alias("n_rules_passed"),
         keep.alias("keep"),
+    )
+
+
+_BPE_ENCODE_ORACLE = (
+    r"""
+    WITH dtok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ),
+    tok AS (SELECT word FROM dtok),
+    w1 AS (
+      SELECT word, count(*) AS freq,
+             [word[i] FOR i IN generate_series(1, length(word))] AS syms
+      FROM tok GROUP BY word
+    ),"""
+    + ",".join(_bpe_iteration_sql(k) for k in range(1, _BPE_STEPS + 1))
+    + f"""
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM dtok d JOIN w{_BPE_STEPS + 1} w USING (word)
+    GROUP BY d.doc_id
+    """
+)
+
+
+@query("vocab_bpe_encode", oracle=_BPE_ENCODE_ORACLE, tags=("text", "llm", "bpe"))
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED BPE vocabulary — the apply
+    step that closes the tokenizer loop vocab_bpe_merges opens: after
+    the {n} merge rules, every distinct word's symbol sequence IS its
+    encoding, so per-document token counts under the trained tokenizer
+    are one dictionary join away.  Output: (doc_id, n_words,
+    n_bpe_tokens) — the real token-budget number (vs text_token_count's
+    regex estimate), and n_bpe_tokens/n_words is the compression the
+    merges bought.
+
+    Scale shape: training cost is O(steps · vocab) (see _bpe_train);
+    the APPLY is one broadcast join of the corpus token stream against
+    the vocabulary-sized (word → len(syms)) table + a doc_id-keyed
+    count — the corpus is touched once and never shuffles on anything
+    wider than doc_id.  The oracle replays the identical merge
+    iterations as unrolled CTEs and joins the final w{{N+1}} table the
+    same way.
+    """.format(n=_BPE_STEPS)
+    cat = Catalog(spark, sf_dir)
+    _, w_final = _bpe_train(spark, sf_dir)
+    enc = w_final.select("word", F.size("syms").alias("n_syms"))
+    dtok = cat.documents.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
+            "word"
+        ),
+    )
+    return (
+        dtok.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
     )
