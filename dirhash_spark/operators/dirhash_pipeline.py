@@ -234,3 +234,125 @@ def dirhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned hash string (one row)."""
     hs = hash_directory(spark, HASHTREE, "sha256", "4k")
     return spark.createDataFrame([(HASHTREE, hs)], "directory STRING, hash_string STRING")
+
+
+@query(
+    "dirhash_incremental_rehash",
+    # Same rollup value as dirhash_tree_fold (the splice MUST be
+    # invisible in the digests — that is the correctness claim), plus
+    # per-subtree reuse accounting the oracle states from the path
+    # predicate that defines the simulated manifest.
+    oracle=f"""
+    WITH files AS (
+      SELECT replace(filename, '{HASHTREE}/', '') AS path, size,
+             CASE WHEN size > 0 THEN
+               sha256(concat(replace(filename, '{HASHTREE}/', ''), chr(0), '0', chr(0),
+                             hex(content)))
+             END AS digest
+      FROM read_blob('{HASHTREE}/**')
+    )
+    SELECT split_part(path, '/', 1) AS subtree,
+           count(*) AS n_files,
+           CAST(sum(CASE WHEN size > 0 AND path LIKE 'bin/%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reused_chunks,
+           CAST(sum(CASE WHEN size > 0 AND path NOT LIKE 'bin/%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rehashed_chunks,
+           sha256(concat(
+             CAST(count(*) AS VARCHAR), chr(0),
+             string_agg(path, chr(0) ORDER BY path), chr(0),
+             coalesce(string_agg(digest, '' ORDER BY path), '')
+           )) AS subtree_digest
+    FROM files
+    GROUP BY split_part(path, '/', 1)
+    """,
+    tags=("dirhash", "merkle", "incremental"),
+)
+def dirhash_incremental_rehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-hash as a registry query: the per-subtree Merkle
+    rollup of ``dirhash_tree_fold`` computed through the SPLICE topology
+    of :mod:`dirhash_spark.dirhash.incremental` — digests arrive from
+    two sources (a simulated manifest covering ``bin/``, standing in
+    for digests stored by a prior run, and a fresh read+hash pass over
+    everything else), are unioned, and fold to values that MUST equal
+    the from-scratch rollup: reuse may never be visible in the digests.
+    The oracle computes the rollup from scratch and states the reuse
+    counters declaratively, so any splice bug (dropped chunk, double
+    count, wrong ordering) hash-mismatches.
+
+    The byte-exact v1 form of the same machinery — stat-diff against a
+    persisted (path, size, mtime_ns, block, digest) manifest, re-read
+    only the churn — is :func:`hash_directory_incremental`, pinned by
+    tests/test_dirhash_e2e.py on a mutated tree copy.  Scale shape:
+    identical to dirhash_tree_fold except the read+hash stage runs on
+    the changed set only — at 100 TB with 1% churn the expensive stage
+    costs the churn, the manifest scan is 32 B/chunk, and the fold
+    still only ever moves digests.
+    """
+    entries = [e for e in list_entries(HASHTREE) if not e.is_dir]
+    manifest_entries = [e for e in entries if e.relative_path.startswith("bin/")]
+    changed_entries = [e for e in entries if not e.relative_path.startswith("bin/")]
+    subtree = F.split_part(F.col("path"), F.lit("/"), F.lit(1))
+
+    def hex_digests(src_entries, tag):
+        chunks = read_chunks(spark, src_entries, _TREE_FOLD_BLOCK)
+        return chunks.select(
+            "path",
+            "block_num",
+            F.sha2(
+                F.concat(
+                    F.col("path"),
+                    F.lit("\x00"),
+                    F.col("block_num").cast("string"),
+                    F.lit("\x00"),
+                    F.hex(F.col("content")),
+                ),
+                256,
+            ).alias("digest"),
+            F.lit(tag).alias("src"),
+        )
+
+    spliced = hex_digests(manifest_entries, "manifest").unionByName(
+        hex_digests(changed_entries, "fresh")
+    )
+    files_df = spark.createDataFrame(
+        [(e.relative_path,) for e in entries], "path STRING"
+    )
+    files_by_tree = (
+        files_df.withColumn("subtree", subtree)
+        .groupBy("subtree")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.array_sort(F.collect_list("path")).alias("entry_list"),
+        )
+    )
+    digests_by_tree = (
+        spliced.withColumn("subtree", subtree)
+        .groupBy("subtree")
+        .agg(
+            F.sum((F.col("src") == "manifest").cast("long")).alias("n_reused_chunks"),
+            F.sum((F.col("src") == "fresh").cast("long")).alias("n_rehashed_chunks"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("path", "block_num", "digest"))),
+                    lambda s: s["digest"],
+                ),
+            ).alias("chunk_concat"),
+        )
+    )
+    return files_by_tree.join(digests_by_tree, "subtree", "left").select(
+        "subtree",
+        "n_files",
+        F.coalesce("n_reused_chunks", F.lit(0)).alias("n_reused_chunks"),
+        F.coalesce("n_rehashed_chunks", F.lit(0)).alias("n_rehashed_chunks"),
+        F.sha2(
+            F.concat(
+                F.col("n_files").cast("string"),
+                F.lit("\x00"),
+                F.array_join(F.col("entry_list"), "\x00"),
+                F.lit("\x00"),
+                F.coalesce(F.col("chunk_concat"), F.lit("")),
+            ),
+            256,
+        ).alias("subtree_digest"),
+    )

@@ -223,3 +223,60 @@ def test_single_byte_corruption_changes_hash(spark, tmp_path):
     assert after != before
     assert not verify_directory_hash(spark, str(root), before)
     assert verify_directory_hash(spark, str(root), after)
+
+
+def test_incremental_rehash_splices_exactly(spark, tmp_path):
+    """hash_directory_incremental must (a) equal the full re-hash
+    bit-for-bit in every churn scenario — unchanged, appended-to file,
+    same-size rewrite, new file, deleted file — and (b) really be
+    incremental: the stats show exactly the churn re-hashed."""
+    import shutil
+    import time
+
+    from dirhash_spark.dirhash.incremental import (
+        build_chunk_manifest,
+        hash_directory_incremental,
+    )
+
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.bin").write_bytes(bytes(range(256)) * 40)  # 10 chunks at 1k
+    (root / "sub" / "b.bin").write_bytes(b"spark" * 1000)
+    (root / "empty.txt").write_bytes(b"")
+
+    man = build_chunk_manifest(spark, str(root), "sha256", "1k").localCheckpoint()
+
+    h, st = hash_directory_incremental(spark, str(root), man, "sha256", "1k")
+    assert h == hash_directory(spark, str(root), "sha256", "1k")
+    assert st == {"n_files": 3, "n_reused_files": 3, "n_rehashed_files": 0}
+
+    time.sleep(0.01)  # ensure a distinct mtime on coarse filesystems
+    with open(root / "sub" / "b.bin", "ab") as f:
+        f.write(b"tail")
+    h, st = hash_directory_incremental(spark, str(root), man, "sha256", "1k")
+    assert h == hash_directory(spark, str(root), "sha256", "1k")
+    assert st["n_rehashed_files"] == 1 and st["n_reused_files"] == 2
+
+    # same-size in-place rewrite: mtime (not size) must catch it
+    time.sleep(0.01)
+    data = bytearray((root / "a.bin").read_bytes())
+    data[123] ^= 0xFF
+    (root / "a.bin").write_bytes(bytes(data))
+    h, st = hash_directory_incremental(spark, str(root), man, "sha256", "1k")
+    assert h == hash_directory(spark, str(root), "sha256", "1k")
+    assert st["n_rehashed_files"] == 2
+
+    # new file + deletion both reconcile against the fresh listing
+    (root / "new.txt").write_bytes(b"fresh")
+    (root / "empty.txt").unlink()
+    h, st = hash_directory_incremental(spark, str(root), man, "sha256", "1k")
+    assert h == hash_directory(spark, str(root), "sha256", "1k")
+    assert st["n_files"] == 3
+
+    # a refreshed manifest restores full reuse
+    man2 = build_chunk_manifest(spark, str(root), "sha256", "1k").localCheckpoint()
+    h, st = hash_directory_incremental(spark, str(root), man2, "sha256", "1k")
+    assert h == hash_directory(spark, str(root), "sha256", "1k")
+    assert st["n_rehashed_files"] == 0
+
+    shutil.rmtree(root)
