@@ -205,3 +205,68 @@ def test_scramble_and_recurrence_exact_beyond_float53(spark):
     )
     assert step == v // 4 == 2**54 + 1
     assert int(float(v) / 4) == 2**54  # the double path is wrong here
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched gram stages (round-7 rewrites of Catalyst expressions that
+# FEED ORACLE-CHECKED queries — a semantic drift here would silently change
+# dedup_containment / pipeline_neardup_e2e / dedup_ngram_jaccard results)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=string.ascii_lowercase + "  .'é", max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(deadline=None)
+def test_word5_gram_batches_match_definition(texts):
+    """The numpy word-5-gram stage must equal the definitional form —
+    distinct ' '-joins of clamped 5-windows over split-on-space tokens,
+    start positions 1..max(n-4, 1) — for arbitrary texts, including
+    empties, runs of spaces (empty tokens preserved, as F.split does),
+    and non-ASCII.  The real hazards are the batch-level offset
+    machinery: a wrong cumsum would alias one doc's tokens into the
+    next doc's grams."""
+    import pandas as pd
+
+    from dirhash_spark.operators.dedup import _word5_gram_batches
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "ws": [t.split(" ") for t in texts]}
+    )
+    out = list(_word5_gram_batches(iter([pdf])))[0]
+    got = {int(r.doc_id): (sorted(r.grams), int(r.sz)) for r in out.itertuples()}
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        ref = list(dict.fromkeys(" ".join(w[j : j + 5]) for j in range(max(len(w) - 4, 1))))
+        assert got[i] == (sorted(ref), len(ref)), (i, t)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=string.ascii_lowercase + " 0é", max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(deadline=None)
+def test_char3_gram_batches_match_definition(texts):
+    """The char-trigram stage must equal the definitional form —
+    first-occurrence-distinct t[i:i+3] windows, whole (clamped) string
+    for texts under 3 chars — and must preserve first-occurrence ORDER
+    (array_distinct semantics), not just the set."""
+    import pandas as pd
+
+    from dirhash_spark.operators.dedup import _char3_gram_batches
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "band": [0] * len(texts), "t": texts}
+    )
+    out = list(_char3_gram_batches(iter([pdf])))[0]
+    got = {int(r.doc_id): list(r.grams) for r in out.itertuples()}
+    for i, t in enumerate(texts):
+        ref = [t] if len(t) < 3 else list(dict.fromkeys(t[j : j + 3] for j in range(len(t) - 2)))
+        assert got[i] == ref, (i, t)
