@@ -6,6 +6,11 @@ Usage mirrors the reference:
   ... --check-name                                           # expected = basename(DIR)
   ... --block-size 32M --hash-algorithm sha3_256
   ... --move-to-archive /archive [--softlink]
+
+Engine extension (no reference analog — the reference re-reads every
+byte on every run):
+  ... --write-manifest /state/manifest      # also persist chunk digests
+  ... --manifest /state/manifest            # incremental: re-read churn only
 """
 
 from __future__ import annotations
@@ -37,6 +42,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hash-algorithm", default="sha256")
     p.add_argument("--move-to-archive", metavar="ARCHIVE_DIR")
     p.add_argument("--softlink", action="store_true")
+    p.add_argument(
+        "--manifest",
+        metavar="PARQUET_DIR",
+        help="chunk-digest manifest from a prior --write-manifest run; "
+        "re-reads only files whose (path, size, mtime) changed",
+    )
+    p.add_argument(
+        "--write-manifest",
+        metavar="PARQUET_DIR",
+        help="persist the (path, size, mtime, block, digest) manifest "
+        "for future incremental runs",
+    )
     return p
 
 
@@ -60,10 +77,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"MISMATCH expected={expected} actual={result.actual_hash_value}")
             return 1
 
-        hash_string = hash_directory(
-            spark, args.directory, args.hash_algorithm, args.block_size
-        )
+        if args.manifest:
+            from .incremental import hash_directory_incremental
+
+            prior = spark.read.parquet(args.manifest)
+            hash_string, stats, new_manifest = hash_directory_incremental(
+                spark,
+                args.directory,
+                prior,
+                args.hash_algorithm,
+                args.block_size,
+                with_manifest=True,
+            )
+            # stats to stderr: stdout stays the reference's hash-only contract
+            print(
+                f"incremental: reused {stats['n_reused_files']}/{stats['n_files']} "
+                f"files, re-hashed {stats['n_rehashed_files']}",
+                file=sys.stderr,
+            )
+        else:
+            hash_string = hash_directory(
+                spark, args.directory, args.hash_algorithm, args.block_size
+            )
+            new_manifest = None
         print(hash_string)
+        if args.write_manifest:
+            if new_manifest is None:
+                from .incremental import build_chunk_manifest
+
+                new_manifest = build_chunk_manifest(
+                    spark, args.directory, args.hash_algorithm, args.block_size
+                )
+            new_manifest.write.mode("overwrite").parquet(args.write_manifest)
+            print(f"manifest: {args.write_manifest}", file=sys.stderr)
         if args.move_to_archive:
             target = move_folder_to_hashed_archive(
                 args.directory, hash_string, args.move_to_archive, softlink=args.softlink

@@ -92,13 +92,17 @@ def hash_directory_incremental(
     manifest: DataFrame,
     hash_algorithm: str = "sha256",
     blocksize: str = DEFAULT_BLOCK_SIZE,
-) -> tuple[str, dict]:
+    with_manifest: bool = False,
+) -> tuple:
     """v1 hash string of ``directory`` computed by splicing manifest
     digests for files whose (path, size, mtime_ns) are unchanged and
     running the fused read+hash stage over the rest.  Returns
     ``(hash_string, stats)`` with stats = {n_files, n_reused_files,
     n_rehashed_files} so callers can assert the read really was
-    churn-sized."""
+    churn-sized.  With ``with_manifest=True`` a third element is the
+    REFRESHED manifest built from the spliced digests (no second read
+    pass) — the daily-rollover shape: hash incrementally, persist the
+    new manifest, repeat tomorrow."""
     directory = strip_trailing_slash(directory)
     bs = parse_blocksize(blocksize)
     all_entries = list_entries(directory, spark)
@@ -139,4 +143,21 @@ def hash_directory_incremental(
         "n_reused_files": len(unchanged_paths),
         "n_rehashed_files": len(files) - len(unchanged_paths),
     }
-    return build_hash_string(hash_algorithm, blocksize, hex_digest), stats
+    hash_string = build_hash_string(hash_algorithm, blocksize, hex_digest)
+    if not with_manifest:
+        return hash_string, stats
+    file_stats = {e.relative_path: (e.size, _entry_mtime_ns(e, spark)) for e in files}
+    rows = [
+        (r["path"], *file_stats[r["path"]], r["block_num"], bytes(r["digest"]))
+        for r in digest_rows
+    ]
+    chunked_paths = {r["path"] for r in digest_rows}
+    rows += [
+        (p, s, m, None, None)
+        for p, (s, m) in file_stats.items()
+        if p not in chunked_paths  # zero-chunk (empty) files keep their key
+    ]
+    new_manifest = spark.createDataFrame(
+        rows, "path STRING, size BIGINT, mtime_ns BIGINT, block_num BIGINT, digest BINARY"
+    )
+    return hash_string, stats, new_manifest

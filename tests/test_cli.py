@@ -66,3 +66,45 @@ def test_archive_move_and_check_name(spark, tree, tmp_path, capsys):
     # self-describing archive dir: basename == its own hash string
     assert main([target, "--check-name"], spark=spark) == 0
     assert capsys.readouterr().out.startswith("OK ")
+
+
+def test_incremental_manifest_cli_roundtrip(spark, tree, tmp_path, capsys):
+    """--write-manifest then --manifest: the incremental run must print
+    the identical v1 hash (stdout keeps the hash-only contract; reuse
+    stats go to stderr), report full reuse on an unchanged tree, then
+    exactly one re-hash after a mutation — and the rolled-over manifest
+    (written WITHOUT a second read pass) must itself verify."""
+    import time
+
+    man1 = str(tmp_path / "man1")
+    man2 = str(tmp_path / "man2")
+
+    assert main([tree, "--block-size", "1k", "--write-manifest", man1], spark=spark) == 0
+    cap = capsys.readouterr()
+    full = cap.out.strip().splitlines()[0]
+
+    assert main([tree, "--block-size", "1k", "--manifest", man1], spark=spark) == 0
+    cap = capsys.readouterr()
+    assert cap.out.strip() == full  # stdout: hash only, identical
+    assert "reused 3/3 files, re-hashed 0" in cap.err
+
+    time.sleep(0.01)
+    with open(os.path.join(tree, "a.txt"), "ab") as f:
+        f.write(b"!")
+    assert (
+        main(
+            [tree, "--block-size", "1k", "--manifest", man1, "--write-manifest", man2],
+            spark=spark,
+        )
+        == 0
+    )
+    cap = capsys.readouterr()
+    changed = cap.out.strip()
+    assert changed != full
+    assert "re-hashed 1" in cap.err
+
+    # the rolled-over manifest is immediately usable and fully reused
+    assert main([tree, "--block-size", "1k", "--manifest", man2], spark=spark) == 0
+    cap = capsys.readouterr()
+    assert cap.out.strip() == changed
+    assert "reused 3/3" in cap.err
