@@ -835,3 +835,34 @@ def test_winnow_fingerprints_map_only_after_spread(spark):
     assert "Exchange hashpartitioning" not in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_gopher_rules_map_only(spark):
+    """Every Gopher rule is in-row integer arithmetic: the whole filter
+    must run at scan speed — zero exchanges, zero joins, zero Python."""
+    p = plan(spark, "text_gopher_quality_rules", "simple")
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_pq_rerank_broadcasts_candidate_ids(spark):
+    """PQ query path: the Arrow encode stage runs once behind a
+    parallelism-spreading repartition, ADC scoring is in-row (no join),
+    and the exact re-rank joins the CONSTANT-SIZE candidate id list
+    back to the corpus as a broadcast — the corpus never shuffles, and
+    the only nested-loop is the 1-row probe cross."""
+    p = plan(spark, "sim_ann_pq", "simple")
+    assert p.count("MapInPandas") == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" not in p, p
+
+
+def test_bpe_encode_broadcasts_vocabulary(spark):
+    """The trained-BPE apply must join the corpus token stream against
+    the vocabulary-sized dictionary as a broadcast (the corpus only
+    ever shuffles on doc_id for the final rollup)."""
+    p = plan(spark, "vocab_bpe_encode", "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
