@@ -10,8 +10,10 @@ later equi join/agg on the bucket key skips its exchange entirely.
 Format-coverage note: Avro (``from_avro``/``to_avro``) was evaluated
 and is NOT registered — this container ships pyspark without the
 external spark-avro jar (AVRO_NOT_LOADED), and installs are out of
-scope.  XML is covered via the native ``from_xml`` path
-(operators/functions.py fn_xml_parse).
+scope.  XML is covered twice: the expression path (``from_xml``,
+operators/functions.py fn_xml_parse) and the native file source
+(``scan_xml`` below — Spark 4 ships the built-in ``xml`` format, no
+external package needed).
 """
 
 from __future__ import annotations
@@ -45,6 +47,42 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     subset.write.mode("overwrite").json(out)
     return spark.read.schema("o_orderkey BIGINT, o_orderstatus STRING, totalprice DOUBLE").json(out)
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+    tags=("scan", "xml"),
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip via Spark 4's built-in ``xml`` format
+    (upstreamed from spark-xml; no external jar): write a customer
+    subset as ``<customers><customer>...</customer></customers>``
+    documents, scan them back with an explicit schema and ``rowTag``.
+
+    Scale note: the XML reader splits by rowTag across files but a
+    single huge document is one task — at 100 TB the layout must be
+    many row-tagged files (as written here), never one document; parse
+    cost makes XML an ingest-then-convert-to-parquet format, which is
+    exactly the round-trip this query exercises.
+    """
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "customer_xml")
+    subset = cat.customer.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    subset.write.mode("overwrite").format("xml").option("rootTag", "customers").option(
+        "rowTag", "customer"
+    ).save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey BIGINT, c_name STRING, c_mktsegment STRING, acctbal DOUBLE")
+        .load(out)
+    )
 
 
 @query(

@@ -136,13 +136,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # text_common_ngrams, text_pii_mask, text_tfidf, ts_gap_fill,
 # ts_resample_ohlc, udtf_map_in_arrow — which become MUST-front (age 5)
 # when CORRECTNESS_r08 lands, so the r8 window takes all 23 plus the
-# seven queries registered during r7 (pipeline_neardup_e2e_lsh_union,
+# eight queries registered during r7 (pipeline_neardup_e2e_lsh_union,
 # dedup_cluster_canonical_bigstar, text_gopher_quality_rules,
 # sim_ann_pq, stream_cdc_merge_upsert, vocab_bpe_encode,
-# dirhash_incremental_rehash — all green in
+# dirhash_incremental_rehash, scan_xml — all green in
 # ORACLE_SNAPSHOT_r07{,_sf01}), then the oldest r4-code rows.  Backlog
-# arithmetic: 227 registered = 39 (r7 window never-checked) + 11 (r7
-# window r3 rows) + 23 (r8 must) + 7 (r7 registrations, r8 fill) + 47
+# arithmetic: 228 registered = 39 (r7 window never-checked) + 11 (r7
+# window r3 rows) + 23 (r8 must) + 8 (r7 registrations, r8 fill) + 47
 # (r4) + 100 (r5/r6) — every query has either a driver row or a dated
 # slot here.
 

@@ -478,6 +478,20 @@ def test_asof_union_merge_single_shuffle(spark, name):
     assert "Window" in p
 
 
+def test_asof_pairwise_combines_map_side(spark):
+    """The pairwise as-of witness deliberately multiplies rows through
+    its range join; the reduction must be a max_by aggregate with a
+    map-side partial (the exchange then carries at most one row per
+    (partition, event), not the multiplied intermediate) and no Window
+    stage — the row_number formulation would shuffle and fully sort the
+    multiplied rows, which is what this form measured 2.3x slower."""
+    p = plan(spark, "join_asof_pairwise", "formatted")
+    assert "partial_max_by" in p, p
+    assert "Window" not in p
+    # exactly one shuffle (the broadcast of events is not a shuffle)
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
 def test_merge_upsert_never_shuffles_base(spark):
     """MERGE applies the change batch as a broadcast build side: the
     base customer scan streams through map-side with no exchange
