@@ -56,12 +56,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: codec+asof+SQL slices; round 4 fronted the never-checked + fixed +
 #: new queries; round 5 fronted the hex-projected binary outputs plus
 #: every remaining r1-code row; round 6 re-fronted the 40 r2-code rows
-#: plus 10 never-checked.  Round 7: the MUST-front stale set is empty
-#: (age histogram after r6: 34×r3, 47×r4, 50×r5, 50×r6), so per the
-#: two-tier contract the whole window drains backlog: (a) all 39
-#: never-checked queries (the 28-query r5 backlog + the 11 r6
-#: registrations), then (b) 11 slack slots on the oldest driver rows —
-#: r3-code rows, MAY-front tier (age >= 3), taken alphabetically.
+#: plus 10 never-checked; round 7 drained the 39-query never-checked
+#: backlog plus the 11 oldest r3 rows.  Round 8 (per the r7 plan):
+#: (a) the 23 remaining r3-code rows — they hit MUST age 5 the moment
+#: CORRECTNESS_r08 lands; (b) the 8 queries registered during r7
+#: (never driver-checked; green in ORACLE_SNAPSHOT_r07{,_sf01} at both
+#: scale factors); (c) 19 slack slots on the oldest r4-code rows,
+#: MAY-front tier (age >= 3), taken alphabetically (first 19 of 47).
 #: Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
@@ -69,82 +70,79 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) never-checked: the 28 queries registered by r5 whose rows
-    # never fit a window...
-    "agg_boolean",
-    "agg_corr_matrix",
-    "agg_grouping_id",
-    "agg_listagg",
-    "corpus_cross_source_overlap",
-    "fn_aes_roundtrip",
-    "fn_surrogate_key",
-    "funnel_time_to_convert",
-    "graph_triangle_count",
-    "join_asof_tolerance",
-    "join_dynamic_partition_prune",
-    "pipeline_training_export",
-    "sample_balanced_classes",
-    "scan_csv_multiline",
-    "scan_nested_pruning",
-    "sessionize_pattern_match",
-    "set_except_all",
-    "set_intersect_all",
-    "snapshot_diff",
-    "sql_exchange_reuse",
-    "stream_stream_left_outer",
-    "text_rarity_score",
-    "ts_autocorr",
-    "ts_changepoint_cusum",
-    "ts_event_transitions",
-    "ts_ewma_fixed_point",
-    "ts_rolling_distinct",
-    "udf_python_arrow",
-    # ...plus the 11 registered during r6 (green in
-    # ORACLE_SNAPSHOT_r06{,_sf01} at both scale factors)
-    "pipeline_neardup_e2e",
-    "dedup_bloom_manifest",
-    "dedup_bloom_probe",
-    "dedup_verbatim_runs",
-    "text_chunk_sliding",
-    "text_surprisal_bits",
-    "corpus_vocab_coverage",
-    "text_winnow_fingerprints",
-    "vocab_bpe_merges",
-    "sink_csv_roundtrip",
-    "stream_bloom_ingest_gate",
-    # (b) slack → pre-emptive rotation of the oldest driver rows (r3
-    # code, age 3 = MAY-front tier; first 11 of 34 alphabetically)
-    "agg_approx_top_k",
-    "agg_bitmap_distinct",
-    "agg_filtered",
-    "agg_hll_sketch_merge",
-    "csv_corrupt_records",
-    "decontaminate_ngram_overlap",
-    "dedup_cluster_canonical",
-    "dedup_incremental",
-    "dedup_levenshtein",
-    "dedup_url_canonical",
-    "dirhash_tree_fold",
+    # (a) the 23 r3-code rows — MUST tier at r8 close
+    "fn_higher_order",
+    "fn_url_parse",
+    "fn_variant",
+    "funnel_stages",
+    "join_null_safe",
+    "join_range_binned",
+    "profile_columns",
+    "sample_stratified",
+    "scan_csv_dropmalformed",
+    "scan_csv_permissive",
+    "scan_parquet_schema_evolution",
+    "scan_python_datasource",
+    "sim_ann_ivf_indexed",
+    "sim_ann_lsh_indexed",
+    "sink_upsert_parquet",
+    "sql_lateral_topk",
+    "sql_recursive_cte",
+    "text_common_ngrams",
+    "text_pii_mask",
+    "text_tfidf",
+    "ts_gap_fill",
+    "ts_resample_ohlc",
+    "udtf_map_in_arrow",
+    # (b) the 8 r7 registrations, never driver-checked
+    "pipeline_neardup_e2e_lsh_union",
+    "dedup_cluster_canonical_bigstar",
+    "text_gopher_quality_rules",
+    "sim_ann_pq",
+    "stream_cdc_merge_upsert",
+    "vocab_bpe_encode",
+    "dirhash_incremental_rehash",
+    "scan_xml",
+    # (c) slack → pre-emptive rotation of the oldest r4-code rows
+    # (age 4 = MAY-front tier; first 19 of 47 alphabetically)
+    "agg_approx_percentile",
+    "agg_basic",
+    "agg_histogram",
+    "blocksize_codec",
+    "corpus_mixture_weights",
+    "dirhash_verify",
+    "embedding_quantize_int8",
+    "filter_pred",
+    "flagship_revenue_by_nation",
+    "fn_collation",
+    "fn_datetime",
+    "fn_try_arith",
+    "fn_xml_parse",
+    "hash_string_codec",
+    "join_asof",
+    "join_asof_pairwise",
+    "join_event_window",
+    "maintenance_compact",
+    "mm_feature_extract",
 )
-# r8 rotation backlog: after r7's window lands, the oldest rows are the
-# 23 remaining r3-code queries — fn_higher_order, fn_url_parse,
-# fn_variant, funnel_stages, join_null_safe, join_range_binned,
-# profile_columns, sample_stratified, scan_csv_dropmalformed,
-# scan_csv_permissive, scan_parquet_schema_evolution,
-# scan_python_datasource, sim_ann_ivf_indexed, sim_ann_lsh_indexed,
-# sink_upsert_parquet, sql_lateral_topk, sql_recursive_cte,
-# text_common_ngrams, text_pii_mask, text_tfidf, ts_gap_fill,
-# ts_resample_ohlc, udtf_map_in_arrow — which become MUST-front (age 5)
-# when CORRECTNESS_r08 lands, so the r8 window takes all 23 plus the
-# eight queries registered during r7 (pipeline_neardup_e2e_lsh_union,
-# dedup_cluster_canonical_bigstar, text_gopher_quality_rules,
-# sim_ann_pq, stream_cdc_merge_upsert, vocab_bpe_encode,
-# dirhash_incremental_rehash, scan_xml — all green in
-# ORACLE_SNAPSHOT_r07{,_sf01}), then the oldest r4-code rows.  Backlog
-# arithmetic: 228 registered = 39 (r7 window never-checked) + 11 (r7
-# window r3 rows) + 23 (r8 must) + 8 (r7 registrations, r8 fill) + 47
-# (r4) + 100 (r5/r6) — every query has either a driver row or a dated
-# slot here.
+# r9 rotation backlog: after r8's window lands, the oldest driver rows
+# are the 28 remaining r4-code queries (mm_meta_extract onward
+# alphabetically: mm_meta_extract, mm_resize, pack_sequences,
+# pipeline_incremental_refresh, query_observe_metrics,
+# recursive_listing, scan_cached_branches, scd2_history,
+# sessionize_batch, sink_time_travel, sort_multi, sql_correlated_exists,
+# sql_scalar_subquery, stream_foreach_batch_sink,
+# stream_python_datasource, stream_session, stream_sliding,
+# stream_stateful_running, stream_static_join, stream_tumbling,
+# stream_watermark_dedup, text_repetition_score, ts_interpolate_linear,
+# ts_zscore, ts_zscore_window, udtf_cogroup_asof,
+# udtf_group_apply_arrow, udtf_python_chunker) — they hit MUST age 5
+# when CORRECTNESS_r09 lands — plus any query registered during r8
+# (green in ORACLE_SNAPSHOT_r08 before commit), with remaining slack on
+# the oldest r5 rows.  Backlog arithmetic at r8 rotation: 228
+# registered = 23 (r3, this window) + 8 (r7 regs, this window) + 19
+# (r4, this window) + 28 (r4 remainder, r9 MUST) + 50 (r5) + 50 (r6)
+# + 50 (r7) — every query has either a driver row or a dated slot here.
 
 
 def all_queries() -> dict[str, Query]:

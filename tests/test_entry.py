@@ -28,7 +28,7 @@ def test_every_oracle_has_a_query():
 def test_priority_order_names_all_registered():
     """Every PRIORITY_ORDER name resolves — all_queries() raises on
     phantoms, so a stale planned-query name can't silently drop its
-    intended driver-row coverage (round-2 postmortem).  The round-7
+    intended driver-row coverage (round-2 postmortem).  The round-8
     window's hand-picked anchors must sit inside the 50-entry prefix."""
     from dirhash_spark.registry import PRIORITY_ORDER, all_queries
 
@@ -37,17 +37,18 @@ def test_priority_order_names_all_registered():
     assert len(PRIORITY_ORDER) == 50  # exactly one driver window
     window = list(qs)[:50]
     for must in (
-        # never-checked backlog (r5 registrations) drained in r7
-        "agg_boolean",
-        "udf_python_arrow",
-        "ts_ewma_fixed_point",
-        "sql_exchange_reuse",
-        # the 11 r6 registrations get their first driver rows
-        "pipeline_neardup_e2e",
-        "vocab_bpe_merges",
-        "stream_bloom_ingest_gate",
-        # pre-emptive r3-code rotation fills the slack
-        "dedup_cluster_canonical",
+        # r3-code rows that hit MUST age 5 when CORRECTNESS_r08 lands
+        "fn_higher_order",
+        "sql_recursive_cte",
+        "udtf_map_in_arrow",
+        "text_tfidf",
+        # the 8 r7 registrations get their first driver rows
+        "pipeline_neardup_e2e_lsh_union",
+        "sim_ann_pq",
+        "dirhash_incremental_rehash",
+        # pre-emptive r4-code rotation fills the slack
+        "agg_approx_percentile",
+        "mm_feature_extract",
     ):
         assert must in window, must
 
