@@ -61,7 +61,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     """Run the CLI.  ``spark=None`` builds (and stops) a session, like
     the reference's optional-SparkContext pattern (dirhash.py:326-332);
     passing one in leaves its lifecycle to the caller."""
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if (args.check or args.check_name) and (args.manifest or args.write_manifest):
+        # the verify path neither consumes nor produces manifests;
+        # silently ignoring the flag would let a user believe a
+        # manifest was refreshed when it wasn't
+        parser.error(
+            "--manifest/--write-manifest cannot be combined with "
+            "--check/--check-name (the verify path does not touch manifests)"
+        )
     owns_session = spark is None
     if owns_session:
         from ..session import get_spark

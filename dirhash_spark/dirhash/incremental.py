@@ -63,7 +63,13 @@ def build_chunk_manifest(
 ) -> DataFrame:
     """One full read+hash pass → the reusable manifest:
     (path, size, mtime_ns, block_num, digest).  Persist this with any
-    parquet sink; ``hash_directory_incremental`` consumes it."""
+    parquet sink; ``hash_directory_incremental`` consumes it.
+
+    Every row carries the (hash_algorithm, blocksize_bytes) the digests
+    were computed under: a digest is only reusable under the SAME
+    parameters, and without the stamp an incremental run with different
+    ones would splice old-parameter digests with fresh ones and print a
+    plausible-looking but wrong v1 hash."""
     directory = strip_trailing_slash(directory)
     bs = parse_blocksize(blocksize)
     entries = [e for e in list_entries(directory, spark) if not e.is_dir]
@@ -82,8 +88,46 @@ def build_chunk_manifest(
     # manifest row with null block/digest — their (path, size, mtime)
     # key must survive or every empty file reads as "changed" forever.
     return stat_df.join(digests, "path", "left").select(
-        "path", "size", "mtime_ns", "block_num", "digest"
+        "path",
+        "size",
+        "mtime_ns",
+        "block_num",
+        "digest",
+        F.lit(hash_algorithm).alias("hash_algorithm"),
+        F.lit(bs).cast("bigint").alias("blocksize_bytes"),
     )
+
+
+def _check_manifest_parameters(
+    manifest: DataFrame, hash_algorithm: str, blocksize_bytes: int
+) -> None:
+    """Refuse to splice digests computed under different parameters.
+    Raises ValueError for a manifest without the parameter stamp (a
+    pre-stamp manifest is unverifiable — rebuild it) or with a stamp
+    that doesn't match the requested (algorithm, blocksize)."""
+    cols = set(manifest.columns)
+    if not {"hash_algorithm", "blocksize_bytes"} <= cols:
+        raise ValueError(
+            "manifest has no (hash_algorithm, blocksize_bytes) stamp; "
+            "rebuild it with build_chunk_manifest — digests of unknown "
+            "provenance cannot be safely reused"
+        )
+    stamps = (
+        manifest.select("hash_algorithm", "blocksize_bytes").distinct().collect()
+    )
+    mismatched = [
+        (r["hash_algorithm"], r["blocksize_bytes"])
+        for r in stamps
+        if (r["hash_algorithm"], r["blocksize_bytes"])
+        != (hash_algorithm, blocksize_bytes)
+    ]
+    if mismatched:
+        raise ValueError(
+            f"manifest was built with {mismatched}, but this run requests "
+            f"({hash_algorithm!r}, {blocksize_bytes}); reusing its digests "
+            "would produce a wrong hash — rebuild the manifest or rerun "
+            "with the original parameters"
+        )
 
 
 def hash_directory_incremental(
@@ -105,6 +149,7 @@ def hash_directory_incremental(
     new manifest, repeat tomorrow."""
     directory = strip_trailing_slash(directory)
     bs = parse_blocksize(blocksize)
+    _check_manifest_parameters(manifest, hash_algorithm, bs)
     all_entries = list_entries(directory, spark)
     files = [e for e in all_entries if not e.is_dir]
     listing = [e.relative_path for e in all_entries]
@@ -159,5 +204,9 @@ def hash_directory_incremental(
     ]
     new_manifest = spark.createDataFrame(
         rows, "path STRING, size BIGINT, mtime_ns BIGINT, block_num BIGINT, digest BINARY"
+    ).select(
+        "*",
+        F.lit(hash_algorithm).alias("hash_algorithm"),
+        F.lit(bs).cast("bigint").alias("blocksize_bytes"),
     )
     return hash_string, stats, new_manifest

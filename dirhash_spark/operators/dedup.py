@@ -296,10 +296,15 @@ def _char3_gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     replacement for the interpreted ``transform(sequence, substr)``
     chain, semantics identical to the Catalyst form and the DuckDB
     oracle: texts under 3 chars yield the whole (clamped) string as
-    their single gram."""
+    their single gram, and a null input propagates as null (the
+    Catalyst chain is null-strict; ``str(None)`` would instead mint
+    grams from the literal string ``'None'``)."""
     for pdf in batches:
         out = []
         for t in pdf["t"]:
+            if t is None or (isinstance(t, float) and t != t):
+                out.append(None)
+                continue
             t = str(t)
             ln = len(t)
             if ln < 3:
@@ -638,7 +643,19 @@ def _cc_large_small_star(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
             .localCheckpoint()
         )
         edges = ss
-        cur = tuple(edges.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first())
+        # order-independent fixpoint digest: (count, sum of xxhash64
+        # over the (u, v) pair).  A (count, sum(u), sum(v)) triple can
+        # collide for distinct edge sets (a round that rewires edges
+        # while preserving both endpoint sums would break early with a
+        # non-star edge set); the per-pair hash sum changes whenever
+        # any edge changes.  decimal(38,0) accumulator: a long sum of
+        # 64-bit hashes overflows under ANSI mode.
+        cur = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
+        )
         if cur == prev:
             break
         prev = cur

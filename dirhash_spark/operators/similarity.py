@@ -695,12 +695,13 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Query path (asymmetric distance computation, ADC):
 
-    1. encode the corpus once: per subvector, nearest of 16 sub-codebook
-       centroids — Arrow-batched numpy (write-time work in production,
-       like build_ann_index);
-    2. driver computes the 8x16 table of probe-subvector . centroid
-       inner products (microseconds — this is the query PARAMETER, like
-       the IVF nprobe list) and inlines it as a literal nested array;
+    1. encode the corpus once: per subvector, nearest of the _PQ_K
+       (=32) sub-codebook centroids — Arrow-batched numpy (write-time
+       work in production, like build_ann_index);
+    2. driver computes the (_PQ_M x _PQ_K) = 8x32 table of
+       probe-subvector . centroid inner products (microseconds — this
+       is the query PARAMETER, like the IVF nprobe list) and inlines it
+       as a literal nested array;
     3. every encoded row scores approx_dot = sum over m of
        table[m][code[m]] — a map-only JVM lookup-sum, no Python, no
        shuffle, 8 element_at calls per vector;

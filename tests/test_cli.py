@@ -108,3 +108,17 @@ def test_incremental_manifest_cli_roundtrip(spark, tree, tmp_path, capsys):
     cap = capsys.readouterr()
     assert cap.out.strip() == changed
     assert "reused 3/3" in cap.err
+
+
+def test_manifest_flags_rejected_on_verify_path(spark, tree, capsys):
+    """--manifest/--write-manifest combined with --check/--check-name
+    must be rejected up front (exit 2, argparse error): the verify path
+    touches no manifests, and silently ignoring the flag would let a
+    user believe one was refreshed (ADVICE r7)."""
+    import pytest
+
+    for extra in (["--write-manifest", "/tmp/nope"], ["--manifest", "/tmp/nope"]):
+        with pytest.raises(SystemExit) as exc:
+            main([tree, "--check", "v1-sha256-1k-00", *extra], spark=spark)
+        assert exc.value.code == 2
+        assert "cannot be combined" in capsys.readouterr().err

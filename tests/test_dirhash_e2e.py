@@ -280,3 +280,46 @@ def test_incremental_rehash_splices_exactly(spark, tmp_path):
     assert st["n_rehashed_files"] == 0
 
     shutil.rmtree(root)
+
+
+def test_incremental_rejects_mismatched_manifest_parameters(spark, tmp_path):
+    """A manifest records the (hash_algorithm, blocksize) its digests
+    were computed under; hash_directory_incremental must refuse to
+    splice under different parameters (the silent-corruption path from
+    ADVICE r7: old-parameter digests mixed with fresh ones print a
+    plausible but wrong v1 hash).  A manifest without the stamp is
+    equally unverifiable and must be rejected."""
+    import pytest
+
+    from dirhash_spark.dirhash.incremental import (
+        build_chunk_manifest,
+        hash_directory_incremental,
+    )
+
+    root = tmp_path / "tree"
+    root.mkdir()
+    (root / "a.bin").write_bytes(b"spark" * 500)
+
+    man = build_chunk_manifest(spark, str(root), "sha256", "1k").localCheckpoint()
+    assert {"hash_algorithm", "blocksize_bytes"} <= set(man.columns)
+
+    with pytest.raises(ValueError, match="rebuild the manifest"):
+        hash_directory_incremental(spark, str(root), man, "sha3_256", "1k")
+    with pytest.raises(ValueError, match="rebuild the manifest"):
+        hash_directory_incremental(spark, str(root), man, "sha256", "2k")
+
+    # matching parameters still splice bit-identically
+    h, st = hash_directory_incremental(spark, str(root), man, "sha256", "1k")
+    assert h == hash_directory(spark, str(root), "sha256", "1k")
+    assert st["n_rehashed_files"] == 0
+
+    # pre-stamp manifests (no parameter columns) are rejected outright
+    bare = man.drop("hash_algorithm", "blocksize_bytes")
+    with pytest.raises(ValueError, match="no .*stamp"):
+        hash_directory_incremental(spark, str(root), bare, "sha256", "1k")
+
+    # the rolled-over manifest carries the stamp too
+    _, _, man2 = hash_directory_incremental(
+        spark, str(root), man, "sha256", "1k", with_manifest=True
+    )
+    assert {"hash_algorithm", "blocksize_bytes"} <= set(man2.columns)

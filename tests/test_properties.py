@@ -270,3 +270,21 @@ def test_char3_gram_batches_match_definition(texts):
     for i, t in enumerate(texts):
         ref = [t] if len(t) < 3 else list(dict.fromkeys(t[j : j + 3] for j in range(len(t) - 2)))
         assert got[i] == ref, (i, t)
+
+
+def test_char3_gram_batches_null_propagates():
+    """Null/NaN normalized text must propagate as null, matching the
+    null-strict Catalyst transform/substr chain this stage replaces —
+    str(None) would instead mint grams from the literal 'None'
+    (ADVICE r7)."""
+    import pandas as pd
+
+    from dirhash_spark.operators.dedup import _char3_gram_batches
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "band": [0, 0, 0], "t": [None, float("nan"), "abcd"]}
+    )
+    out = list(_char3_gram_batches(iter([pdf])))[0]
+    got = {int(r.doc_id): r.grams for r in out.itertuples()}
+    assert got[0] is None and got[1] is None
+    assert list(got[2]) == ["abc", "bcd"]
