@@ -194,16 +194,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------- SimHash
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprint per document computed fully
-    JVM-side (token → xxhash64 → per-bit vote via bitwise ops inside an
-    aggregate over the token array), candidates = pairs sharing any
-    16-bit quarter, verified by exact hamming distance (xor+bit_count).
-
-    rows-only: the fingerprint construction is engine-specific.
-    """
-    cat = Catalog(spark, sf_dir)
+def _simhash_fingerprints(cat: Catalog) -> DataFrame:
+    """(doc_id, fp: 64-bit SimHash) computed fully JVM-side: distinct
+    whitespace tokens → xxhash64 → per-bit majority vote via bitwise
+    ops inside an aggregate over the token array.  Shared by the
+    registered query and the recall-pinning test (which brute-forces
+    exact hamming pairs over these same fingerprints)."""
     tokens = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     toks = cat.documents.select("doc_id", hashes.alias("hashes"))
@@ -226,7 +222,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long")
             )
         )
-    fps = toks.select("doc_id", fp.alias("fp"))
+    return toks.select("doc_id", fp.alias("fp"))
+
+
+@query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint per document
+    (:func:`_simhash_fingerprints`), candidates = pairs sharing any
+    16-bit quarter, verified by exact hamming distance (xor+bit_count).
+
+    Candidate recall envelope (measured, pinned by tests/test_llm_ops
+    .py::test_simhash_candidate_recall_vs_bruteforce): quarter banding
+    pigeonhole-GUARANTEES a candidate for hamming <= 3 — that stratum
+    is recall 1.0 by construction and exact-asserted.  Beyond it,
+    pairs whose differing bits spread across all four quarters evade
+    every band: brute-force ground truth on the fixtures measures
+    recall 0.25 at the full hamming<=12 verify threshold (the fixtures
+    are adversarial — templated docs put 42% of ALL pairs within
+    radius 12, mostly spread-bit).  The operator is therefore a
+    TIGHT-radius near-dup detector; for guaranteed recall at radius
+    12 the upgrade path is Manku-style permuted band tables
+    (Manku, Jain, Das Sarma — WWW 2007), at a multiplicative
+    candidate-volume cost this pipeline does not need (the e2e dedup
+    path verifies via exact n-gram containment, not simhash).
+
+    rows-only: the fingerprint construction is engine-specific.
+    """
+    cat = Catalog(spark, sf_dir)
+    fps = _simhash_fingerprints(cat)
 
     # Band on 16-bit quarters; docs agreeing on any quarter are candidates.
     # Candidate pairs via bucket-collect, NOT a banded self-join: the
