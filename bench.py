@@ -165,6 +165,7 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     headline_v2 = dict(timings, **{n: extra[n] for n in HEADLINE_V2_PROMOTED})
+    canary = _cpu_canary_mbps()
     print(
         json.dumps(
             {
@@ -177,7 +178,23 @@ def main() -> int:
                 "headline_v2_total": round(sum(headline_v2.values()), 3),
                 "headline_v2_members": sorted(headline_v2),
                 "sf": sf,
-                "canary_sha256_mbps": _cpu_canary_mbps(),
+                "canary_sha256_mbps": canary,
+            }
+        )
+    )
+    # Compact trailer AFTER the full JSON line: the driver's fixed-size
+    # tail capture truncated r7's artifact to the last keys only, losing
+    # the headline total — this line keeps the totals + canary in the
+    # tail no matter where truncation lands (r7 verdict item 7).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_totals_compact",
+                "value": total,
+                "unit": "sec",
+                "headline_v2_total": round(sum(headline_v2.values()), 3),
+                "sf": sf,
+                "canary_sha256_mbps": canary,
             }
         )
     )
