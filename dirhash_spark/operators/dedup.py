@@ -313,28 +313,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_WINDOW = 5
 
 
-def _char3_gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id, band, t: normalized text) → (doc_id, band, grams:
-    distinct character trigrams, first-occurrence order) — Arrow-batched
-    replacement for the interpreted ``transform(sequence, substr)``
-    chain, semantics identical to the Catalyst form and the DuckDB
-    oracle: texts under 3 chars yield the whole (clamped) string as
-    their single gram, and a null input propagates as null (the
-    Catalyst chain is null-strict; ``str(None)`` would instead mint
-    grams from the literal string ``'None'``)."""
-    for pdf in batches:
-        out = []
-        for t in pdf["t"]:
-            if t is None or (isinstance(t, float) and t != t):
-                out.append(None)
-                continue
-            t = str(t)
-            ln = len(t)
-            if ln < 3:
-                out.append([t])
-            else:
-                out.append(list(dict.fromkeys(t[i : i + 3] for i in range(ln - 2))))
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "band": pdf["band"], "grams": out})
+def _char3_grams(t):
+    """Distinct character trigrams of ``t`` in first-occurrence order,
+    whole (clamped) string for texts under 3 chars — pure Catalyst
+    (array_distinct over transform(sequence, substring)), null-strict.
+
+    History: an Arrow-batched variant of this stage was measured faster
+    at r6 (when the interpreted chain was the query's dominant cost),
+    then re-A/B'd at r8 after a +12% drift: interpreted-JVM 1.286 s vs
+    arrow 1.337 s warm min-of-3 at sf0.1, bit-identical output — the
+    margin flipped, so the JVM form (no Python workers in the path)
+    wins on both time and operational shape.  Numbers in BASELINE.md."""
+    # explicit null guard: greatest() SKIPS nulls, so the bare chain
+    # would turn a null text into [null] instead of propagating null
+    return F.when(
+        t.isNotNull(),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
+                lambda g: F.substring(t, g, F.lit(3)),
+            )
+        ),
+    )
 
 
 @query(
@@ -363,18 +363,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       nested-loop over all pairs.  Banding ``doc_id div window`` and
       exploding the probe side into [band, band+1] makes it one equi
       join — only O(n·window) pairs materialize their gram arrays.
-    - The trigram table is built by an Arrow-batched stage and
-      materialized ONCE (localCheckpoint) before the self-join: left as
-      an expression it would execute on BOTH join inputs (the simhash
-      lesson), and the interpreted per-slot substr chain was the
-      dominant cost anyway (r7 A/B at sf0.1, warm: interpreted-lazy
-      1.72 s → interpreted-ckpt 1.43 s → arrow-ckpt 1.33 s for the
-      full query).  The repartition spreads this byte-light/
-      compute-heavy stage across workers, which AQE would otherwise
-      coalesce onto a single core.  (Historical: referencing the raw
-      normalization expression inside ``transform`` re-evaluated the
-      regexp chain once per trigram — measured 98 s vs 3 s at sf0.1;
-      the Arrow stage obsoletes that trap entirely.)
+    - The trigram table is materialized ONCE (localCheckpoint) before
+      the self-join: left as an expression it would execute on BOTH
+      join inputs (the simhash lesson).  The gram stage itself is pure
+      Catalyst (:func:`_char3_grams`) — re-chosen over an Arrow variant
+      by the r8 warm A/B (1.286 vs 1.337 s at sf0.1, bit-identical
+      output; an Arrow stage had won narrowly at r6/r7 — the margin is
+      noise-scale either way and the JVM form keeps Python workers out
+      of the path).  The repartition spreads the compute-heavy stage
+      across workers, which AQE would otherwise coalesce onto a single
+      core.  (Historical trap, still relevant: the normalization MUST
+      be materialized into column ``t`` first — referencing the raw
+      regexp chain inside ``transform`` re-evaluated it once per
+      trigram, measured 98 s vs 3 s at sf0.1.)
     """
     cat = Catalog(spark, sf_dir)
     n_parts = spark.sparkContext.defaultParallelism
@@ -386,8 +387,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(n_parts, "band")
     )
-    n = base.mapInPandas(
-        _char3_gram_batches, "doc_id long, band long, grams array<string>"
+    n = base.select(
+        "doc_id", "band", _char3_grams(F.col("t")).alias("grams")
     ).localCheckpoint()
     a = n.select(
         F.col("doc_id").alias("a_id"),

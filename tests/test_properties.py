@@ -245,46 +245,29 @@ def test_word5_gram_batches_match_definition(texts):
         assert got[i] == (sorted(ref), len(ref)), (i, t)
 
 
-@given(
-    texts=st.lists(
-        st.text(alphabet=string.ascii_lowercase + " 0é", max_size=40),
-        min_size=1,
-        max_size=8,
-    )
-)
-@settings(deadline=None)
-def test_char3_gram_batches_match_definition(texts):
-    """The char-trigram stage must equal the definitional form —
-    first-occurrence-distinct t[i:i+3] windows, whole (clamped) string
-    for texts under 3 chars — and must preserve first-occurrence ORDER
-    (array_distinct semantics), not just the set."""
-    import pandas as pd
+def test_char3_grams_match_definition_and_null_strict(spark):
+    """The Catalyst char-trigram expression must equal the definitional
+    form — first-occurrence-distinct t[i:i+3] windows, whole (clamped)
+    string for texts under 3 chars — preserve first-occurrence ORDER,
+    and propagate null as null (the property the retired Arrow variant
+    once violated, ADVICE r7)."""
+    from pyspark.sql import functions as F
 
-    from dirhash_spark.operators.dedup import _char3_gram_batches
+    from dirhash_spark.operators.dedup import _char3_grams
 
-    pdf = pd.DataFrame(
-        {"doc_id": range(len(texts)), "band": [0] * len(texts), "t": texts}
+    texts = ["", "a", "ab", "abc", "abcd", "banana banana", "é0 é0é0", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
     )
-    out = list(_char3_gram_batches(iter([pdf])))[0]
-    got = {int(r.doc_id): list(r.grams) for r in out.itertuples()}
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", _char3_grams(F.col("t")).alias("g")).collect()
+    }
     for i, t in enumerate(texts):
-        ref = [t] if len(t) < 3 else list(dict.fromkeys(t[j : j + 3] for j in range(len(t) - 2)))
-        assert got[i] == ref, (i, t)
-
-
-def test_char3_gram_batches_null_propagates():
-    """Null/NaN normalized text must propagate as null, matching the
-    null-strict Catalyst transform/substr chain this stage replaces —
-    str(None) would instead mint grams from the literal 'None'
-    (ADVICE r7)."""
-    import pandas as pd
-
-    from dirhash_spark.operators.dedup import _char3_gram_batches
-
-    pdf = pd.DataFrame(
-        {"doc_id": [0, 1, 2], "band": [0, 0, 0], "t": [None, float("nan"), "abcd"]}
-    )
-    out = list(_char3_gram_batches(iter([pdf])))[0]
-    got = {int(r.doc_id): r.grams for r in out.itertuples()}
-    assert got[0] is None and got[1] is None
-    assert list(got[2]) == ["abc", "bcd"]
+        if t is None:
+            assert got[i] is None
+        elif len(t) < 3:
+            assert got[i] == [t], (i, t)
+        else:
+            ref = list(dict.fromkeys(t[j : j + 3] for j in range(len(t) - 2)))
+            assert got[i] == ref, (i, t)
