@@ -91,6 +91,8 @@ EXTRA = [
     "text_gopher_quality_rules",    # integer-exact Gopher filter rules
     "sim_ann_pq",                   # product-quantization ANN + ADC rerank
     "vocab_bpe_encode",             # trained-BPE apply (dictionary broadcast join)
+    # round-8 additions
+    "sim_ann_ivfpq",                # IVF partition pruning + PQ-ADC + exact rerank
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

@@ -340,7 +340,7 @@ def sim_ann_ivf_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Bump when signature/centroid logic changes: the version is part of
 #: the index path, so a stale on-disk index from older code can never be
 #: read by newer query logic (it would silently return wrong neighbors).
-_ANN_INDEX_VERSION = 1
+_ANN_INDEX_VERSION = 2  # v2: + PQ codes/nrm columns (sim_ann_ivfpq)
 
 
 def _ann_index_path(sf_dir: str) -> str:
@@ -355,25 +355,43 @@ def _ann_index_path(sf_dir: str) -> str:
 
 def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     """Write-time ANN index: every embedding with its precomputed LSH
-    signature AND its IVF list id, stored as parquet **partitioned by
-    cluster_id** (one directory per inverted list).
+    signature, its IVF list id, AND its PQ codes (+ norm), stored as
+    parquet **partitioned by cluster_id** (one directory per inverted
+    list).
 
     This is the artifact a 100 TB deployment maintains at ingest: the
-    expensive per-vector work (signature bits, centroid assignment)
-    happens once at write, and every query afterwards reads the index —
-    nprobe search becomes partition pruning (only nprobe of _IVF_K
-    directories are listed/read), signature filtering reuses the stored
-    sig column instead of recomputing 16 dot products per row per query.
+    expensive per-vector work (signature bits, centroid assignment, PQ
+    encoding) happens once at write, and every query afterwards reads
+    the index — nprobe search becomes partition pruning (only nprobe of
+    _IVF_K directories are listed/read), signature filtering reuses the
+    stored sig column, and IVFPQ's ADC stage reads only the ~50x-
+    compressed codes column instead of the float vectors.
     Idempotent: returns the existing index if already built.
     """
     import os
+
+    import pandas as pd
 
     out = _ann_index_path(sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         cat = Catalog(spark, sf_dir)
         cents = _train_centroids(cat)
+        books = _train_pq_codebooks(cat)
         v = F.col("embedding").cast("array<double>")
         sig = _lsh_signature(v)
+
+        def encode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(
+                        codes=pd.Series(dtype=object), nrm=pd.Series(dtype=float)
+                    )
+                    continue
+                codes, nrm = _pq_codes_nrm(
+                    np.asarray(pdf["v"].tolist(), dtype=np.float64), books
+                )
+                yield pdf.assign(codes=codes, nrm=nrm)
+
         (
             cat.embeddings.select(
                 "vec_id",
@@ -383,6 +401,11 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
                 _nearest_centroid(v, cents).alias("cluster_id"),
             )
             .repartition("cluster_id")
+            .mapInPandas(
+                encode,
+                "vec_id bigint, label int, v array<double>, sig bigint, "
+                "cluster_id int, codes array<int>, nrm double",
+            )
             .write.mode("overwrite")
             .partitionBy("cluster_id")
             .parquet(out)
@@ -685,6 +708,43 @@ def _train_pq_codebooks(cat: Catalog) -> np.ndarray:
     return books
 
 
+def _pq_codes_nrm(v: np.ndarray, books: np.ndarray):
+    """Encode a batch of float vectors: per-subspace nearest-centroid
+    codes plus the stored L2 norm.  Shared by the per-query encoder in
+    ``sim_ann_pq`` and the write-time encoder in ``build_ann_index``."""
+    m_, _, d_ = books.shape
+    sub = v.reshape(len(v), m_, d_)
+    codes = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+    return (
+        [c.astype("int32").tolist() for c in codes],
+        np.sqrt((v**2).sum(1)),
+    )
+
+
+def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray):
+    """Approximate-cosine column from PQ codes via asymmetric distance
+    computation: the driver inlines the (_PQ_M x _PQ_K) table of
+    probe-subvector . centroid inner products as a literal nested
+    array, and every row scores sum(table[m][code[m]]) / (nrm * |p|) —
+    a map-only JVM lookup-sum over ``codes``/``nrm`` columns."""
+    m_ = books.shape[0]
+    p_nrm = float(np.sqrt((probe_vec**2).sum()))
+    table = np.einsum("md,mkd->mk", probe_vec.reshape(m_, -1), books)
+    lit_table = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in table]
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(m_)),
+            lambda c, m: F.element_at(F.element_at(lit_table, m), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return approx_dot / (F.col("nrm") * F.lit(p_nrm))
+
+
 @query("sim_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: the billion-vector MEMORY lever beyond
@@ -716,22 +776,21 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     books = _train_pq_codebooks(cat)  # (M, K, d)
-    m_, k_, d_ = books.shape
 
     def encode(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame({"vec_id": [], "label": [], "codes": [], "nrm": []})
                 continue
-            v = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-            sub = v.reshape(len(v), m_, d_)
-            codes = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+            codes, nrm = _pq_codes_nrm(
+                np.asarray(pdf["v"].tolist(), dtype=np.float64), books
+            )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "label": pdf["label"].to_numpy(),
-                    "codes": [c.astype("int32").tolist() for c in codes],
-                    "nrm": np.sqrt((v**2).sum(1)),
+                    "codes": codes,
+                    "nrm": nrm,
                 }
             )
 
@@ -751,25 +810,10 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["p"],
         dtype=np.float64,
     )
-    p_nrm = float(np.sqrt((probe_vec**2).sum()))
-    # (M, K) inner products probe_sub[m] . codebook[m][k]
-    table = np.einsum("md,mkd->mk", probe_vec.reshape(m_, d_), books)
-    lit_table = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in table]
-    )
-    approx_dot = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(1), F.lit(m_)),
-            lambda c, m: F.element_at(F.element_at(lit_table, m), c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     cands = (
         enc.select(
             "vec_id",
-            (approx_dot / (F.col("nrm") * F.lit(p_nrm))).alias("approx_cos"),
+            _pq_adc_cosine(probe_vec, books).alias("approx_cos"),
         )
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(_PQ_RERANK)
@@ -779,6 +823,64 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact.join(F.broadcast(cands), "vec_id")
+        .crossJoin(_probe(cat))
+        .select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@query("sim_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq", "index"))
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed into the production billion-vector query shape
+    (Jégou et al., TPAMI 2011; the FAISS ``IVFxx,PQyy`` layout): the
+    two levers that previously existed only separately —
+    ``sim_ann_ivf_indexed``'s partition pruning and ``sim_ann_pq``'s
+    literal-table ADC — applied in sequence over the persisted index.
+
+    1. COARSE: resolve the probe's _IVF_NPROBE nearest lists driver-
+       side from the cached centroids and express them as a
+       ``cluster_id IN (...)`` literal — Catalyst turns that into
+       PartitionFilters, so only nprobe of _IVF_K index directories
+       are ever listed or read;
+    2. ADC within the probed lists: score approx cosine from the
+       stored PQ ``codes``/``nrm`` columns via the inlined lookup
+       table — map-only JVM, and column pruning means the float
+       vectors are NOT read in this stage (the scan's ReadSchema
+       carries codes+nrm, not v — asserted in tests/test_plans.py);
+    3. RE-RANK: top _PQ_RERANK candidates re-ranked EXACTLY against
+       the true vectors of the probed partitions only (broadcast
+       semi-join on vec_id), top-10 out.
+
+    At scale this reads nprobe/K of the corpus as ~50x-compressed
+    codes plus _PQ_RERANK float vectors — neither a full-corpus scan
+    nor a full-corpus float read anywhere.  rows-only: recall@10 vs
+    exact brute force is pinned in tests/test_llm_ops.py.
+    """
+    cat = Catalog(spark, sf_dir)
+    cents = _train_centroids(cat)
+    books = _train_pq_codebooks(cat)
+    index = spark.read.parquet(build_ann_index(spark, sf_dir))
+
+    probe_vec = np.asarray(
+        cat.embeddings.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("p"))
+        .first()["p"],
+        dtype=np.float64,
+    )
+    probe_lists = ((cents - probe_vec) ** 2).sum(-1).argsort()[:_IVF_NPROBE].tolist()
+    probed = index.where(
+        F.col("cluster_id").isin([int(c) for c in probe_lists]) & (F.col("vec_id") != 0)
+    )
+    cands = (
+        probed.select("vec_id", _pq_adc_cosine(probe_vec, books).alias("approx_cos"))
+        .orderBy(F.col("approx_cos").desc(), "vec_id")
+        .limit(_PQ_RERANK)
+    )
+    return (
+        probed.select("vec_id", "label", "v")
+        .join(F.broadcast(cands), "vec_id")
         .crossJoin(_probe(cat))
         .select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))

@@ -648,3 +648,17 @@ def test_simhash_candidate_recall_vs_bruteforce(spark, sf_dir):
         f"radius-12 candidate recall {recall12:.3f} ({len(got)}/{len(exact12)}) "
         "fell below the measured-envelope canary floor"
     )
+
+
+def test_ivfpq_recall_vs_exact(spark, sf_dir):
+    """The composed IVF+PQ query must not lose recall beyond its own
+    coarse stage: measured recall@10 equals sim_ann_ivf_indexed's
+    (0.5-0.6 on these near-uniform fixtures) because the exact re-rank
+    recovers everything the ADC ordering admits into _PQ_RERANK.  Same
+    floor as the IVF family."""
+    from dirhash_spark.operators.similarity import sim_ann_ivfpq
+
+    exact = {r["vec_id"] for r in sim_topk_cosine(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in sim_ann_ivfpq(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVFPQ recall@10 = {recall}"

@@ -880,3 +880,29 @@ def test_bpe_encode_broadcasts_vocabulary(spark):
     p = plan(spark, "vocab_bpe_encode", "simple")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_ivfpq_prunes_partitions_and_never_scans_floats_for_adc(spark):
+    """sim_ann_ivfpq's contract at 100 TB: (a) BOTH index scans carry
+    the cluster_id IN (...) PartitionFilters (only nprobe of _IVF_K
+    directories are listed), and (b) the ADC scoring scan reads the
+    ~50x-compressed codes+nrm columns WITHOUT the float vectors —
+    the full-corpus float read is exactly what IVFPQ exists to avoid;
+    v is read only by the re-rank scan, itself partition-pruned and
+    reduced to _PQ_RERANK rows by the broadcast join."""
+    p = plan(spark, "sim_ann_ivfpq")
+    scans = re.findall(
+        r"Scan parquet[^(]*?PartitionFilters: \[([^\]]*)\].*?ReadSchema: struct<([^>]*)>",
+        p,
+        re.S,
+    )
+    index_scans = [(pf, rs) for pf, rs in scans if "cluster_id" in pf]
+    assert len(index_scans) == 2, p
+    schemas = [
+        {c.split(":")[0] for c in rs.split(",")} for _, rs in index_scans
+    ]
+    adc = [s for s in schemas if "codes" in s]
+    assert adc and all("v" not in s for s in adc), schemas
+    rerank = [s for s in schemas if "v" in s]
+    assert rerank and all("codes" not in s for s in rerank), schemas
+    assert "BroadcastHashJoin" in p  # re-rank joins the tiny cand list
