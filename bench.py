@@ -93,6 +93,7 @@ EXTRA = [
     "vocab_bpe_encode",             # trained-BPE apply (dictionary broadcast join)
     # round-8 additions
     "sim_ann_ivfpq",                # IVF partition pruning + PQ-ADC + exact rerank
+    "dedup_embedding_ann",          # label-free semantic dedup, IVF-blocked
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

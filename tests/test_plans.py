@@ -906,3 +906,14 @@ def test_ivfpq_prunes_partitions_and_never_scans_floats_for_adc(spark):
     rerank = [s for s in schemas if "v" in s]
     assert rerank and all("codes" not in s for s in rerank), schemas
     assert "BroadcastHashJoin" in p  # re-rank joins the tiny cand list
+
+
+def test_embedding_ann_dedup_is_equi_join_one_assignment_pass(spark):
+    """dedup_embedding_ann's scale contract: candidates come from a
+    plain equi-join on the IVF list id — no cartesian/nested-loop
+    anywhere — and the join reads the checkpointed assignment table on
+    BOTH sides (zero parquet re-scans of embeddings inside the join:
+    the assignment lineage runs exactly once, the simhash lesson)."""
+    p = plan(spark, "dedup_embedding_ann")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Scan parquet" not in p  # both join inputs are the checkpoint RDD
