@@ -1,7 +1,9 @@
-"""bench.py output contract — the driver parses ONE JSON line from
-stdout per run; a silent format regression would lose the round's
-performance record, so the contract is tested end-to-end (subprocess,
-tiny SF).
+"""bench.py output contract — the driver parses the FIRST JSON line
+from stdout per run, and (since r8) a compact totals trailer follows
+so the driver's fixed-size tail capture can never truncate away the
+headline numbers (it lost them in the r7 artifact).  A silent format
+regression would lose the round's performance record, so the contract
+is tested end-to-end (subprocess, tiny SF).
 """
 
 from __future__ import annotations
@@ -24,8 +26,14 @@ def test_bench_emits_one_valid_json_line():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 1, lines
+    assert len(lines) == 2, lines
     d = json.loads(lines[0])
+    # trailer: compact totals that must agree with the full line
+    t = json.loads(lines[1])
+    assert t["metric"] == "headline_totals_compact"
+    assert t["value"] == d["value"]
+    assert t["headline_v2_total"] == d["headline_v2_total"]
+    assert t["canary_sha256_mbps"] == d["canary_sha256_mbps"]
     assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert len(d["queries"]) >= 15
