@@ -196,33 +196,46 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_fingerprints(cat: Catalog) -> DataFrame:
     """(doc_id, fp: 64-bit SimHash) computed fully JVM-side: distinct
-    whitespace tokens → xxhash64 → per-bit majority vote via bitwise
-    ops inside an aggregate over the token array.  Shared by the
-    registered query and the recall-pinning test (which brute-forces
-    exact hamming pairs over these same fingerprints)."""
+    whitespace tokens → xxhash64 → per-bit majority vote in a SINGLE
+    aggregate pass carrying a 64-counter array accumulator.  Shared by
+    the registered query and the recall-pinning test (which brute-
+    forces exact hamming pairs over these same fingerprints).
+
+    counts[i] = #tokens with bit i set, so the ±1 vote is positive iff
+    2·counts[i] > n_tokens — same fingerprint, one traversal.  The
+    prior form unrolled 64 separate aggregates (shift amounts must be
+    literals in the Python DSL), re-reading the hash array 64 times
+    with a branch per element; the r8 warm A/B at sf0.1 measured the
+    stage at 2.58 s unrolled vs 0.89 s single-pass (min-of-3,
+    bit-identical on all 5000 fingerprints) — numbers in BASELINE.md.
+    An Arrow/numpy vote was ALSO tried (r7) and measured slower than
+    the unrolled JVM form; the win here is pass fusion, not Python."""
     tokens = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    toks = cat.documents.select("doc_id", hashes.alias("hashes"))
-
-    # Per-bit votes: count tokens with bit i set minus tokens with it
-    # clear; fingerprint bit i = 1 iff the vote is positive.  The 64 bit
-    # positions are unrolled statically (shift amounts must be literals).
-    def vote(i: int):
-        return F.aggregate(
-            F.col("hashes"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp.bitwiseOR(
-            F.when(vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return toks.select("doc_id", fp.alias("fp"))
+    base = cat.documents.select("doc_id", hashes.alias("hashes"))
+    counts = F.expr(
+        """
+        aggregate(
+          hashes,
+          array_repeat(0L, 64),
+          (acc, h) -> zip_with(
+            acc,
+            transform(sequence(0, 63), i -> (shiftright(h, i) & 1L)),
+            (a, b) -> a + b))
+        """
+    )
+    fp = F.expr(
+        """
+        aggregate(
+          zip_with(cnts, sequence(0, 63),
+                   (c, i) -> IF(2 * c > t, shiftleft(1L, i), 0L)),
+          0L,
+          (acc, x) -> acc | x)
+        """
+    )
+    return base.select(
+        "doc_id", counts.alias("cnts"), F.size("hashes").alias("t")
+    ).select("doc_id", fp.alias("fp"))
 
 
 @query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
