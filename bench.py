@@ -94,6 +94,7 @@ EXTRA = [
     # round-8 additions
     "sim_ann_ivfpq",                # IVF partition pruning + PQ-ADC + exact rerank
     "dedup_embedding_ann",          # label-free semantic dedup, IVF-blocked
+    "pipeline_semdedup_e2e",        # SemDeDup capstone: ANN pairs -> CC -> keep-list
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the

@@ -857,6 +857,50 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_semdedup_e2e",
+    oracle=None,
+    tags=("dedup", "embedding", "pipeline", "e2e"),
+)
+def pipeline_semdedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end (Abbas et al., 2023 —
+    cluster the embedding space, drop near-duplicate members): the
+    embedding twin of ``pipeline_neardup_e2e``, composing stages that
+    otherwise only prove themselves separately:
+
+        IVF-blocked cosine pairs (:func:`dedup_embedding_ann` — one
+        checkpointed assignment pass, equi-join candidates, exact
+        cosine >= 0.35 verify)
+        → connected components over the verified pair graph
+          (:func:`_connected_components`; edge list checkpointed once
+          on entry, label table corpus-keyed)
+        → canonical keep-list (vec_id, cluster_id, is_canonical) with
+          every vector present — singletons are their own cluster.
+
+    Scale shape is the sum of its parts: candidates never all-pairs
+    (Σ|list|²·nprobe²), CC label traffic is graph-sized, and the final
+    join-back is a plain key join.  rows-only (the IVF blocking is
+    engine-specific); the CC + canonical stage is EXACTLY pinned in
+    tests/test_llm_ops.py by a driver-side union-find over the same
+    emitted pair set, so only candidate recall (pinned separately on
+    dedup_embedding_ann) is probabilistic.
+    """
+    cat = Catalog(spark, sf_dir)
+    pairs = dedup_embedding_ann(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    ).unionByName(pairs.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v")))
+    nodes = cat.embeddings.select(
+        F.col("vec_id").alias("doc_id"), F.col("vec_id").alias("label")
+    )
+    labels = _connected_components(nodes, edges)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+@query(
     "dedup_levenshtein",
     oracle="""
     WITH d AS (

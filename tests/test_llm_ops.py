@@ -693,3 +693,45 @@ def test_embedding_ann_dedup_recall_and_exact_precision(spark):
         assert not (got - truth), f"false positives at {sf}"
         recall = len(got & truth) / len(truth)
         assert recall >= 0.8, f"embedding-ANN dedup recall {recall:.3f} at {sf}"
+
+
+def test_semdedup_e2e_matches_driver_union_find(spark):
+    """pipeline_semdedup_e2e's CC + canonical stage must EXACTLY equal
+    a driver-side union-find over the same emitted pair set (candidate
+    recall is pinned separately on dedup_embedding_ann; this isolates
+    the graph stage), with every vector present exactly once and
+    is_canonical iff the vector is its cluster's minimum."""
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        pairs = [
+            (r["vec_a"], r["vec_b"])
+            for r in QUERIES["dedup_embedding_ann"].fn(spark, sf).collect()
+        ]
+        ids = [
+            r["vec_id"]
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        ]
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical labels: min member per component
+        comp = {}
+        for i in ids:
+            comp.setdefault(find(i), []).append(i)
+        expected = {
+            i: min(members) for root, members in comp.items() for i in members
+        }
+        rows = QUERIES["pipeline_semdedup_e2e"].fn(spark, sf).collect()
+        assert len(rows) == len(ids)
+        got = {r["vec_id"]: (r["cluster_id"], r["is_canonical"]) for r in rows}
+        for i in ids:
+            assert got[i] == (expected[i], i == expected[i]), i
+        assert pairs, "no pairs; CC test is vacuous"
