@@ -689,6 +689,11 @@ def test_simhash_bucket_collect_single_fingerprint_pass(spark):
     assert p.count("FileScan parquet") == 1, p
     assert "BroadcastExchange" not in p, p
     assert "Join" not in p, p
+    # First-shared-band emission (r8): each qualifying pair is emitted
+    # exactly once — from the earliest quarter the two fingerprints
+    # share — so the pair-volume distinct exchange is gone and the ONLY
+    # shuffle left is the bucket groupBy.
+    assert p.count("Exchange hashpartitioning") == 1, p
 
 
 def test_containment_posting_list_single_gram_pass(spark):
