@@ -809,11 +809,15 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine, where ln/log2 doubles are only 1-ulp-accurate per libm
     (the repo's float discipline, DESIGN.md).
 
-    Scale shape: the vocabulary aggregation and the token→vocab join
-    key on the same word column, so the exploded token stream shuffles
-    once and Spark reuses the exchange (text_rarity_score's topology);
-    the 1-row total broadcasts; the doc rollup is the only other
-    exchange.  The vocab table never collects to the driver.
+    Scale shape: the corpus is scanned TWICE (vocab build + score
+    probe), not three times — the vocab table feeds both the 1-row
+    total aggregate and the bits projection, and that lineage diamond
+    planned as two independent corpus scans (no ReusedExchange across
+    the partial-agg boundary; r8 audit) until the vocab was pinned
+    with ``localCheckpoint``.  The checkpoint materializes only the
+    distributed word-count table (bounded by vocabulary size, never
+    the corpus, never the driver); the 1-row total broadcasts; the doc
+    rollup is the only other exchange.
     """
     cat = Catalog(spark, sf_dir)
     tok = cat.documents.select(
@@ -822,7 +826,7 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word"
         ),
     )
-    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     total = vocab.agg(F.sum("c").alias("total"))
     bits = (
         vocab.crossJoin(F.broadcast(total))
@@ -1185,6 +1189,11 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1).
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+#: cheap language-gate list for the funnel report: high-frequency
+#: English function words that DO occur in the synthetic corpus
+#: (the Gopher eight mostly don't — measured 0-1 distinct hits/doc).
+_FUNNEL_FUNCTION_WORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
 
 @query(
     "text_gopher_quality_rules",
@@ -1384,4 +1393,218 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_syms").alias("n_bpe_tokens"),
         )
+    )
+
+
+@query(
+    "text_perplexity_bigram",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+      FROM tok WHERE len(t) >= 2
+    ),
+    cb AS (
+      SELECT gram, count(*) AS c12, split_part(gram, ' ', 1) AS w1
+      FROM g GROUP BY gram
+    ),
+    cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+    bt AS (
+      SELECT gram, CAST(length(bin(c1 // c12)) - 1 AS BIGINT) AS bits
+      FROM cb JOIN cu USING (w1)
+    )
+    SELECT doc_id,
+           CAST(sum(bits) AS BIGINT) AS bigram_bits,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           (100 * CAST(sum(bits) AS BIGINT)) // count(*) AS mean_centibits
+    FROM g JOIN bt USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality score (the CCNet-style
+    perplexity cut, Wenzek et al. 2020, stated transcendental-free):
+    train conditional bigram counts on the corpus itself, then score
+    each document as the sum of per-bigram surprisal
+    floor(log2(c(w1)/c(w1 w2))) bits — computed as the binary digit
+    count of the integer quotient (floor(log2(x div y)) ==
+    floor(log2(x/y)); DESIGN.md float discipline), so the score is
+    bit-identical on any engine.  Low mean-centibits = predictable
+    boilerplate, high = noise — the same two-sided cut as
+    ``text_surprisal_bits`` but conditioned on the preceding token.
+
+    No smoothing is needed: scoring the training corpus itself means
+    every scored bigram has c12 >= 1 by construction.
+
+    Scale shape: bigrams are formed IN-ROW (array transform over the
+    token list — no window pass, no positional explode+lag shuffle);
+    the exploded gram stream shuffles once on the gram key, where both
+    the count aggregate and the score join consume it (Spark reuses
+    the exchange — ``text_surprisal_bits``'s topology); c(w1) derives
+    from the c12 table by a second tiny aggregate, never from a
+    corpus re-scan; the doc rollup is the only other corpus-scale
+    exchange.  Docs with < 2 tokens have no bigrams and are absent
+    from the output by definition.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    grams = (
+        cat.documents.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    c12 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
+    # c(w1) = sum over w2 of c(w1,w2), computed as a WINDOW over the
+    # count table rather than a groupBy + self-join: the join form made
+    # the c12 subtree a lineage diamond that Spark planned as two extra
+    # corpus scans (no ReusedExchange across a partial-agg boundary);
+    # the window keeps it one linear subtree on distinct-bigram-sized
+    # data.
+    c1 = F.sum("c12").over(Window.partitionBy(F.substring_index("gram", " ", 1)))
+    bits = c12.withColumn("c1", c1).select(
+        "gram",
+        (
+            F.length(
+                F.conv(F.expr("CAST(c1 div c12 AS STRING)"), 10, 2)
+            ) - 1
+        ).cast("bigint").alias("bits"),
+    )
+    return (
+        grams.join(bits, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bits").alias("bigram_bits"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "bigram_bits",
+            "n_bigrams",
+            F.expr("(100 * bigram_bits) div n_bigrams").alias("mean_centibits"),
+        )
+    )
+
+
+@query(
+    "corpus_quality_filter_funnel",
+    oracle=r"""
+    WITH c AS (
+      SELECT source, n_chars,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             (n_chars BETWEEN 100 AND 20000) AS g1,
+             (len(ws) BETWEEN 20 AND 50000
+              AND 3 * len(ws) <= coalesce(CAST(list_sum(
+                    list_transform(ws, w -> length(w))) AS BIGINT), 0)
+              AND coalesce(CAST(list_sum(
+                    list_transform(ws, w -> length(w))) AS BIGINT), 0)
+                  <= 10 * len(ws)) AS g2,
+             (len(list_intersect(list_distinct(ws),
+                  ['the','a','and','of','to','in','is','on'])) >= 2) AS g3,
+             (2 * len(list_distinct(ws)) >= len(ws)) AS g4
+      FROM c
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+           CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shape,
+           CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang,
+           CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           (10000 * CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                         AS BIGINT)) // count(*) AS retention_bp
+    FROM m
+    GROUP BY source
+    """,
+    tags=("text", "llm", "quality", "pipeline"),
+)
+def corpus_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survivor funnel through an ordered C4-style gate
+    sequence — the report a curation pipeline dashboards to see WHERE
+    documents die, not just how many (complements
+    ``text_gopher_quality_rules``, which emits per-doc verdicts):
+
+    1. length gate: n_chars in [100, 20000];
+    2. shape gate: 20-50k words AND mean word length in [3, 10];
+    3. language gate: >= 2 distinct common-English function words
+       ('the', 'a', 'and', ...) — the cheap n-gram-free language cut;
+    4. repetition gate: type-token ratio >= 50 % (2 * distinct words
+       >= total words) — templated/boilerplate text dies here.
+
+    The thresholds are tuned to discriminate on the synthetic corpus
+    (each stage measurably kills documents at sf0.01; a funnel whose
+    stages all pass or all fail reports nothing).
+
+    Counts are cumulative (a doc must pass every earlier gate to be
+    counted at a later one), ending in ``retention_bp`` = integer
+    basis points kept.  Every ratio is an exact integer
+    cross-multiplication and the retention is integer ``div`` — no
+    float thresholds anywhere, so the funnel is bit-identical
+    cross-engine.
+
+    Scale shape: map-only predicate evaluation (tokenize once in-row,
+    no explode), then one tiny groupBy(source) hash aggregate with
+    map-side partials — the whole report is one corpus scan at scan
+    speed, the same shape as ``text_gopher_quality_rules``.
+    """
+    cat = Catalog(spark, sf_dir)
+    text = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    ws = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    base = cat.documents.select("source", "n_chars", ws.alias("ws"))
+    n_words = F.size("ws").cast("long")
+    word_chars = F.aggregate(
+        F.col("ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    n_func = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("ws")),
+            F.array(*[F.lit(s) for s in _FUNNEL_FUNCTION_WORDS]),
+        )
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct("ws")).cast("long")
+    g1 = F.col("n_chars").between(100, 20000)
+    g2 = (
+        n_words.between(20, 50000)
+        & (3 * n_words <= word_chars)
+        & (word_chars <= 10 * n_words)
+    )
+    g3 = n_func >= 2
+    g4 = 2 * n_distinct >= n_words
+    one = F.lit(1)
+    return base.groupBy("source").agg(
+        F.count(one).alias("n_total"),
+        F.sum(F.when(g1, one).otherwise(0)).alias("n_len"),
+        F.sum(F.when(g1 & g2, one).otherwise(0)).alias("n_shape"),
+        F.sum(F.when(g1 & g2 & g3, one).otherwise(0)).alias("n_lang"),
+        F.sum(F.when(g1 & g2 & g3 & g4, one).otherwise(0)).alias("n_kept"),
+    ).select(
+        "source",
+        "n_total",
+        "n_len",
+        "n_shape",
+        "n_lang",
+        "n_kept",
+        F.expr("(10000 * n_kept) div n_total").alias("retention_bp"),
     )

@@ -1003,3 +1003,94 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("med") / 1e6 * 100) / 100).alias("median_latency_s"),
         (F.floor(F.col("p90") / 1e6 * 100) / 100).alias("p90_latency_s"),
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS daily_cents
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, day, daily_cents,
+             CASE WHEN count(*) OVER w = 7
+                  THEN sum(daily_cents) OVER w // 7 END AS trend_cents
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    d AS (
+      SELECT event_type, day, daily_cents, trend_cents,
+             daily_cents - trend_cents AS detr,
+             CAST(isodow(day) AS INT) AS dow
+      FROM t
+    )
+    SELECT event_type, day, daily_cents, trend_cents, dow,
+           CASE WHEN count(detr) OVER p > 0
+                THEN sum(detr) OVER p // count(detr) OVER p
+           END AS seasonal_cents,
+           detr - (CASE WHEN count(detr) OVER p > 0
+                        THEN sum(detr) OVER p // count(detr) OVER p END)
+             AS residual_cents
+    FROM d
+    WINDOW p AS (PARTITION BY event_type, dow)
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily revenue series per
+    event type: trend = centered 7-day moving average (full windows
+    only), seasonal = per-day-of-week mean of the detrended series,
+    residual = daily - trend - seasonal.
+
+    Exact-integer throughout (the repo's float discipline): daily
+    totals are half-up cents, the two means are integer ``div`` —
+    Spark ``div`` and DuckDB ``//`` BOTH truncate toward zero
+    (verified on negative operands: -7 div 2 == -7 // 2 == -3), so
+    the possibly-negative detrended means cannot diverge.  Day-of-week
+    via ``weekday()+1`` == DuckDB ``isodow`` (1=Monday).
+
+    Scale shape: one corpus-scale shuffle (the daily rollup groupBy);
+    both window passes run on the rollup — O(days x event_types) rows,
+    thousands at any corpus size — so the decomposition itself is
+    free at 100 TB.  Trend/seasonal/residual are NULL on the 3-day
+    series edges by design (no partial windows).
+    """
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("daily_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    t = (
+        daily.withColumn("s7", F.sum("daily_cents").over(w))
+        .withColumn("n7", F.count(F.lit(1)).over(w))
+        .withColumn("trend_cents", F.when(F.col("n7") == 7, F.expr("s7 div 7")))
+        .drop("s7", "n7")
+    )
+    d = t.withColumn("detr", F.col("daily_cents") - F.col("trend_cents")).withColumn(
+        "dow", (F.weekday("day") + 1).cast("int")
+    )
+    p = Window.partitionBy("event_type", "dow")
+    return (
+        d.withColumn("sd", F.sum("detr").over(p))
+        .withColumn("nd", F.count("detr").over(p))
+        .withColumn("seasonal_cents", F.when(F.col("nd") > 0, F.expr("sd div nd")))
+        .select(
+            "event_type",
+            "day",
+            "daily_cents",
+            "trend_cents",
+            "dow",
+            "seasonal_cents",
+            (F.col("detr") - F.col("seasonal_cents")).alias("residual_cents"),
+        )
+    )

@@ -138,13 +138,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # ts_zscore, ts_zscore_window, udtf_cogroup_asof,
 # udtf_group_apply_arrow, udtf_python_chunker) — they hit MUST age 5
 # when CORRECTNESS_r09 lands — plus the queries registered during r8
-# (sim_ann_ivfpq, dedup_embedding_ann, pipeline_semdedup_e2e — each
-# green in ORACLE_SNAPSHOT_r08 at registration), with remaining slack
-# on the oldest r5 rows.  Backlog arithmetic after the r8
-# registrations: 231 registered = 23 (r3, this window) + 8 (r7 regs,
-# this window) + 19 (r4, this window) + 28 (r4 remainder, r9 MUST)
-# + 50 (r5) + 50 (r6) + 50 (r7) + 3 (r8 registrations, r9 fill) —
-# every query has either a driver row or a dated slot here.
+# (sim_ann_ivfpq, dedup_embedding_ann, pipeline_semdedup_e2e,
+# ts_seasonal_decompose, text_perplexity_bigram,
+# corpus_quality_filter_funnel — each green in ORACLE_SNAPSHOT_r08 at
+# registration), with remaining slack on the oldest r5 rows.  Backlog
+# arithmetic after the r8 registrations: 234 registered = 23 (r3, this
+# window) + 8 (r7 regs, this window) + 19 (r4, this window) + 28 (r4
+# remainder, r9 MUST) + 50 (r5) + 50 (r6) + 50 (r7) + 6 (r8
+# registrations, r9 fill) — every query has either a driver row or a
+# dated slot here.
 
 
 def all_queries() -> dict[str, Query]:

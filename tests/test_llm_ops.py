@@ -735,3 +735,36 @@ def test_semdedup_e2e_matches_driver_union_find(spark):
         for i in ids:
             assert got[i] == (expected[i], i == expected[i]), i
         assert pairs, "no pairs; CC test is vacuous"
+
+
+def test_funnel_stages_are_cumulative(spark, sf_dir):
+    """Each funnel stage must be a subset of the previous one, the
+    totals must cover the corpus, and every stage must actually
+    discriminate somewhere (a funnel whose stages all pass or all fail
+    reports nothing)."""
+    from dirhash_spark.registry import all_queries
+
+    rows = all_queries()["corpus_quality_filter_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_total >= r.n_len >= r.n_shape >= r.n_lang >= r.n_kept >= 0
+        assert r.retention_bp == (10000 * r.n_kept) // r.n_total
+    tot = [sum(r[i] for r in rows) for i in range(1, 6)]
+    # strict drop at n_len, n_lang and n_kept on the synthetic corpus
+    assert tot[0] > tot[1] and tot[2] > tot[3] > tot[4]
+
+
+def test_perplexity_bigram_score_properties(spark, sf_dir):
+    """Surprisal bits are non-negative, mean is exact integer
+    centibits, and docs with fewer than two tokens are absent."""
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.registry import all_queries
+
+    df = all_queries()["text_perplexity_bigram"].fn(spark, sf_dir)
+    bad = df.where(
+        (F.col("bigram_bits") < 0)
+        | (F.col("n_bigrams") < 1)
+        | (F.col("mean_centibits") != F.expr("(100 * bigram_bits) div n_bigrams"))
+    ).count()
+    assert bad == 0

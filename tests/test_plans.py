@@ -808,12 +808,18 @@ def test_chunk_sliding_is_map_only(spark):
 
 
 def test_surprisal_token_stream_shuffles_once_per_purpose(spark):
-    """Vocabulary count and token→vocab join key on the same word
-    column (exchange reuse), the 1-row total broadcasts, and the doc
-    rollup is the only other exchange — never a second corpus-sized
-    shuffle."""
+    """The vocab table feeds both the 1-row total aggregate and the
+    bits projection; un-pinned, that lineage diamond planned as two
+    extra corpus scans (the claimed ReusedExchange never materialized
+    across the partial-agg boundary — r8 audit).  With the vocab
+    localCheckpoint the lazy plan holds exactly ONE parquet scan (the
+    score probe) plus two reads of the materialized word-count table;
+    the 1-row total broadcasts and the doc rollup is the only other
+    corpus-scale exchange."""
     p = plan(spark, "text_surprisal_bits", "simple")
     assert "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 1, p
+    assert p.count("ExistingRDD") == 2, p
     assert p.count("Exchange hashpartitioning") <= 4, p
 
 
@@ -923,3 +929,39 @@ def test_embedding_ann_dedup_is_one_shuffle_blocked_matmul(spark):
     assert "FlatMapGroupsInPandas" in p
     # formatted mode prints each node in the tree AND a details section
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_funnel_map_only_single_aggregate(spark):
+    """The funnel report is one corpus scan with in-row predicate
+    evaluation and ONE tiny hash exchange (the per-source rollup) — no
+    explode, no join; at 100 TB it runs at scan speed."""
+    p = plan(spark, "corpus_quality_filter_funnel", "simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, p
+    assert "Generate" not in p, p
+
+
+def test_seasonal_decompose_windows_on_rollup(spark):
+    """The corpus is touched once (daily rollup groupBy); both window
+    passes (7-day trend, day-of-week seasonal mean) run on the
+    O(days x event_types) rollup, so their exchanges carry thousands
+    of rows at any corpus size."""
+    p = plan(spark, "ts_seasonal_decompose", "simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_perplexity_bigram_two_scan_no_count_diamond(spark):
+    """Bigrams form in-row (no positional explode + lag), and c(w1)
+    derives from the count table by a WINDOW, not a groupBy+self-join:
+    the join form planned the c12 subtree twice, costing two extra
+    corpus scans.  Pinned: exactly two corpus scans (count-table build
+    + score probe — text_surprisal_bits' intended topology) and a
+    single join (the score join)."""
+    p = plan(spark, "text_perplexity_bigram", "simple")
+    assert p.count("FileScan parquet") == 2, p
+    assert p.count("Generate") == 2, p
+    joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin")
+    assert joins == 1, p
