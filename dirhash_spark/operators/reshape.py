@@ -218,17 +218,22 @@ def corpus_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise) — the exact form costs one output-sized sort per language.
     """
     cat = Catalog(spark, sf_dir)
+    # n_min as a GLOBAL WINDOW over the language-count rollup, not a
+    # separate aggregate + crossJoin: the aggregate form made the
+    # rollup a lineage diamond that planned as TWO corpus scans (r8
+    # plan audit).  The single-partition window is safe here because
+    # its input is the post-aggregate table — one row per language —
+    # so the whole quota computation stays one lazy lang-count subtree
+    # and the corpus is scanned once for counts, once for the probe.
     n = cat.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    n_min = n.agg(F.min("n_l").alias("n_min"))
-    quotas = (
-        n.crossJoin(F.broadcast(n_min))
-        .select(
-            "lang",
-            "n_l",
-            F.floor(F.sqrt((F.col("n_l") * F.col("n_min")).cast("double")))
-            .cast("long")
-            .alias("quota"),
-        )
+    quotas = n.withColumn(
+        "n_min", F.min("n_l").over(Window.partitionBy(F.lit(1)))
+    ).select(
+        "lang",
+        "n_l",
+        F.floor(F.sqrt((F.col("n_l") * F.col("n_min")).cast("double")))
+        .cast("long")
+        .alias("quota"),
     )
     keyed = cat.documents.select(
         "doc_id", "lang", ((F.col("doc_id") * 2654435761) % 4294967296).alias("skey")

@@ -308,9 +308,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     pairs = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
+    # The pairs table feeds THREE consumers (df counts, the N
+    # aggregate, the score probe); un-pinned, that lineage diamond
+    # planned as three independent corpus scans + explodes (r8 plan
+    # audit — same defect as text_surprisal_bits).  Materializing the
+    # compact (doc, term, n, len) table once costs a shuffle-sized
+    # local write and replaces two full corpus re-reads.
     pairs = pairs.withColumn(
         "len_d", F.sum("n_td").over(Window.partitionBy("doc_id"))
-    )
+    ).localCheckpoint()
     df_t = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = pairs.select("doc_id").distinct().agg(
         F.count(F.lit(1)).alias("n_docs")
