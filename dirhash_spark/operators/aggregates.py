@@ -468,47 +468,74 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters, not mere presence (a purchase before signup doesn't
     convert).
 
-    Each stage is a user-keyed aggregate joined back onto the events
-    scan with a time predicate — all shuffles share the ``user_id``
-    key, so a co-partitioned cluster layout pays the exchange once;
-    stage tables only shrink, and the final counts are single-row
-    aggregates unioned together.  Timestamps compare exactly, so both
-    engines agree on every boundary.
+    Scale shape: ONE events scan and ONE user-keyed shuffle.  The
+    per-stage aggregate-and-join-back form read the corpus three times
+    and paid four user-keyed exchanges (r8 plan audit; this form
+    measured bit-identical and 42% faster at sf0.1).  Instead the
+    single per-user aggregate carries min(signup ts) plus the user's
+    click/purchase timestamp lists, and the ordered-funnel condition
+    resolves in-row with ``array_min(filter(...))`` — null signup ⇒
+    null comparison ⇒ empty filter ⇒ null stage, exactly the join
+    semantics.  Per-user list size is bounded by per-user event counts,
+    the same bound every user-keyed aggregate here already accepts; the
+    final count is a single-row aggregate exploded to the 3-row report.
+    Timestamps compare exactly, so both engines agree on every
+    boundary.
     """
     cat = Catalog(spark, sf_dir)
-    ev = cat.events.select("user_id", "event_type", "ts")
-    s1 = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    ev = cat.events.select("user_id", "event_type", "ts").where(
+        F.col("event_type").isin("signup", "click", "purchase")
     )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("ts") >= F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("ts") >= F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
-
-    def stage(df, ord_, label):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(ord_).alias("ord"), F.lit(label).alias("stage"), "n_users"
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "signup_ts"
+            ),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchases"),
         )
-
-    return (
-        stage(s1, 1, "signup")
-        .unionAll(stage(s2, 2, "signup>click"))
-        .unionAll(stage(s3, 3, "signup>click>purchase"))
-        .orderBy("ord")
-        .select("stage", "n_users")
+        .select(
+            "signup_ts",
+            F.array_min(
+                F.filter("clicks", lambda t: t >= F.col("signup_ts"))
+            ).alias("click_ts"),
+            "purchases",
+        )
+        .select(
+            "signup_ts",
+            "click_ts",
+            F.array_min(
+                F.filter("purchases", lambda t: t >= F.col("click_ts"))
+            ).alias("purchase_ts"),
+        )
     )
+    row = pu.agg(
+        F.count("signup_ts").alias("n1"),
+        F.count("click_ts").alias("n2"),
+        F.count("purchase_ts").alias("n3"),
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("signup").alias("stage"), F.col("n1").alias("n_users")
+                ),
+                F.struct(
+                    F.lit("signup>click").alias("stage"),
+                    F.col("n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("signup>click>purchase").alias("stage"),
+                    F.col("n3").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")
 
 
 @query(

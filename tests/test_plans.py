@@ -965,3 +965,28 @@ def test_perplexity_bigram_two_scan_no_count_diamond(spark):
     assert p.count("Generate") == 2, p
     joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin")
     assert joins == 1, p
+
+
+def test_event_funnel_single_scan_single_user_exchange(spark):
+    """funnel_stages: the ordered signup>click>purchase funnel reads
+    events ONCE and pays ONE user-keyed exchange — the per-stage
+    aggregate-and-join-back form cost three corpus scans and four
+    user-keyed exchanges (r8 audit; bit-identical, −42% at sf0.1).
+    The in-row array_min(filter(...)) resolution means no join may
+    ever appear."""
+    p = plan(spark, "funnel_stages", "simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_cohort_retention_single_scan_no_join(spark):
+    """ts_cohort_retention: one events scan, one user-keyed exchange
+    (min-week + collect_set of activity weeks in the same partial-
+    aggregated pass), and cohort size recovered from the offset-0 rows
+    by a window over the dim-sized rollup — the min/distinct/join form
+    cost two corpus scans plus a corpus-sized join (r8 audit;
+    bit-identical, −20% at sf0.1)."""
+    p = plan(spark, "ts_cohort_retention", "simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert "Join" not in p, p
