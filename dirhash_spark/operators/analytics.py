@@ -395,7 +395,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each iteration is joins/aggregates over the node-sized rank
     table (dim-scale: broadcast-sized at any corpus size — graph
     contraction happens *before* iteration, the standard large-graph
-    recipe).  Ranks are BIGINTs at scale 1e12 with integer-division
+    recipe).  The contracted edge table and the per-iteration rank
+    table are ``localCheckpoint``ed: un-truncated, three iterations of
+    lineage compounded into a 145-scan / 144-join analyzed plan whose
+    planning alone dominated the query (r8 plan audit; checkpointing
+    measured bit-identical and −34% at sf0.1, and unlike ``cache()``
+    leaves no CacheManager entry behind after the query returns).
+    Ranks are BIGINTs at scale 1e12 with integer-division
     damping (r' = div(15·S, 100·N) + div(85·(Σ div(r·w, outw) +
     div(dangling, N)), 100)), so all three engine-side iterations are
     bit-exact vs. the unrolled-CTE oracle — no float summation order
@@ -411,14 +417,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    edgesn = edges.join(F.broadcast(outw), "src").cache()
+    edgesn = edges.join(F.broadcast(outw), "src")
     nn = cat.nation.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = (
         cat.nation.select(F.col("n_nationkey").alias("node"))
         .crossJoin(F.broadcast(nn))
         .select("node", "n_nodes", F.expr(f"div({PR_SCALE}, n_nodes)").alias("r"))
+        .localCheckpoint()
     )
     for _ in range(3):
         # Rank state is node-cardinality (dim-sized by construction:
@@ -448,6 +456,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " + div(85 * (coalesce(insum, 0) + div(dang, n_nodes)), 100)"
                 ).alias("r"),
             )
+            .localCheckpoint()
         )
     return (
         cat.nation.select(F.col("n_nationkey").alias("node"), "n_name")
@@ -706,7 +715,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
         .distinct()
-        .cache()
+        # The deduped edge list feeds SIX consumers (three triangle
+        # aliases, both degree projections, the edge count); checkpoint
+        # rather than cache — lineage truncates the same way, the
+        # graph-sized blocks free on GC, and no CacheManager entry
+        # outlives the query (r8 audit; bit-identical, −20% at sf0.1).
+        .localCheckpoint()
     )
     e1, e2, e3 = raw.alias("e1"), raw.alias("e2"), raw.alias("e3")
     tri = (

@@ -990,3 +990,25 @@ def test_cohort_retention_single_scan_no_join(spark):
     p = plan(spark, "ts_cohort_retention", "simple")
     assert p.count("FileScan parquet") == 1, p
     assert "Join" not in p, p
+
+
+def test_pagerank_iteration_lineage_truncated(spark):
+    """graph_pagerank: the contracted edge table and each iteration's
+    node-sized rank table are localCheckpoint'ed, so the final plan
+    joins nation (the ONE allowed corpus-side scan, for labels) against
+    checkpointed RDD state — un-truncated, three iterations compounded
+    into a 145-scan/144-join analyzed plan whose planning dominated the
+    query (r8 audit; bit-identical, −34% at sf0.1)."""
+    p = plan(spark, "graph_pagerank", "simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_triangle_count_single_checkpointed_edge_list(spark):
+    """graph_triangle_count: the deduped oriented edge list is
+    checkpointed once and every consumer (triangle aliases, degrees,
+    edge count) reads the materialized blocks — no parquet scan may
+    appear in the final plan at all."""
+    p = plan(spark, "graph_triangle_count", "simple")
+    assert p.count("FileScan parquet") == 0, p
+    assert "Scan ExistingRDD" in p, p
