@@ -602,13 +602,15 @@ def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-source fold arrays are |languages| long, never
     |documents|."""
     cat = Catalog(spark, sf_dir)
-    # The contingency table is (sources × languages)-sized: cache it so
-    # the corpus-sized count underneath runs ONCE, not once per derived
-    # marginal (row/column/grand totals all reuse the InMemoryRelation).
+    # The contingency table is (sources × languages)-sized and feeds
+    # FOUR consumers (row/column/grand marginals + the term join):
+    # checkpoint it so the corpus-sized count underneath runs ONCE —
+    # localCheckpoint over cache() so no CacheManager entry outlives
+    # the query (r8 audit; bit-identical, equal time at sf0.1).
     sl = (
         cat.documents.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        .localCheckpoint()
     )
     st = sl.groupBy("source").agg(F.sum("c").alias("t"))
     ll = sl.groupBy("lang").agg(F.sum("c").alias("lc"))

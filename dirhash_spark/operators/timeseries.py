@@ -510,12 +510,14 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The 5-row median table is consumed by TWO branches (MAD's build
     # side and the final stats join); Spark has no automatic cross-
-    # branch CSE (see scan_cached_branches), so without persist() each
-    # branch would re-run the full fact scan behind it.
+    # branch CSE (see scan_cached_branches), so without pinning it each
+    # branch would re-run the full fact scan behind it.  localCheckpoint
+    # over persist(): lineage truncates the same way and no CacheManager
+    # entry outlives the query (r8 audit; bit-identical at sf0.1).
     med = (
         c.groupBy("event_type")
         .agg(F.median("value_cents").cast("double").alias("med"))
-        .persist()
+        .localCheckpoint()
     )
     mad = (
         c.join(F.broadcast(med), "event_type")
@@ -654,12 +656,14 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank's rank state.  At 100 TB the daily rollup is what you'd
     checkpoint; the detector re-runs on it in milliseconds."""
     cat = Catalog(spark, sf_dir)
-    # Calendar-sized: cached so the corpus-sized count underneath runs
-    # once, not once per derived branch (totals + prefix series).
+    # Calendar-sized: checkpointed so the corpus-sized count underneath
+    # runs once, not once per derived branch (totals + prefix series) —
+    # and, unlike cache(), nothing outlives the query in the
+    # CacheManager (r8 audit; bit-identical at sf0.1).
     daily = (
         cat.events.groupBy(F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("x"))
-        .cache()
+        .localCheckpoint()
     )
     tot = daily.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
@@ -788,10 +792,12 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cached); the lag windows and moment sums run over calendar-sized
     data × 7 lags."""
     cat = Catalog(spark, sf_dir)
+    # Checkpoint, not cache: same single corpus pass, no CacheManager
+    # entry left behind (r8 audit; bit-identical at sf0.1).
     daily = (
         cat.events.groupBy(F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("x"))
-        .cache()
+        .localCheckpoint()
     )
     ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
     # Spark's lag() needs a literal offset, so the per-lag shift is an

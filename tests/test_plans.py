@@ -525,12 +525,12 @@ def test_anomaly_mad_is_broadcast_two_pass(spark):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "event_type" in line, line
-    # The 5-row median table is persisted and BOTH consumers (MAD's
-    # build side, the final stats join) read the cache: exactly 3 fact
-    # passes execute — median materialization, MAD, final filter.  (A
-    # FileScan count would read 4 here: explain prints the cached
-    # relation's child plan under each InMemoryTableScan reference.)
-    assert p.count("InMemoryTableScan") == 2
+    # The 5-row median table is localCheckpoint'ed and BOTH consumers
+    # (MAD's build side, the final stats join) read the materialized
+    # blocks: exactly 3 fact passes execute — median materialization,
+    # MAD, final filter — and no CacheManager entry outlives the query.
+    assert p.count("Scan ExistingRDD") == 2, p
+    assert "InMemoryTableScan" not in p, p
 
 
 def test_regexp_all_is_map_only(spark):
@@ -591,12 +591,12 @@ def test_rolling_distinct_no_range_join(spark):
 
 def test_pagerank_iterates_over_contracted_graph(spark):
     """The 4-table edge-extraction join happens once (its aggregation
-    to nation-pair edges is cached); each of the 3 rank iterations
-    reuses that InMemoryRelation rather than re-running the fact
-    join — the plan shows the cache being read, and the heavy fact
-    tables never appear in a SortMergeJoin."""
+    to nation-pair edges is checkpointed before the loop); each of the
+    3 rank iterations reads the materialized edge blocks rather than
+    re-running the fact join, so the heavy fact tables never appear in
+    the final plan at all — let alone in a SortMergeJoin."""
     p = plan(spark, "graph_pagerank", "simple")
-    assert "InMemoryTableScan" in p
+    assert "Scan ExistingRDD" in p
     assert "SortMergeJoin" not in p
 
 
@@ -642,9 +642,10 @@ def test_drift_chi2_single_corpus_pass(spark):
     corpus-sized exchange, no sort-merge join."""
     p = plan(spark, "corpus_drift_chi2", "simple")
     assert "SortMergeJoin" not in p
-    # the contingency table is cached: the corpus scan+count runs once
-    # and every marginal reads the InMemoryRelation
-    assert "InMemoryTableScan" in p, p
+    # the contingency table is checkpointed: the corpus scan+count runs
+    # once and every marginal reads the materialized blocks
+    assert "Scan ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
 
 
 def test_maxsim_vectors_never_shuffle(spark):
@@ -661,11 +662,11 @@ def test_maxsim_vectors_never_shuffle(spark):
 
 
 def test_triangle_count_iterates_cached_edges(spark):
-    """The 4-table edge extraction contracts the graph once (cached);
-    the triangle closure joins run over the edge list, not the fact
-    tables."""
+    """The 4-table edge extraction contracts the graph once
+    (checkpointed); the triangle closure joins run over the edge list,
+    not the fact tables."""
     p = plan(spark, "graph_triangle_count", "simple")
-    assert "InMemoryTableScan" in p
+    assert "Scan ExistingRDD" in p
     assert "CartesianProduct" not in p
 
 
@@ -675,8 +676,9 @@ def test_cusum_single_fact_shuffle(spark):
     windows run on the calendar-sized series (SinglePartition is
     deliberate and bounded)."""
     p = plan(spark, "ts_changepoint_cusum", "simple")
-    assert "InMemoryTableScan" in p, p  # daily rollup cached, corpus read once
-    assert "partial_count" in p or "partial_" in p
+    # daily rollup checkpointed: corpus read once, blocks reused
+    assert "Scan ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
 
 
 def test_simhash_bucket_collect_single_fingerprint_pass(spark):
