@@ -971,43 +971,47 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate percentiles with the same (1−g)·a[j] + g·a[j+1]
     formula on those exact integers (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont``), so the halves-only results floor-scale
-    cleanly.  Scale shape: two user-keyed aggregations (first click,
-    min latency) that co-locate on the same shuffle key, then a
-    single-row summary."""
+    cleanly.  Scale shape: ONE events scan, ONE user-keyed shuffle,
+    ONE global aggregate.  The old first-click-aggregate → purchase
+    join → per-user min chain read events twice and re-derived the
+    click subtree for the base count (a lineage diamond: 3 scans, 2
+    joins — r8 plan audit); instead the per-user aggregate carries
+    first_click plus the purchase-timestamp list, the at-or-after
+    latency resolves in-row with ``array_min(transform(filter(...)))``
+    (null click ⇒ null comparison ⇒ empty filter ⇒ null latency,
+    exactly the join semantics), and because count/percentile all
+    ignore nulls, base and stats fuse into a single global aggregate —
+    no crossJoin, no diamond (bit-identical, −23% at sf0.1)."""
     cat = Catalog(spark, sf_dir)
-    ev = cat.events
-    fc = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
-        F.min("ts").alias("first_click")
-    )
-    conv = (
-        fc.join(
-            ev.where(F.col("event_type") == "purchase").select(
-                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-            ),
-            (F.col("p_user") == F.col("user_id"))
-            & (F.col("p_ts") >= F.col("first_click")),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.min(
-                F.unix_micros("p_ts") - F.unix_micros("first_click")
-            ).alias("lat_us")
-        )
-    )
-    base = fc.agg(F.count(F.lit(1)).alias("n_users"))
-    stats = conv.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.expr("percentile(lat_us, 0.5D)").alias("med"),
-        F.expr("percentile(lat_us, 0.9D)").alias("p90"),
-    )
-    return base.crossJoin(stats).select(
-        F.col("n_users").cast("bigint").alias("n_users"),
-        F.col("n_converted").cast("bigint").alias("n_converted"),
-        F.expr("CAST(div(n_converted * 10000, n_users) AS BIGINT)").alias(
-            "conversion_bp"
+    ev = cat.events.where(F.col("event_type").isin("click", "purchase"))
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
         ),
-        (F.floor(F.col("med") / 1e6 * 100) / 100).alias("median_latency_s"),
-        (F.floor(F.col("p90") / 1e6 * 100) / 100).alias("p90_latency_s"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchases"),
+    )
+    lat = pu.select(
+        "first_click",
+        F.array_min(
+            F.transform(
+                F.filter("purchases", lambda p: p >= F.col("first_click")),
+                lambda p: F.unix_micros(p) - F.unix_micros(F.col("first_click")),
+            )
+        ).alias("lat_us"),
+    )
+    return lat.agg(
+        F.count("first_click").alias("_nu"),
+        F.count("lat_us").alias("_nc"),
+        F.expr("percentile(lat_us, 0.5D)").alias("_med"),
+        F.expr("percentile(lat_us, 0.9D)").alias("_p90"),
+    ).select(
+        F.col("_nu").cast("bigint").alias("n_users"),
+        F.col("_nc").cast("bigint").alias("n_converted"),
+        F.expr("CAST(div(_nc * 10000, _nu) AS BIGINT)").alias("conversion_bp"),
+        (F.floor(F.col("_med") / 1e6 * 100) / 100).alias("median_latency_s"),
+        (F.floor(F.col("_p90") / 1e6 * 100) / 100).alias("p90_latency_s"),
     )
 
 

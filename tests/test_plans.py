@@ -1014,3 +1014,15 @@ def test_triangle_count_single_checkpointed_edge_list(spark):
     p = plan(spark, "graph_triangle_count", "simple")
     assert p.count("FileScan parquet") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_time_to_convert_single_scan_no_join(spark):
+    """funnel_time_to_convert: one events scan, one user-keyed
+    exchange, one global aggregate — the first-click/purchase join
+    chain plus separate base count planned as 3 scans and 2 joins (r8
+    audit; the fused per-user form is bit-identical and −23% at
+    sf0.1)."""
+    p = plan(spark, "funnel_time_to_convert", "simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
