@@ -1219,9 +1219,15 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is manifest-sized, not corpus-sized); contamination reuses the
     decontamination shape — in-row ``array_distinct`` before explode,
     eval grams broadcast, batch grams never shuffle; the quality floor
-    is map-only.  Three independent signals meet the batch in left
-    joins keyed on doc_id — at 100 TB each signal is its own bounded
-    stage and nothing materializes cross-key state.
+    is map-only and doubles as the join spine.  The assembled batch is
+    ``localCheckpoint``ed: it feeds three consumers, and un-pinned each
+    re-derived the two-branch union from the corpus scan — 10 scans in
+    the analyzed plan (r8 audit; pinned form bit-identical, −12% at
+    sf0.1).  The checkpoint is bounded by the INCREMENT, not the
+    corpus — exactly the table a real refresh pipeline would land on
+    disk anyway.  Three independent signals then meet the batch in
+    left joins keyed on doc_id — at 100 TB each signal is its own
+    bounded stage and nothing materializes cross-key state.
     """
     cat = Catalog(spark, sf_dir)
     docs = cat.documents
@@ -1229,7 +1235,12 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recrawl = corpus.where(F.col("doc_id") % 31 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    batch = docs.where(F.col("doc_id") % 5 == 4).select("doc_id", "text").unionAll(recrawl)
+    batch = (
+        docs.where(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+        .unionAll(recrawl)
+        .localCheckpoint()
+    )
 
     dup_hit = (
         batch.select("doc_id", F.sha2("text", 256).alias("h"))
@@ -1264,16 +1275,14 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_contaminated", F.lit(True))
     )
 
-    quality = batch.select(
+    spine = batch.select(
         "doc_id",
         F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias("n_tokens"),
     )
 
     return (
-        batch.select("doc_id")
-        .join(dup_hit, "doc_id", "left")
+        spine.join(dup_hit, "doc_id", "left")
         .join(contaminated, "doc_id", "left")
-        .join(quality, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("is_dup"), "dup")

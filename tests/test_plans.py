@@ -1026,3 +1026,15 @@ def test_time_to_convert_single_scan_no_join(spark):
     assert p.count("FileScan parquet") == 1, p
     assert "Join" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_incremental_refresh_batch_checkpointed(spark):
+    """pipeline_incremental_refresh: the assembled batch (increment-
+    sized) is checkpointed once and feeds all three admission signals;
+    the only parquet scans left are the TWO standing-corpus passes
+    (sha-manifest build, eval-gram build) plus the checkpoint's own
+    build — un-pinned, the analyzed plan re-derived the batch union
+    per signal (10 scans, r8 audit)."""
+    p = plan(spark, "pipeline_incremental_refresh", "simple")
+    assert p.count("FileScan parquet") == 2, p
+    assert "Scan ExistingRDD" in p, p
