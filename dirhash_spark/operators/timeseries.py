@@ -952,7 +952,7 @@ def ts_ewma_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(base.n_users AS BIGINT) AS n_users,
            CAST(stats.n_converted AS BIGINT) AS n_converted,
-           CAST((stats.n_converted * 10000) // base.n_users AS BIGINT)
+           CAST((stats.n_converted * 10000) // nullif(base.n_users, 0) AS BIGINT)
              AS conversion_bp,
            floor(stats.med / 1e6 * 100) / 100 AS median_latency_s,
            floor(stats.p90 / 1e6 * 100) / 100 AS p90_latency_s
@@ -1009,7 +1009,11 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("_nu").cast("bigint").alias("n_users"),
         F.col("_nc").cast("bigint").alias("n_converted"),
-        F.expr("CAST(div(_nc * 10000, _nu) AS BIGINT)").alias("conversion_bp"),
+        # nullif: a corpus with zero click-users reports NULL rate, not
+        # an ANSI DIVIDE_BY_ZERO (hypothesis-found empty-log edge).
+        F.expr("CAST(div(_nc * 10000, nullif(_nu, 0)) AS BIGINT)").alias(
+            "conversion_bp"
+        ),
         (F.floor(F.col("_med") / 1e6 * 100) / 100).alias("median_latency_s"),
         (F.floor(F.col("_p90") / 1e6 * 100) / 100).alias("p90_latency_s"),
     )

@@ -271,3 +271,174 @@ def test_char3_grams_match_definition_and_null_strict(spark):
         else:
             ref = list(dict.fromkeys(t[j : j + 3] for j in range(len(t) - 2)))
             assert got[i] == ref, (i, t)
+
+
+# --- Fused per-user funnel forms ≡ join-based reference (r8) --------------
+#
+# funnel_stages / funnel_time_to_convert / ts_cohort_retention were
+# rewritten from aggregate→join-back chains into single per-user
+# aggregates with in-row array resolution (see their docstrings).  The
+# sf fixtures exercise only benign orderings, so these properties pin
+# the fusion's null/ordering semantics — purchase-before-click users,
+# users with no anchor event at all, ties, empty logs — against the
+# ORIGINAL join-based Spark forms on adversarial micro-logs.
+
+
+def _write_events(spark, rows, tmpdir):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, int(u), t, base + dt.timedelta(minutes=int(m)))
+        for i, (u, t, m) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+
+
+_EVENT_LOGS = st.lists(
+    st.tuples(
+        st.integers(0, 4),
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+        st.integers(0, 60 * 24 * 40),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_EVENT_LOGS)
+def test_funnel_stages_fusion_matches_join_form(spark, rows, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    from dirhash_spark.operators.aggregates import funnel_stages
+
+    tmpdir = str(tmp_path_factory.mktemp("funnel"))
+    _write_events(spark, rows, tmpdir)
+    got = {r["stage"]: r["n_users"] for r in funnel_stages(spark, tmpdir).collect()}
+
+    ev = spark.read.parquet(f"{tmpdir}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    want = {
+        "signup": s1.count(),
+        "signup>click": s2.count(),
+        "signup>click>purchase": s3.count(),
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_EVENT_LOGS)
+def test_time_to_convert_fusion_matches_join_form(spark, rows, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    from dirhash_spark.operators.timeseries import funnel_time_to_convert
+
+    tmpdir = str(tmp_path_factory.mktemp("ttc"))
+    _write_events(spark, rows, tmpdir)
+    got = funnel_time_to_convert(spark, tmpdir).collect()[0]
+
+    ev = spark.read.parquet(f"{tmpdir}/events.parquet")
+    fc = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("first_click")
+    )
+    conv = (
+        fc.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("first_click")),
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("p_ts") - F.unix_micros("first_click")).alias("lat_us"))
+    )
+    base = fc.agg(F.count(F.lit(1)).alias("n_users"))
+    stats = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(lat_us, 0.5D)").alias("med"),
+        F.expr("percentile(lat_us, 0.9D)").alias("p90"),
+    )
+    want = (
+        base.crossJoin(stats)
+        .select(
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_converted").cast("bigint").alias("n_converted"),
+            F.expr(
+                "CAST(div(n_converted * 10000, nullif(n_users, 0)) AS BIGINT)"
+            ).alias("conversion_bp"),
+            (F.floor(F.col("med") / 1e6 * 100) / 100).alias("median_latency_s"),
+            (F.floor(F.col("p90") / 1e6 * 100) / 100).alias("p90_latency_s"),
+        )
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_EVENT_LOGS)
+def test_cohort_retention_fusion_matches_join_form(spark, rows, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    from dirhash_spark.operators.analytics import ts_cohort_retention
+
+    tmpdir = str(tmp_path_factory.mktemp("cohort"))
+    _write_events(spark, rows, tmpdir)
+    got = sorted(map(tuple, ts_cohort_retention(spark, tmpdir).collect()))
+
+    ev = spark.read.parquet(f"{tmpdir}/events.parquet")
+    uf = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("aw")
+    ).distinct()
+    joined = act.join(uf, "user_id").select(
+        F.col("cw").alias("cohort_week"),
+        F.expr("CAST(div(datediff(aw, cw), 7) AS INT)").alias("week_offset"),
+        "user_id",
+    )
+    ca = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    cs = uf.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    want = sorted(
+        map(
+            tuple,
+            ca.join(F.broadcast(cs), ca.cohort_week == cs.cw)
+            .select(
+                "cohort_week",
+                "week_offset",
+                F.col("n_active").cast("bigint").alias("n_active"),
+                F.col("n_cohort").cast("bigint").alias("n_cohort"),
+                F.expr("CAST(div(n_active * 10000, n_cohort) AS BIGINT)").alias(
+                    "retention_bp"
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
