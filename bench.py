@@ -95,6 +95,10 @@ EXTRA = [
     "sim_ann_ivfpq",                # IVF partition pruning + PQ-ADC + exact rerank
     "dedup_embedding_ann",          # label-free semantic dedup, IVF-blocked
     "pipeline_semdedup_e2e",        # SemDeDup capstone: ANN pairs -> CC -> keep-list
+    "graph_pagerank",               # checkpointed fixed-point iteration
+    "ts_cohort_retention",          # single-scan fused cohort matrix
+    "funnel_time_to_convert",       # single-scan fused latency funnel
+    "pipeline_incremental_refresh", # checkpointed-batch admission gate
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the
