@@ -1038,3 +1038,27 @@ def test_incremental_refresh_batch_checkpointed(spark):
     p = plan(spark, "pipeline_incremental_refresh", "simple")
     assert p.count("FileScan parquet") == 2, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_no_cache_manager_entries_leak(spark):
+    """Running a query must leave NOTHING in the CacheManager: a
+    query-local cache()/persist() has no post-collect unpersist hook
+    (the returned DataFrame is lazy), so the entry would hold executor
+    storage memory for the rest of the session — across a 234-query
+    sweep, a slow leak.  This pins the r8 localCheckpoint policy on
+    every query that historically cached (scan_cached_branches, the
+    registered caching surface, is exercised last and excluded)."""
+    spark.catalog.clearCache()
+    for name in [
+        "graph_pagerank",
+        "graph_triangle_count",
+        "corpus_drift_chi2",
+        "ts_anomaly_mad",
+        "ts_changepoint_cusum",
+        "ts_autocorr",
+        "pipeline_incremental_refresh",
+        "text_tfidf",
+    ]:
+        all_queries()[name].fn(spark, SF).collect()
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.isEmpty(), f"{name} left CacheManager entries behind"
