@@ -57,96 +57,93 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: new queries; round 5 fronted the hex-projected binary outputs plus
 #: every remaining r1-code row; round 6 re-fronted the 40 r2-code rows
 #: plus 10 never-checked; round 7 drained the 39-query never-checked
-#: backlog plus the 11 oldest r3 rows.  Round 8 (per the r7 plan):
-#: (a) the 23 remaining r3-code rows — they hit MUST age 5 the moment
-#: CORRECTNESS_r08 lands; (b) the 8 queries registered during r7
-#: (never driver-checked; green in ORACLE_SNAPSHOT_r07{,_sf01} at both
-#: scale factors); (c) 19 slack slots on the oldest r4-code rows,
-#: MAY-front tier (age >= 3), taken alphabetically (first 19 of 47).
-#: Exactly 50 names.
+#: backlog plus the 11 oldest r3 rows; round 8 drained the 23 remaining
+#: r3 rows, the 8 r7 registrations, and the first 19 r4 rows.  Round 9
+#: (per the r8 plan): (a) the 28 remaining r4-code rows — they hit MUST
+#: age 5 the moment CORRECTNESS_r09 lands; (b) the 6 queries registered
+#: during r8 (never driver-checked; green in ORACLE_SNAPSHOT_r08{,_sf01}
+#: at both scale factors); (c) 16 slack slots on the oldest r5-code
+#: rows, MAY-front tier (age >= 3), taken alphabetically (first 16 of
+#: 50).  Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 23 r3-code rows — MUST tier at r8 close
-    "fn_higher_order",
-    "fn_url_parse",
-    "fn_variant",
-    "funnel_stages",
-    "join_null_safe",
-    "join_range_binned",
-    "profile_columns",
-    "sample_stratified",
-    "scan_csv_dropmalformed",
-    "scan_csv_permissive",
-    "scan_parquet_schema_evolution",
-    "scan_python_datasource",
-    "sim_ann_ivf_indexed",
-    "sim_ann_lsh_indexed",
-    "sink_upsert_parquet",
-    "sql_lateral_topk",
-    "sql_recursive_cte",
-    "text_common_ngrams",
-    "text_pii_mask",
-    "text_tfidf",
-    "ts_gap_fill",
-    "ts_resample_ohlc",
-    "udtf_map_in_arrow",
-    # (b) the 8 r7 registrations, never driver-checked
-    "pipeline_neardup_e2e_lsh_union",
-    "dedup_cluster_canonical_bigstar",
-    "text_gopher_quality_rules",
-    "sim_ann_pq",
-    "stream_cdc_merge_upsert",
-    "vocab_bpe_encode",
-    "dirhash_incremental_rehash",
-    "scan_xml",
-    # (c) slack → pre-emptive rotation of the oldest r4-code rows
-    # (age 4 = MAY-front tier; first 19 of 47 alphabetically)
-    "agg_approx_percentile",
-    "agg_basic",
-    "agg_histogram",
-    "blocksize_codec",
-    "corpus_mixture_weights",
-    "dirhash_verify",
-    "embedding_quantize_int8",
-    "filter_pred",
-    "flagship_revenue_by_nation",
-    "fn_collation",
-    "fn_datetime",
-    "fn_try_arith",
-    "fn_xml_parse",
-    "hash_string_codec",
-    "join_asof",
-    "join_asof_pairwise",
-    "join_event_window",
-    "maintenance_compact",
-    "mm_feature_extract",
+    # (a) the 28 remaining r4-code rows — MUST tier at r9 close
+    "mm_meta_extract",
+    "mm_resize",
+    "pack_sequences",
+    "pipeline_incremental_refresh",
+    "query_observe_metrics",
+    "recursive_listing",
+    "scan_cached_branches",
+    "scd2_history",
+    "sessionize_batch",
+    "sink_time_travel",
+    "sort_multi",
+    "sql_correlated_exists",
+    "sql_scalar_subquery",
+    "stream_foreach_batch_sink",
+    "stream_python_datasource",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_running",
+    "stream_static_join",
+    "stream_tumbling",
+    "stream_watermark_dedup",
+    "text_repetition_score",
+    "ts_interpolate_linear",
+    "ts_zscore",
+    "ts_zscore_window",
+    "udtf_cogroup_asof",
+    "udtf_group_apply_arrow",
+    "udtf_python_chunker",
+    # (b) the 6 r8 registrations, never driver-checked
+    "sim_ann_ivfpq",
+    "dedup_embedding_ann",
+    "pipeline_semdedup_e2e",
+    "ts_seasonal_decompose",
+    "text_perplexity_bigram",
+    "corpus_quality_filter_funnel",
+    # (c) slack → pre-emptive rotation of the oldest r5-code rows
+    # (age 4 = MAY-front tier; first 16 of 50 alphabetically)
+    "agg_approx_distinct",
+    "agg_collect_sorted",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
+    "corpus_temperature_sampling",
+    "dedup_containment",
+    "dirhash_chunk_digests",
+    "dirhash_full",
+    "filter_in_like",
+    "filter_null",
+    "fn_array",
 )
-# r9 rotation backlog: after r8's window lands, the oldest driver rows
-# are the 28 remaining r4-code queries (mm_meta_extract onward
-# alphabetically: mm_meta_extract, mm_resize, pack_sequences,
-# pipeline_incremental_refresh, query_observe_metrics,
-# recursive_listing, scan_cached_branches, scd2_history,
-# sessionize_batch, sink_time_travel, sort_multi, sql_correlated_exists,
-# sql_scalar_subquery, stream_foreach_batch_sink,
-# stream_python_datasource, stream_session, stream_sliding,
-# stream_stateful_running, stream_static_join, stream_tumbling,
-# stream_watermark_dedup, text_repetition_score, ts_interpolate_linear,
-# ts_zscore, ts_zscore_window, udtf_cogroup_asof,
-# udtf_group_apply_arrow, udtf_python_chunker) — they hit MUST age 5
-# when CORRECTNESS_r09 lands — plus the queries registered during r8
-# (sim_ann_ivfpq, dedup_embedding_ann, pipeline_semdedup_e2e,
-# ts_seasonal_decompose, text_perplexity_bigram,
-# corpus_quality_filter_funnel — each green in ORACLE_SNAPSHOT_r08 at
-# registration), with remaining slack on the oldest r5 rows.  Backlog
-# arithmetic after the r8 registrations: 234 registered = 23 (r3, this
-# window) + 8 (r7 regs, this window) + 19 (r4, this window) + 28 (r4
-# remainder, r9 MUST) + 50 (r5) + 50 (r6) + 50 (r7) + 6 (r8
-# registrations, r9 fill) — every query has either a driver row or a
-# dated slot here.
+# r10 rotation backlog: after r9's window lands, the oldest driver rows
+# are the 34 remaining r5-code queries (the 50 r5 rows minus the 16
+# fronted above: fn_math_cond, fn_string, join_anti, join_asof_forward,
+# join_broadcast, join_cross, join_full_outer, join_inner_hash,
+# join_left_outer, join_semi, join_theta_range, limit_topk,
+# merge_upsert, mm_frame_sample, project_rename, scan_binary_file,
+# scan_csv_infer, scan_fixed_binary, scan_parquet, set_except,
+# set_intersect, set_union_all, set_union_dist, sim_ann_ivf_distfit,
+# sink_parquet, topk_per_group, ts_anomaly_mad, win_first_last,
+# win_lag_lead, win_moving_avg, win_percent_rank, win_range_frame,
+# win_rank, win_running) — they hit MUST age 5 when CORRECTNESS_r10
+# lands —
+# plus any queries registered during r9 (green in ORACLE_SNAPSHOT_r09
+# at registration), with remaining slack on the oldest r6 rows.
+# Backlog arithmetic after r9's window: 234 registered = 28 (r4, this
+# window) + 6 (r8 regs, this window) + 16 (r5, this window) + 34 (r5
+# remainder, r10 MUST) + 50 (r6) + 50 (r7) + 50 (r8) — every query has
+# either a driver row or a dated slot here.
 
 
 def all_queries() -> dict[str, Query]:

@@ -28,7 +28,7 @@ def test_every_oracle_has_a_query():
 def test_priority_order_names_all_registered():
     """Every PRIORITY_ORDER name resolves — all_queries() raises on
     phantoms, so a stale planned-query name can't silently drop its
-    intended driver-row coverage (round-2 postmortem).  The round-8
+    intended driver-row coverage (round-2 postmortem).  The round-9
     window's hand-picked anchors must sit inside the 50-entry prefix."""
     from dirhash_spark.registry import PRIORITY_ORDER, all_queries
 
@@ -37,18 +37,18 @@ def test_priority_order_names_all_registered():
     assert len(PRIORITY_ORDER) == 50  # exactly one driver window
     window = list(qs)[:50]
     for must in (
-        # r3-code rows that hit MUST age 5 when CORRECTNESS_r08 lands
-        "fn_higher_order",
-        "sql_recursive_cte",
-        "udtf_map_in_arrow",
-        "text_tfidf",
-        # the 8 r7 registrations get their first driver rows
-        "pipeline_neardup_e2e_lsh_union",
-        "sim_ann_pq",
-        "dirhash_incremental_rehash",
-        # pre-emptive r4-code rotation fills the slack
-        "agg_approx_percentile",
-        "mm_feature_extract",
+        # r4-code rows that hit MUST age 5 when CORRECTNESS_r09 lands
+        "mm_meta_extract",
+        "stream_tumbling",
+        "udtf_python_chunker",
+        "sort_multi",
+        # the 6 r8 registrations get their first driver rows
+        "sim_ann_ivfpq",
+        "dedup_embedding_ann",
+        "pipeline_semdedup_e2e",
+        # pre-emptive r5-code rotation fills the slack
+        "agg_approx_distinct",
+        "fn_array",
     ):
         assert must in window, must
 
