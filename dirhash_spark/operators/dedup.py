@@ -795,6 +795,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Row-block height for per-list cosine scoring: peak scratch memory is
+#: O(_ANN_SCORE_BLOCK_ROWS * |list|) floats instead of O(|list|^2).  At
+#: 1024 rows x 100k-vector list x 8 bytes that is ~0.8 GB per in-flight
+#: block (freed between blocks) where the full matrix would be 80 GB —
+#: the difference between a skewed Voronoi cell completing and OOMing.
+_ANN_SCORE_BLOCK_ROWS = 1024
+
+
+def _score_list_pairs(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    threshold: float = 0.35,
+    block_rows: int = _ANN_SCORE_BLOCK_ROWS,
+) -> pd.DataFrame:
+    """Score every unordered pair of one inverted list against a cosine
+    threshold, in fixed row-blocks.
+
+    Same Σ|list|²·d FLOPs as the single ``unit @ unit.T`` product (BLAS
+    does the arithmetic either way) but the scratch matrix is
+    ``block_rows × |list|`` instead of ``|list|²``: real embedding
+    corpora cluster heavily (the exact motivation for SemDeDup), so a
+    skewed Voronoi cell can hold orders of magnitude more vectors than
+    the average list and the full-matrix form would materialize its
+    square in ONE task.  Survivors are emitted per block; output is
+    bit-identical to the unblocked form (pinned in
+    tests/test_llm_ops.py against a whole-matrix reference on a skewed
+    fixture).
+    """
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n = len(ids)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for start in range(0, n, block_rows):
+        stop = min(start + block_rows, n)
+        # columns j >= start only: pairs are unordered, so each (i, j)
+        # with i < j is owned by i's block — the leading block×block
+        # corner keeps its strict upper triangle, every column beyond
+        # the corner is a valid partner for all block rows.
+        cos = unit[start:stop] @ unit[start:].T
+        rows, cols = np.nonzero(np.triu(cos >= threshold, 1))
+        if len(rows):
+            out_a.append(ids[start + rows])
+            out_b.append(ids[start + cols])
+            out_c.append(np.round(cos[rows, cols], 4))
+    if not out_a:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        }
+    )
+
+
 @query("dedup_embedding_ann", oracle=None, tags=("dedup", "embedding", "ann"))
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-cosine) near-dup WITHOUT a blocking label —
@@ -809,17 +869,22 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
        (multi-assignment catches pairs straddling a Voronoi boundary;
        JVM codegen argmin, same trainer/centroids as the sim_ann_ivf
        family);
-    2. per-list blocked matmul: ``groupBy(list_id).applyInPandas`` —
-       each inverted list normalizes its vector block once and scores
-       ALL its pairs as one BLAS matrix product, emitting only
-       cosine >= 0.35 survivors (pair ARITHMETIC is Σ|list|²·d FLOPs
-       either way; doing it as numpy matmul instead of a per-pair
-       interpreted HOF dot product measured 3.48 → 1.96 s at sf0.1,
-       identical output incl. rounded cosines — at a billion vectors
-       the FLOPs dominate everything and BLAS blocking is the only
-       form that survives);
-    3. dedupe the pairs that shared several lists (the emitted
-       survivor list is tiny relative to the candidate volume).
+    2. per-list row-blocked matmul: ``groupBy(list_id).applyInPandas``
+       — each inverted list normalizes its vector block once and
+       scores its pairs as BLAS matrix products in fixed
+       ``_ANN_SCORE_BLOCK_ROWS``-row chunks (:func:`_score_list_pairs`),
+       emitting cosine >= 0.35 survivors per chunk.  Pair ARITHMETIC
+       is Σ|list|²·d FLOPs either way (numpy matmul vs a per-pair
+       interpreted HOF dot measured 3.48 → 1.96 s at sf0.1), but the
+       scratch matrix is block×|list| instead of |list|² — a skewed
+       Voronoi cell (real embedding corpora cluster heavily; a
+       100k-vector cell's full matrix is 80 GB) completes in bounded
+       memory instead of OOMing one task;
+    3. dedupe the pairs that shared several lists on the PAIR KEY
+       (min-cosine representative — per-list BLAS block shapes can
+       flip the last rounded ulp, so the triple is not stable across
+       lists); the emitted survivor list is tiny relative to the
+       candidate volume.
 
     Measured recall vs brute-force exact cosine on the fixtures
     (near-uniform vectors — the worst case; weak 0.35-cosine pairs
@@ -850,25 +915,18 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pairs_in_list(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-        unit = mat / nrm
-        cos = unit @ unit.T
-        order = np.argsort(ids)
-        ids, cos = ids[order], cos[order][:, order]
-        iu = np.triu_indices(len(ids), 1)
-        keep = cos[iu] >= 0.35
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu[0][keep]],
-                "vec_b": ids[iu[1][keep]],
-                "cosine": np.round(cos[iu][keep], 4),
-            }
-        )
+        return _score_list_pairs(ids, mat)
 
     return (
         assigned.groupBy("list_id")
         .applyInPandas(pairs_in_list, "vec_a long, vec_b long, cosine double")
-        .distinct()
+        # a pair sharing several IVF lists is recomputed per list over
+        # differently-sized BLAS blocks, so its cosine can differ in the
+        # last rounded ulp across lists; dedupe on the PAIR KEY (min
+        # cosine as the deterministic representative), not the triple —
+        # distinct() over (vec_a, vec_b, cosine) could keep both roundings.
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cosine").alias("cosine"))
     )
 
 

@@ -670,10 +670,19 @@ def test_embedding_ann_dedup_recall_and_exact_precision(spark):
     every emitted pair really has cosine >= 0.35 (the in-query verify
     is exact, so a false positive means a broken verify), and (b) the
     3-assignment IVF blocking recovers >=0.8 of the true pairs on the
-    near-uniform worst-case fixtures (measured 0.86-0.87)."""
+    near-uniform worst-case fixtures (measured 0.86-0.87 at
+    sf0.001/0.01 and 0.83 at sf0.1's larger K/N ratio — the sf0.1 leg
+    is the r8 verdict's regression tripwire for larger lists), and (c)
+    the pair-key dedupe leaves no pair emitted twice (a pair sharing
+    several IVF lists is scored per list; last-ulp rounding drift must
+    not survive as two rows)."""
     import numpy as np
 
-    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+    for sf in [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
         ids = np.array([r["vec_id"] for r in emb])
         V = np.array([r["embedding"] for r in emb], dtype=np.float64)
@@ -685,10 +694,9 @@ def test_embedding_ann_dedup_recall_and_exact_precision(spark):
             (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
             for i, j in zip(iu[0][m], iu[1][m])
         }
-        got = {
-            (r["vec_a"], r["vec_b"])
-            for r in QUERIES["dedup_embedding_ann"].fn(spark, sf).collect()
-        }
+        rows = QUERIES["dedup_embedding_ann"].fn(spark, sf).collect()
+        got = {(r["vec_a"], r["vec_b"]) for r in rows}
+        assert len(rows) == len(got), f"duplicate pair keys emitted at {sf}"
         assert truth, "fixture has no cosine>=0.35 pairs; test is vacuous"
         assert not (got - truth), f"false positives at {sf}"
         recall = len(got & truth) / len(truth)
@@ -701,7 +709,11 @@ def test_semdedup_e2e_matches_driver_union_find(spark):
     recall is pinned separately on dedup_embedding_ann; this isolates
     the graph stage), with every vector present exactly once and
     is_canonical iff the vector is its cluster's minimum."""
-    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+    for sf in [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]:
         pairs = [
             (r["vec_a"], r["vec_b"])
             for r in QUERIES["dedup_embedding_ann"].fn(spark, sf).collect()
@@ -735,6 +747,109 @@ def test_semdedup_e2e_matches_driver_union_find(spark):
         for i in ids:
             assert got[i] == (expected[i], i == expected[i]), i
         assert pairs, "no pairs; CC test is vacuous"
+
+
+def _write_skew_embeddings(tmp_path):
+    """500-vector corpus where HALF the vectors sit in one tight
+    cluster far from the rest — the adversarial Voronoi-cell skew the
+    r8 verdict called out (real embedding corpora cluster heavily, so
+    one inverted list can dwarf the average; the full |list|² cosine
+    matrix for such a cell is what OOMs at scale).  Embedding twin of
+    :func:`_write_skew_docs`.  Returns the sf_dir."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(13)
+    d = 64
+    center = rng.randn(d) * 4.0
+    clustered = center + rng.randn(250, d) * 0.05
+    scattered = rng.randn(250, d)
+    V = np.vstack([clustered, scattered]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(V)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in V], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                [0] * 250 + [1] * 250, pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_score_list_pairs_blocked_matches_full_matrix_on_skew():
+    """The row-blocked per-list scorer must emit EXACTLY the pairs of
+    the unblocked |list|² matmul on a skewed list (half the rows one
+    near-duplicate clique), for block sizes from degenerate (1 row) to
+    past-the-end — same keys, same rounded cosines, same order.  This
+    is the bit-identity claim that lets the blocked form replace the
+    full matrix at scale."""
+    import numpy as np
+
+    from dirhash_spark.operators.dedup import _score_list_pairs
+
+    rng = np.random.RandomState(29)
+    center = rng.randn(64) * 4.0
+    mat = np.vstack([center + rng.randn(150, 64) * 0.05, rng.randn(150, 64)])
+    ids = rng.permutation(np.arange(300)) * 3 + 1
+    full = _score_list_pairs(ids.copy(), mat.copy(), block_rows=10**9)
+    ref = list(map(tuple, full.itertuples(index=False)))
+    assert len(ref) >= 150 * 149 // 2  # the clique really is dense
+    for block_rows in (1, 7, 64, 299, 300, 301):
+        blocked = _score_list_pairs(ids.copy(), mat.copy(), block_rows=block_rows)
+        assert list(map(tuple, blocked.itertuples(index=False))) == ref, block_rows
+
+
+def test_embedding_ann_dedup_completes_on_skewed_cell(spark, tmp_path):
+    """End-to-end on the skewed fixture: one Voronoi cell holds >=40%
+    of the corpus (asserted against the trained coarse quantizer, so
+    the fixture can't silently stop being adversarial), and the query
+    must still complete with exact precision and recover >=95% of the
+    250-member near-duplicate clique's pairs (k-means plants several
+    centroids INSIDE the tight cluster, so a small tail of pairs lands
+    in disjoint 3-nearest triples — measured 0.973; a scorer bug that
+    drops a block would crater far below the floor)."""
+    import numpy as np
+
+    from dirhash_spark.catalog import Catalog
+    from dirhash_spark.operators.similarity import _train_centroids
+
+    sf_dir = _write_skew_embeddings(tmp_path)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+
+    # the fixture really is skewed: the dominant cell of the trained
+    # quantizer holds at least 40% of the corpus under 3-assignment
+    cents = _train_centroids(Catalog(spark, sf_dir))
+    d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    near3 = np.argsort(d2, axis=1)[:, :3]
+    counts = np.bincount(near3.ravel(), minlength=len(cents))
+    assert counts.max() >= 0.4 * len(ids), counts.max()
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), 1)
+    m = C[iu] >= 0.35
+    truth = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(iu[0][m], iu[1][m])
+    }
+    clique = {(a, b) for a, b in truth if a < 250 and b < 250}
+    assert len(clique) == 250 * 249 // 2
+
+    rows = QUERIES["dedup_embedding_ann"].fn(spark, sf_dir).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert len(rows) == len(got), "duplicate pair keys on the skew fixture"
+    assert not (got - truth), "false positives on the skew fixture"
+    clique_recall = len(clique & got) / len(clique)
+    assert clique_recall >= 0.95, (
+        f"clique recall {clique_recall:.3f} on the skewed cell"
+    )
 
 
 def test_funnel_stages_are_cumulative(spark, sf_dir):
