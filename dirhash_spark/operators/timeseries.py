@@ -1022,11 +1022,24 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_seasonal_decompose",
     oracle="""
-    WITH daily AS (
+    WITH sparse AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS daily_cents
       FROM events GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM (SELECT event_type, min(day) AS mn, max(day) AS mx
+            FROM sparse GROUP BY 1)
+    ),
+    daily AS (
+      SELECT c.event_type, c.day,
+             COALESCE(s.daily_cents, 0) AS daily_cents
+      FROM cal c LEFT JOIN sparse s
+        ON s.event_type = c.event_type AND s.day = c.day
     ),
     t AS (
       SELECT event_type, day, daily_cents,
@@ -1060,6 +1073,13 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     only), seasonal = per-day-of-week mean of the detrended series,
     residual = daily - trend - seasonal.
 
+    The daily rollup is densified over each event type's full calendar
+    span first (a zero-activity day IS a zero observation), so the
+    7-row trend window always spans exactly 7 CALENDAR days — without
+    the gap-fill a missing day would silently widen the window to
+    non-adjacent days (r8 advisor finding; pinned on a gapped fixture
+    in tests/test_properties.py).
+
     Exact-integer throughout (the repo's float discipline): daily
     totals are half-up cents, the two means are integer ``div`` —
     Spark ``div`` and DuckDB ``//`` BOTH truncate toward zero
@@ -1074,7 +1094,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     series edges by design (no partial windows).
     """
     cat = Catalog(spark, sf_dir)
-    daily = (
+    sparse = (
         cat.events.select(
             "event_type",
             F.to_date(F.date_trunc("day", "ts")).alias("day"),
@@ -1082,6 +1102,18 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day")
         .agg(F.sum("cents").alias("daily_cents"))
+    )
+    # densify: every calendar day in each type's span, gap-filled 0.
+    # The calendar is O(days x event_types) rows — broadcast-trivial.
+    cal = (
+        sparse.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    daily = cal.join(sparse, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("daily_cents", F.lit(0)).alias("daily_cents"),
     )
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     t = (

@@ -442,3 +442,63 @@ def test_cohort_retention_fusion_matches_join_form(spark, rows, tmp_path_factory
         )
     )
     assert got == want
+
+
+# --- Seasonal decompose: calendar-dense trend window (r8 advisor) ---------
+
+
+def test_seasonal_decompose_gap_fill_calendar(spark, tmp_path):
+    """A missing day must become a zero observation, not silently widen
+    the 7-row trend window across non-adjacent calendar days (r8
+    advisor finding): on a 15-day series with day 8 absent, the output
+    still carries all 15 calendar days, the gap day reads
+    daily_cents=0, every interior trend value averages exactly the 7
+    ADJACENT calendar days, and the DuckDB oracle (densified the same
+    way) agrees bit-for-bit."""
+    import datetime as dt
+
+    import duckdb
+
+    from dirhash_spark.registry import all_queries
+    from tests.oracle_harness import compare
+
+    qs = all_queries()
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    rows = [
+        (i, 1, "click", base + dt.timedelta(days=d), float(d + 1))
+        for i, d in enumerate(x for x in range(15) if x != 7)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    out = qs["ts_seasonal_decompose"].fn(spark, sf_dir).collect()
+    by_day = {r["day"]: r for r in out}
+    days = sorted(by_day)
+    assert len(days) == 15 and (days[-1] - days[0]).days == 14  # dense span
+    gap = dt.date(2024, 3, 8)
+    assert by_day[gap]["daily_cents"] == 0
+    # interior trend = truncated mean of the 7 adjacent calendar days
+    cents = {base.date() + dt.timedelta(days=d): (d + 1) * 100 for d in range(15)}
+    cents[gap] = 0
+    for r in out:
+        off = (r["day"] - days[0]).days
+        if 3 <= off <= 11:
+            win = [cents[r["day"] + dt.timedelta(days=k)] for k in range(-3, 4)]
+            assert r["trend_cents"] == sum(win) // 7, r["day"]
+        else:
+            assert r["trend_cents"] is None, r["day"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    rep = compare(
+        qs["ts_seasonal_decompose"].fn(spark, sf_dir),
+        con,
+        qs["ts_seasonal_decompose"].oracle,
+    )
+    assert rep["match"], rep
