@@ -131,6 +131,29 @@ def _cpu_canary_mbps() -> float:
     return round(64 / (_t.perf_counter() - t0), 1)
 
 
+def _cpu_canary_mt_mbps(threads: int = 32) -> float:
+    """Multi-core twin of :func:`_cpu_canary_mbps`: aggregate sha256
+    throughput across ``threads`` concurrent hashers (hashlib releases
+    the GIL on large buffers).  The single-core canary read HEALTHY in
+    both the r7 and r8 closing runs while every multi-core Spark timing
+    drifted +15-25% uniformly — co-tenant load steals parallel
+    bandwidth the one-thread probe can't see.  Recording both lets
+    drift adjudication happen from the artifact instead of manual
+    isolated re-measures (r8 verdict item 4)."""
+    import hashlib
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+
+    per = 64 << 20
+    buf = b"\0" * per
+    with ThreadPoolExecutor(threads) as pool:
+        list(pool.map(lambda _: hashlib.sha256(buf[: 1 << 20]).hexdigest(), range(threads)))
+        t0 = _t.perf_counter()
+        list(pool.map(lambda _: hashlib.sha256(buf).hexdigest(), range(threads)))
+        dt = _t.perf_counter() - t0
+    return round(threads * (per >> 20) / dt, 1)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -174,6 +197,7 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     headline_v2 = dict(timings, **{n: extra[n] for n in HEADLINE_V2_PROMOTED})
     canary = _cpu_canary_mbps()
+    canary_mt = _cpu_canary_mt_mbps()
     print(
         json.dumps(
             {
@@ -187,6 +211,7 @@ def main() -> int:
                 "headline_v2_members": sorted(headline_v2),
                 "sf": sf,
                 "canary_sha256_mbps": canary,
+                "canary_mt_mbps": canary_mt,
             }
         )
     )
@@ -203,6 +228,7 @@ def main() -> int:
                 "headline_v2_total": round(sum(headline_v2.values()), 3),
                 "sf": sf,
                 "canary_sha256_mbps": canary,
+                "canary_mt_mbps": canary_mt,
             }
         )
     )
