@@ -887,3 +887,77 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+_PCA_K = 4  # projected dimensions
+
+
+@query("embedding_pca", oracle=None, tags=("embedding", "linalg"))
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding column — the classic
+    two-pass linear-algebra-on-a-dataflow shape, sized so NOTHING
+    corpus-scale ever reaches one machine:
+
+    1. moment pass: each partition emits ONE row carrying its count,
+       d-vector sum, and flattened d×d Gram partial (``mapInPandas``
+       over Arrow batches, BLAS ``X.T @ X`` per batch); the driver
+       reduces O(partitions) rows of d² floats — KB-scale regardless
+       of corpus size, the same collect-digests-only discipline as the
+       dirhash fold;
+    2. driver: covariance = Gram/n − mean·meanᵀ (d×d), ``eigh``, top
+       ``_PCA_K`` components with DETERMINISTIC sign (the coordinate
+       of largest |loading| is made positive — eigenvectors are
+       sign-ambiguous and two BLAS builds may disagree);
+    3. projection pass: components broadcast, map-only Arrow-batched
+       matmul emitting (vec_id, pc1..pc4) rounded to 4 decimals.
+       Zero shuffles end-to-end.
+
+    rows-only: SQL has no eigendecomposition; the numerics are pinned
+    in tests/test_llm_ops.py against a single-shot numpy PCA on the
+    same fixture (components aligned, 2e-4 tolerance = one rounding
+    ulp) plus exact variance-ordering properties.
+    """
+    import pandas as pd
+
+    cat = Catalog(spark, sf_dir)
+    src = cat.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    d = len(src.select("v").first()["v"])
+
+    def moments(batches):
+        n, s, g = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in batches:
+            x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            if len(x):
+                n += len(x)
+                s += x.sum(0)
+                g += x.T @ x
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    parts = src.select("v").mapInPandas(
+        moments, "n long, s array<double>, g array<double>"
+    ).collect()  # O(partitions) rows of d^2 floats — bounded by design
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts if p["n"]], axis=0)
+    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts if p["n"]], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, ::-1][:, :_PCA_K]  # columns = top-k components
+    for j in range(_PCA_K):
+        if comp[np.abs(comp[:, j]).argmax(), j] < 0:
+            comp[:, j] = -comp[:, j]
+
+    bc = spark.sparkContext.broadcast((mean, comp))
+
+    def project(batches):
+        mu, w = bc.value
+        for pdf in batches:
+            x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            p = np.round((x - mu) @ w, 4) if len(x) else np.zeros((0, _PCA_K))
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(_PCA_K):
+                out[f"pc{j + 1}"] = p[:, j]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"pc{j + 1} double" for j in range(_PCA_K))
+    return src.mapInPandas(project, schema)

@@ -10,7 +10,7 @@ single scan (word count adds one shuffle for its groupBy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -1613,4 +1613,210 @@ def corpus_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lang",
         "n_kept",
         F.expr("(10000 * n_kept) div n_total").alias("retention_bp"),
+    )
+
+
+#: Word-span width for C4-style span dedup.  5 words gives the synthetic
+#: corpus a ~6% repeated-span rate (meaningful, not degenerate); C4 used
+#: three-sentence spans — the granularity knob, not the algorithm.
+_SPAN_W = 5
+
+
+@query(
+    "text_span_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(w[(i*{_SPAN_W}+1):((i+1)*{_SPAN_W})], ' ')
+               AS span_text
+      FROM toks,
+           UNNEST(range(CAST(ceil(len(w)/{_SPAN_W}.0) AS BIGINT))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, span_idx, span_text,
+             row_number() OVER (PARTITION BY span_text
+                                ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(span_text, ' ' ORDER BY span_idx)
+                      FILTER (WHERE rn = 1), '') AS cleaned_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (Raffel et al., 2020 removed any
+    three-sentence span occurring more than once in the corpus): split
+    each document into consecutive non-overlapping ``_SPAN_W``-word
+    spans, keep only the globally FIRST occurrence of each distinct
+    span text (ordered by (doc_id, span_idx) — deterministic, not
+    "whichever task won"), and rebuild every document from its
+    surviving spans in order.
+
+    Plan shape: explode to spans (map-only, output ~= corpus size),
+    ONE shuffle keyed on the span text for the first-occurrence window,
+    one doc_id shuffle to reassemble.  That is the same topology as
+    exact dedup — no candidate generation, no joins; at 100 TB the
+    window key becomes sha2(span_text) so the exchange carries 32-byte
+    keys instead of span bodies (identical keep-set; literal text here
+    keeps the oracle comparison byte-transparent), and the reassembly
+    shuffle carries only kept spans.
+    """
+    cat = Catalog(spark, sf_dir)
+    w = F.split("text", " ")
+    n_spans = F.ceil(F.size(w) / _SPAN_W).cast("int")
+    spans = cat.documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(w, i * _SPAN_W + 1, _SPAN_W), " "),
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    first = Window.partitionBy("span_text").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(first))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("span_idx", "span_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.span_text,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .select("doc_id", "n_spans", "n_kept", "cleaned_text")
+    )
+
+
+@query(
+    "corpus_dsir_importance",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ),
+    v AS (
+      SELECT word, count(*) AS c_r,
+             count(*) FILTER (source = 'src0') AS c_t
+      FROM tok GROUP BY word
+    ),
+    n AS (
+      SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS vsz FROM v
+    ),
+    lam AS (
+      SELECT word,
+             (CAST(length(bin(CAST((n.n_r + n.vsz) // (v.c_r + 1) AS BIGINT)))
+                     - 1 AS BIGINT)
+              - CAST(length(bin(CAST((n.n_t + n.vsz) // (v.c_t + 1) AS BIGINT)))
+                     - 1 AS BIGINT)) AS lambda_bits
+      FROM v, n
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lam.lambda_bits) AS BIGINT) AS score_bits,
+           CAST((sum(lam.lambda_bits) * 100) // count(*) AS BIGINT)
+             AS mean_centibits
+    FROM tok JOIN lam USING (word)
+    GROUP BY tok.doc_id
+    """,
+    tags=("text", "llm", "sampling"),
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al., 2023 —
+    Data Selection via Importance Resampling: weight each raw document
+    by log p_target(x)/p_raw(x) under cheap bag-of-ngram LMs, then
+    resample by weight): target distribution = the ``source = 'src0'``
+    slice, raw = the whole corpus, model = add-1-smoothed unigram LM.
+
+    EXACT integer arithmetic end-to-end (the repo's float discipline):
+    per-word log-ratio is computed in floor-log2 bits,
+    ``lambda(w) = bits_raw(w) - bits_target(w)`` with
+    ``bits_x(w) = floor(log2((N_x + V) div (c_x(w) + 1)))`` via the
+    binary-digit-count idiom (same as :func:`text_surprisal_bits` —
+    zero transcendentals, bit-identical on any engine).  Positive
+    score = the document looks more like the target slice than like
+    the raw average.  Resampling by these weights is downstream
+    composition (``corpus_temperature_sampling`` is the registered
+    sampling surface).
+
+    Scale shape (the surprisal topology, one extra counter): ONE vocab
+    pass computes raw and target counts together (conditional sum, no
+    second scan of the target slice), localCheckpoint pins the
+    vocab-bounded count table against the lineage diamond, the 1-row
+    totals broadcast, and the score probe is one word-keyed join plus
+    one doc rollup.  Nothing downstream of the vocab table ever
+    rescans the corpus.
+    """
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
+            "word"
+        ),
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
+        )
+        .localCheckpoint()
+    )
+    totals = vocab.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("vsz"),
+    )
+
+    def _bits(total_col: str, c_col: str):
+        return (
+            F.length(
+                F.conv(
+                    F.expr(f"CAST(({total_col} + vsz) div ({c_col} + 1) AS STRING)"),
+                    10,
+                    2,
+                )
+            )
+            - 1
+        ).cast("bigint")
+
+    lam = vocab.crossJoin(F.broadcast(totals)).select(
+        "word", (_bits("n_r", "c_r") - _bits("n_t", "c_t")).alias("lambda_bits")
+    )
+    return (
+        tok.join(lam, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lambda_bits").cast("bigint").alias("score_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_bits",
+            F.expr("CAST((score_bits * 100) div n_tokens AS BIGINT)").alias(
+                "mean_centibits"
+            ),
+        )
     )

@@ -883,3 +883,136 @@ def test_perplexity_bigram_score_properties(spark, sf_dir):
         | (F.col("mean_centibits") != F.expr("(100 * bigram_bits) div n_bigrams"))
     ).count()
     assert bad == 0
+
+
+# --- round-9 additions: span dedup / DSIR / distributed PCA ---------------
+
+
+def test_span_dedup_matches_driver_reference(spark):
+    """text_span_dedup's keep-set must EXACTLY equal a driver-side
+    reference: first global occurrence of each distinct 5-word span by
+    (doc_id, span_idx), every document rebuilt from its surviving
+    spans in order — pinned independently of the SQL oracle."""
+    from dirhash_spark.operators.text import _SPAN_W
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    spans = []
+    for did in sorted(docs):
+        w = docs[did].split(" ")
+        for idx in range(0, (len(w) + _SPAN_W - 1) // _SPAN_W):
+            spans.append((did, idx, " ".join(w[idx * _SPAN_W : (idx + 1) * _SPAN_W])))
+    first = {}
+    for did, idx, sp in sorted(spans):
+        first.setdefault(sp, (did, idx))
+    expected = {}
+    for did in sorted(docs):
+        w = docs[did].split(" ")
+        chunks = [
+            " ".join(w[i * _SPAN_W : (i + 1) * _SPAN_W])
+            for i in range(0, (len(w) + _SPAN_W - 1) // _SPAN_W)
+        ]
+        kept = [sp for i, sp in enumerate(chunks) if first[sp] == (did, i)]
+        expected[did] = (len(chunks), len(kept), " ".join(kept))
+
+    rows = QUERIES["text_span_dedup"].fn(spark, sf).collect()
+    got = {r["doc_id"]: (r["n_spans"], r["n_kept"], r["cleaned_text"]) for r in rows}
+    assert got == expected
+    # the corpus really exercises dedup, and kept spans are globally unique
+    assert any(g[1] < g[0] for g in got.values())
+    from collections import Counter
+
+    kept_counts = Counter()
+    for did, (_, _, cleaned) in got.items():
+        if cleaned:
+            w = cleaned.split(" ")
+            for i in range(0, (len(w) + _SPAN_W - 1) // _SPAN_W):
+                kept_counts[" ".join(w[i * _SPAN_W : (i + 1) * _SPAN_W])] += 1
+    assert kept_counts and max(kept_counts.values()) == 1
+
+
+def test_dsir_importance_matches_driver_reference(spark):
+    """corpus_dsir_importance's integer bit arithmetic must EXACTLY
+    equal a driver-side add-1-smoothed unigram reference, and the
+    target slice (src0) must outscore the rest on average — the
+    defining DSIR property (target docs look target-like)."""
+    import re
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    toks = {
+        r["doc_id"]: [t for t in re.split(r"\s+", r["text"].lower()) if t]
+        for r in docs
+    }
+    src = {r["doc_id"]: r["source"] for r in docs}
+    c_r, c_t = Counter(), Counter()
+    for did, ws in toks.items():
+        c_r.update(ws)
+        if src[did] == "src0":
+            c_t.update(ws)
+    n_r, n_t, vsz = sum(c_r.values()), sum(c_t.values()), len(c_r)
+
+    def bits(total, c):
+        return ((total + vsz) // (c + 1)).bit_length() - 1
+
+    expected = {}
+    for did, ws in toks.items():
+        if not ws:
+            continue
+        score = sum(bits(n_r, c_r[w]) - bits(n_t, c_t[w]) for w in ws)
+        expected[did] = (
+            len(ws),
+            score,
+            (score * 100) // len(ws) if score >= 0 else -((-score * 100) // len(ws)),
+        )
+
+    rows = QUERIES["corpus_dsir_importance"].fn(spark, sf).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_bits"], r["mean_centibits"])
+        for r in rows
+    }
+    assert got == expected
+    tgt = [got[d][2] for d in got if src[d] == "src0"]
+    rest = [got[d][2] for d in got if src[d] != "src0"]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_embedding_pca_matches_numpy_reference(spark):
+    """embedding_pca's partition-partial moment pass + driver eigh must
+    agree with a single-shot numpy PCA on the same data: components
+    aligned by the deterministic sign rule, projections within one
+    rounding ulp (2e-4); projected variances must be in descending
+    order and each pc mean-centered."""
+    import numpy as np
+
+    from dirhash_spark.operators.similarity import _PCA_K
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        ids = np.array([r["vec_id"] for r in emb])
+        X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+        mu = X.mean(0)
+        cov = (X - mu).T @ (X - mu) / len(X)
+        _, evecs = np.linalg.eigh(cov)
+        comp = evecs[:, ::-1][:, :_PCA_K]
+        for j in range(_PCA_K):
+            if comp[np.abs(comp[:, j]).argmax(), j] < 0:
+                comp[:, j] = -comp[:, j]
+        ref = {
+            int(i): p for i, p in zip(ids, (X - mu) @ comp)
+        }
+        rows = QUERIES["embedding_pca"].fn(spark, sf).collect()
+        assert len(rows) == len(ids)
+        P = np.array(
+            [[r[f"pc{j + 1}"] for j in range(_PCA_K)] for r in rows]
+        )
+        for r in rows:
+            got = np.array([r[f"pc{j + 1}"] for j in range(_PCA_K)])
+            assert np.abs(got - ref[r["vec_id"]]).max() <= 2e-4, r["vec_id"]
+        var = P.var(axis=0)
+        assert all(var[j] >= var[j + 1] for j in range(_PCA_K - 1))
+        assert np.abs(P.mean(axis=0)).max() < 1e-3
