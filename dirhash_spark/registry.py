@@ -138,12 +138,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # win_lag_lead, win_moving_avg, win_percent_rank, win_range_frame,
 # win_rank, win_running) — they hit MUST age 5 when CORRECTNESS_r10
 # lands —
-# plus any queries registered during r9 (green in ORACLE_SNAPSHOT_r09
+# plus the queries registered during r9 (text_span_dedup,
+# corpus_dsir_importance, embedding_pca — green in ORACLE_SNAPSHOT_r09
 # at registration), with remaining slack on the oldest r6 rows.
-# Backlog arithmetic after r9's window: 234 registered = 28 (r4, this
+# Backlog arithmetic after r9's window: 237 registered = 28 (r4, this
 # window) + 6 (r8 regs, this window) + 16 (r5, this window) + 34 (r5
-# remainder, r10 MUST) + 50 (r6) + 50 (r7) + 50 (r8) — every query has
-# either a driver row or a dated slot here.
+# remainder, r10 MUST) + 50 (r6) + 50 (r7) + 50 (r8) + 3 (r9
+# registrations, r10 fill) — every query has either a driver row or a
+# dated slot here.
 
 
 def all_queries() -> dict[str, Query]:

@@ -1062,3 +1062,33 @@ def test_no_cache_manager_entries_leak(spark):
         all_queries()[name].fn(spark, SF).collect()
         cm = spark._jsparkSession.sharedState().cacheManager()
         assert cm.isEmpty(), f"{name} left CacheManager entries behind"
+
+
+def test_span_dedup_is_two_exchanges_one_scan(spark):
+    """C4-style span dedup must keep the exact-dedup topology: exactly
+    one exchange keyed on the span text (first-occurrence window) plus
+    one on doc_id (reassembly), over a single corpus scan — a join- or
+    distinct-based form would add exchanges that dominate at 100 TB."""
+    p = plan(spark, "text_span_dedup", "simple")
+    assert p.count("Exchange") == 2, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_dsir_importance_is_two_scans_no_rescan_diamond(spark):
+    """DSIR importance: the corpus is scanned exactly twice (vocab
+    build + score probe) — the localCheckpoint pins the vocab-bounded
+    count table so the totals/lambda diamond cannot replan as extra
+    corpus scans (the defect class the r8 sweep fixed in tfidf and
+    surprisal)."""
+    p = plan(spark, "corpus_dsir_importance", "simple")
+    assert p.count("Scan parquet") == 1, p  # probe side; vocab side is
+    # behind the checkpoint (ScanExistingRDD), so exactly one live scan
+    assert "ScanExistingRDD" in p or "ExistingRDD" in p, p
+
+
+def test_embedding_pca_projection_is_shuffle_free(spark):
+    """The PCA projection pass is map-only: broadcast components, no
+    Exchange anywhere — the moment pass collects O(partitions) d²
+    partials and never appears in this plan."""
+    p = plan(spark, "embedding_pca", "simple")
+    assert "Exchange" not in p, p
