@@ -1094,6 +1094,11 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     series edges by design (no partial windows).
     """
     cat = Catalog(spark, sf_dir)
+    # localCheckpoint: the rollup feeds BOTH the calendar-span aggregate
+    # and the gap-fill join's probe side — without materialization that
+    # lineage diamond plans as two full corpus scans (the r8 sweep's
+    # defect class, reintroduced by densification and caught by the
+    # plan pin).  The checkpoint holds O(days x event_types) rows.
     sparse = (
         cat.events.select(
             "event_type",
@@ -1102,6 +1107,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day")
         .agg(F.sum("cents").alias("daily_cents"))
+        .localCheckpoint()
     )
     # densify: every calendar day in each type's span, gap-filled 0.
     # The calendar is O(days x event_types) rows — broadcast-trivial.

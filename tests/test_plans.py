@@ -945,13 +945,19 @@ def test_funnel_map_only_single_aggregate(spark):
 
 
 def test_seasonal_decompose_windows_on_rollup(spark):
-    """The corpus is touched once (daily rollup groupBy); both window
+    """The corpus is touched once (daily rollup groupBy, pinned behind
+    a localCheckpoint since the r9 calendar densification made the
+    rollup feed two branches); the gap-fill join and both window
     passes (7-day trend, day-of-week seasonal mean) run on the
     O(days x event_types) rollup, so their exchanges carry thousands
     of rows at any corpus size."""
     p = plan(spark, "ts_seasonal_decompose", "simple")
-    assert p.count("FileScan parquet") == 1, p
-    assert "Join" not in p, p
+    # the corpus scan happens ONCE, eagerly, at rollup checkpoint time;
+    # the lazy plan reads the materialized rollup twice (calendar span
+    # + gap-fill probe) and must contain no parquet scan at all
+    assert p.count("FileScan parquet") == 0, p
+    assert p.count("ExistingRDD") == 2, p
+    assert "BroadcastHashJoin" in p, p
     assert p.count("Exchange hashpartitioning") <= 3, p
 
 
