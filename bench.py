@@ -99,6 +99,10 @@ EXTRA = [
     "ts_cohort_retention",          # single-scan fused cohort matrix
     "funnel_time_to_convert",       # single-scan fused latency funnel
     "pipeline_incremental_refresh", # checkpointed-batch admission gate
+    # round-9 additions
+    "text_span_dedup",              # C4-style global span dedup + reassembly
+    "corpus_dsir_importance",       # integer DSIR importance weights
+    "embedding_pca",                # moment-partial PCA + map-only projection
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the
