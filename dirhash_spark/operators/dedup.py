@@ -808,6 +808,8 @@ def _score_list_pairs(
     mat: np.ndarray,
     threshold: float = 0.35,
     block_rows: int = _ANN_SCORE_BLOCK_ROWS,
+    lists: np.ndarray | None = None,
+    owner_id: int | None = None,
 ) -> pd.DataFrame:
     """Score every unordered pair of one inverted list against a cosine
     threshold, in fixed row-blocks.
@@ -822,9 +824,19 @@ def _score_list_pairs(
     bit-identical to the unblocked form (pinned in
     tests/test_llm_ops.py against a whole-matrix reference on a skewed
     fixture).
+
+    When ``lists``/``owner_id`` are given (each row's full nprobe
+    assignment array and the current list id), a surviving pair is
+    emitted ONLY when this list is the pair's smallest shared list —
+    the first-shared-band trick the r8 simhash rewrite used: every
+    multi-assigned pair is emitted by exactly one task, so the caller
+    needs no cross-list reconciliation shuffle at all and the emitted
+    cosine is deterministic (always the owner list's block shape).
     """
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
+    if lists is not None:
+        lists = lists[order]
     unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     n = len(ids)
     out_a: list[np.ndarray] = []
@@ -838,6 +850,13 @@ def _score_list_pairs(
         # the corner is a valid partner for all block rows.
         cos = unit[start:stop] @ unit[start:].T
         rows, cols = np.nonzero(np.triu(cos >= threshold, 1))
+        if len(rows) and lists is not None:
+            # smallest shared list of each surviving pair == owner_id?
+            la = lists[start + rows][:, :, None]
+            lb = lists[start + cols][:, None, :]
+            shared = np.where(la == lb, la, np.iinfo(np.int64).max)
+            own = shared.min(axis=(1, 2)) == owner_id
+            rows, cols = rows[own], cols[own]
         if len(rows):
             out_a.append(ids[start + rows])
             out_b.append(ids[start + cols])
@@ -880,11 +899,14 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
        Voronoi cell (real embedding corpora cluster heavily; a
        100k-vector cell's full matrix is 80 GB) completes in bounded
        memory instead of OOMing one task;
-    3. dedupe the pairs that shared several lists on the PAIR KEY
-       (min-cosine representative — per-list BLAS block shapes can
-       flip the last rounded ulp, so the triple is not stable across
-       lists); the emitted survivor list is tiny relative to the
-       candidate volume.
+    3. first-shared-list emission (the r8 simhash trick): a pair
+       assigned to several lists is scored wherever the matrix product
+       covers it, but EMITTED only by the task owning its smallest
+       shared list — exactly-once by construction, deterministic
+       cosine (always the owner list's block shape), and no cross-list
+       reconciliation shuffle at all (the min-cosine groupBy this
+       replaced carried the full survivor set through a second
+       exchange).
 
     Measured recall vs brute-force exact cosine on the fixtures
     (near-uniform vectors — the worst case; weak 0.35-cosine pairs
@@ -909,24 +931,23 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = cat.embeddings.select(
         "vec_id",
         v.alias("v"),
-        F.explode(_nprobe_clusters(v, cents, 3)).alias("list_id"),
-    )
+        _nprobe_clusters(v, cents, 3).alias("lists"),
+    ).select("vec_id", "v", "lists", F.explode("lists").alias("list_id"))
 
     def pairs_in_list(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-        return _score_list_pairs(ids, mat)
+        lists = np.asarray(pdf["lists"].tolist(), dtype=np.int64)
+        return _score_list_pairs(
+            ids, mat, lists=lists, owner_id=int(pdf["list_id"].iloc[0])
+        )
 
-    return (
-        assigned.groupBy("list_id")
-        .applyInPandas(pairs_in_list, "vec_a long, vec_b long, cosine double")
-        # a pair sharing several IVF lists is recomputed per list over
-        # differently-sized BLAS blocks, so its cosine can differ in the
-        # last rounded ulp across lists; dedupe on the PAIR KEY (min
-        # cosine as the deterministic representative), not the triple —
-        # distinct() over (vec_a, vec_b, cosine) could keep both roundings.
-        .groupBy("vec_a", "vec_b")
-        .agg(F.min("cosine").alias("cosine"))
+    # each pair is emitted by exactly ONE task (its first shared list),
+    # so the applyInPandas output IS the answer — no cross-list
+    # reconciliation exchange (the aggregate this replaced carried the
+    # full survivor set through a second shuffle).
+    return assigned.groupBy("list_id").applyInPandas(
+        pairs_in_list, "vec_a long, vec_b long, cosine double"
     )
 
 

@@ -921,7 +921,11 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     src = cat.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    d = len(src.select("v").first()["v"])
+    schema = "vec_id long, " + ", ".join(f"pc{j + 1} double" for j in range(_PCA_K))
+    probe = src.select("v").first()
+    if probe is None:  # empty corpus: no moments to decompose
+        return spark.createDataFrame([], schema)
+    d = len(probe["v"])
 
     def moments(batches):
         n, s, g = 0, np.zeros(d), np.zeros((d, d))
@@ -959,5 +963,4 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[f"pc{j + 1}"] = p[:, j]
             yield pd.DataFrame(out)
 
-    schema = "vec_id long, " + ", ".join(f"pc{j + 1} double" for j in range(_PCA_K))
     return src.mapInPandas(project, schema)

@@ -931,6 +931,10 @@ def test_embedding_ann_dedup_is_one_shuffle_blocked_matmul(spark):
     assert "FlatMapGroupsInPandas" in p
     # formatted mode prints each node in the tree AND a details section
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    # first-shared-list emission (r9): the per-list scorer IS the
+    # output — exactly one exchange (the list-id keying), no cross-list
+    # reconciliation shuffle over the survivor set
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
 
 
 def test_funnel_map_only_single_aggregate(spark):
