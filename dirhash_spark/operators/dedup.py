@@ -927,6 +927,8 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     cents = _train_centroids(cat)
+    if cents is None:  # empty corpus: no pairs (trainer sample empty)
+        return spark.createDataFrame([], "vec_a long, vec_b long, cosine double")
     v = F.col("embedding").cast("array<double>")
     assigned = cat.embeddings.select(
         "vec_id",

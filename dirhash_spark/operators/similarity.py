@@ -176,6 +176,8 @@ def _train_centroids(cat: Catalog) -> np.ndarray:
         .toPandas()["v"]
         .tolist()
     )
+    if not sample:  # empty corpus: nothing to quantize (callers emit empty)
+        return None
     x = np.asarray(sample, dtype=np.float64)
     rng = np.random.RandomState(7)
     cents = x[rng.choice(len(x), _IVF_K, replace=False)]
@@ -224,6 +226,8 @@ def _train_centroids_distributed(cat: Catalog, iters: int = _IVF_ITERS) -> np.nd
         .toPandas()["v"]
         .tolist()
     )
+    if not init:  # empty corpus: nothing to quantize (callers emit empty)
+        return None
     cents = np.asarray(init, dtype=np.float64)
     dim = cents.shape[1]
     for _ in range(iters):
@@ -272,6 +276,16 @@ def _nprobe_clusters(vec_col, cents: np.ndarray, nprobe: int):
     return F.transform(F.slice(F.array_sort(structs), 1, nprobe), lambda s: s["cid"])
 
 
+#: Every ANN top-k query emits this shape; the empty-corpus result is
+#: an empty frame of it (trainers return None when their bounded
+#: sample is empty — ANN over nothing is nothing, not a crash).
+_TOPK_SCHEMA = "vec_id bigint, label int, cosine double"
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], _TOPK_SCHEMA)
+
+
 @query("sim_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF coarse quantization: k-means centroids (trained
@@ -292,7 +306,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force is asserted in tests/test_llm_ops.py.
     """
     cat = Catalog(spark, sf_dir)
-    return _ivf_topk(cat, _train_centroids(cat))
+    cents = _train_centroids(cat)
+    if cents is None:
+        return _empty_topk(spark)
+    return _ivf_topk(cat, cents)
 
 
 def _ivf_topk(cat: Catalog, cents: np.ndarray) -> DataFrame:
@@ -332,7 +349,10 @@ def sim_ann_ivf_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py.
     """
     cat = Catalog(spark, sf_dir)
-    return _ivf_topk(cat, _train_centroids_distributed(cat))
+    cents = _train_centroids_distributed(cat)
+    if cents is None:
+        return _empty_topk(spark)
+    return _ivf_topk(cat, cents)
 
 
 # ------------------------------------------------- persisted ANN index
@@ -377,6 +397,8 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
         cat = Catalog(spark, sf_dir)
         cents = _train_centroids(cat)
         books = _train_pq_codebooks(cat)
+        if cents is None or books is None:  # empty corpus: no index
+            return None
         v = F.col("embedding").cast("array<double>")
         sig = _lsh_signature(v)
 
@@ -429,6 +451,8 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     cents = _train_centroids(cat)
+    if cents is None:
+        return _empty_topk(spark)
     index = spark.read.parquet(build_ann_index(spark, sf_dir))
 
     probe_vec = np.asarray(
@@ -458,7 +482,10 @@ def sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index instead of being recomputed per scan — the write-time
     persistence of the signature work (16 hyperplane dot products per
     vector ⇒ once at ingest, never per query)."""
-    index = spark.read.parquet(build_ann_index(spark, sf_dir))
+    path = build_ann_index(spark, sf_dir)
+    if path is None:
+        return _empty_topk(spark)
+    index = spark.read.parquet(path)
     probe = F.broadcast(
         index.where(F.col("vec_id") == 0).select(
             F.col("v").alias("probe"), F.col("sig").alias("probe_sig")
@@ -690,6 +717,8 @@ def _train_pq_codebooks(cat: Catalog) -> np.ndarray:
         .toPandas()["v"]
         .tolist()
     )
+    if not sample:  # empty corpus: nothing to encode (callers emit empty)
+        return None
     x = np.asarray(sample, dtype=np.float64)
     d = x.shape[1] // _PQ_M
     sub = x.reshape(len(x), _PQ_M, d)
@@ -776,6 +805,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     books = _train_pq_codebooks(cat)  # (M, K, d)
+    if books is None:
+        return _empty_topk(spark)
 
     def encode(batches):
         for pdf in batches:
@@ -861,6 +892,8 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cents = _train_centroids(cat)
     books = _train_pq_codebooks(cat)
+    if cents is None or books is None:
+        return _empty_topk(spark)
     index = spark.read.parquet(build_ann_index(spark, sf_dir))
 
     probe_vec = np.asarray(

@@ -119,11 +119,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is how a 100 TB table avoids reading 100 TB."""
     cat = Catalog(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_by_status")
-    cat.orders.select("o_orderkey", "o_custkey", "o_orderstatus").write.mode(
-        "overwrite"
-    ).partitionBy("o_orderstatus").parquet(out)
+    staged = cat.orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    staged.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # explicit schema: a zero-row write leaves no data files to infer
+    # from — empty input must read back as an empty table, not crash
     return (
-        spark.read.parquet(out)
+        spark.read.schema(staged.schema).parquet(out)
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
     )
@@ -656,7 +657,8 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("ship_month")
         .parquet(out)
     )
-    fact = spark.read.parquet(out)
+    # explicit schema: a zero-row write leaves no data files to infer from
+    fact = spark.read.schema("l_extendedprice double, ship_month string").parquet(out)
     dim = (
         cat.orders.where(
             (F.col("o_orderpriority") == "1-URGENT")

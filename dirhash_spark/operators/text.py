@@ -618,11 +618,12 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id").cast("decimal(38,0)") * 2654435761) % 8).cast("long"),
         )
     )
-    curated.select("shard", "doc_id", "text", "n_words").write.mode(
-        "overwrite"
-    ).partitionBy("shard").parquet(out)
+    export = curated.select("shard", "doc_id", "text", "n_words")
+    export.write.mode("overwrite").partitionBy("shard").parquet(out)
+    # explicit schema: a zero-row write leaves no data files to infer
+    # from — empty input must read back as an empty manifest, not crash
     return (
-        spark.read.parquet(out)
+        spark.read.schema(export.schema).parquet(out)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
