@@ -609,6 +609,12 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc — portable SQL, no engine-specific CC primitive.
     """.format(tau=_CLUSTER_JACCARD)
     cat = Catalog(spark, sf_dir)
+    # NOT checkpointed before symmetrizing, unlike the semdedup/neardup
+    # twins: the jaccard pairs sit directly above a join exchange, so
+    # the union's second branch resolves as ReusedExchange and a
+    # checkpoint only adds materialization cost (A/B'd r9: 5.80 s
+    # lazy vs 6.14 s checkpointed at sf0.1).  The pattern's trigger is
+    # a NON-reusable stage above the exchange (e.g. applyInPandas).
     pairs = (
         REGISTRY["dedup_ngram_jaccard"]
         .fn(spark, sf_dir)
@@ -982,7 +988,14 @@ def pipeline_semdedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding_ann) is probabilistic.
     """
     cat = Catalog(spark, sf_dir)
-    pairs = dedup_embedding_ann(spark, sf_dir).select("vec_a", "vec_b")
+    # materialized before symmetrizing (the _neardup_cluster pattern):
+    # the union reads `pairs` twice, and the FlatMapGroupsInPandas
+    # scoring stage above the list-id exchange is NOT reusable across
+    # branches (unlike a plain join exchange), so left lazy the IVF
+    # assignment + per-list BLAS pass executed once per branch —
+    # A/B'd r9: 4.25 → 3.64 s at sf0.1, and at scale it halves the
+    # expensive candidate pass outright.
+    pairs = dedup_embedding_ann(spark, sf_dir).select("vec_a", "vec_b").localCheckpoint()
     edges = pairs.select(
         F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
     ).unionByName(pairs.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v")))
