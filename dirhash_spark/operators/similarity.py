@@ -160,7 +160,7 @@ _IVF_SAMPLE = 2048
 _CENTROID_CACHE: dict[str, np.ndarray] = {}
 
 
-def _train_centroids(cat: Catalog) -> np.ndarray:
+def _train_centroids(cat: Catalog) -> np.ndarray | None:
     """Driver-side k-means on a bounded, deterministically-ordered sample
     — the coarse-quantizer training step.  At 100 TB the sample stays
     the same size (training cost is O(sample), not O(corpus)); only the
@@ -195,7 +195,7 @@ def _train_centroids(cat: Catalog) -> np.ndarray:
 _CENTROID_CACHE_DIST: dict[str, np.ndarray] = {}
 
 
-def _train_centroids_distributed(cat: Catalog, iters: int = _IVF_ITERS) -> np.ndarray:
+def _train_centroids_distributed(cat: Catalog, iters: int = _IVF_ITERS) -> np.ndarray | None:
     """Dataflow twin of the sampled trainer: Lloyd's k-means where every
     pass runs over the FULL corpus as a Spark aggregation — the answer
     to "what if the training sample can't represent 100 TB".
@@ -373,7 +373,7 @@ def _ann_index_path(sf_dir: str) -> str:
     )
 
 
-def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
+def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
     """Write-time ANN index: every embedding with its precomputed LSH
     signature, its IVF list id, AND its PQ codes (+ norm), stored as
     parquet **partitioned by cluster_id** (one directory per inverted
@@ -702,7 +702,7 @@ _PQ_RERANK = 100  # ADC candidates kept for the exact re-rank (constant
 _PQ_CACHE: dict[str, np.ndarray] = {}
 
 
-def _train_pq_codebooks(cat: Catalog) -> np.ndarray:
+def _train_pq_codebooks(cat: Catalog) -> np.ndarray | None:
     """Per-subspace k-means codebooks (Jégou/Douze/Schmid, "Product
     quantization for nearest neighbor search", TPAMI 2011) on the same
     bounded deterministic sample the IVF trainer uses — O(sample)
@@ -923,6 +923,11 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCA_K = 4  # projected dimensions
+#: Fixed-point scale for the exact-integer moment pass: coordinates
+#: quantize to round(x * 2^20) (~6 decimal digits — far below the
+#: 4-decimal output rounding) so count/sum/Gram reduce as exact
+#: integers and the decomposition is layout-invariant by construction.
+_PCA_SCALE = 1 << 20
 
 
 @query("embedding_pca", oracle=None, tags=("embedding", "linalg"))
@@ -933,9 +938,11 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. moment pass: each partition emits ONE row carrying its count,
        d-vector sum, and flattened d×d Gram partial (``mapInPandas``
-       over Arrow batches, BLAS ``X.T @ X`` per batch); the driver
-       reduces O(partitions) rows of d² floats — KB-scale regardless
-       of corpus size, the same collect-digests-only discipline as the
+       over Arrow batches, integer ``X.T @ X`` per batch on 2^20
+       fixed-point coordinates — EXACT, so the reduced moments are
+       identical under any partitioning); the driver reduces
+       O(partitions) rows of d² integers — KB-scale regardless of
+       corpus size, the same collect-digests-only discipline as the
        dirhash fold;
     2. driver: covariance = Gram/n − mean·meanᵀ (d×d), ``eigh``, top
        ``_PCA_K`` components with DETERMINISTIC sign (the coordinate
@@ -955,30 +962,60 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     src = cat.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     schema = "vec_id long, " + ", ".join(f"pc{j + 1} double" for j in range(_PCA_K))
-    probe = src.select("v").first()
-    if probe is None:  # empty corpus: no moments to decompose
-        return spark.createDataFrame([], schema)
-    d = len(probe["v"])
 
     def moments(batches):
-        n, s, g = 0, np.zeros(d), np.zeros((d, d))
+        # Fixed-point EXACT moments (the repo's integer discipline
+        # applied to linear algebra): each coordinate quantizes to
+        # round(x * 2^20) and the count/sum/Gram accumulate as exact
+        # integers, so the reduced moments — and therefore the
+        # covariance, eigenvectors, and every rounded projection — are
+        # IDENTICAL under any partitioning.  Float partials summed in
+        # partition order would make the 4-decimal output layout-
+        # sensitive at the last ulp (the failure mode the layout-
+        # invariance sweep exists to catch).  Per-batch int64 Gram is
+        # safe (|xq| ≤ ~2^23 ⇒ products ≤ 2^46, Arrow batches ≪ 2^17
+        # rows); cross-batch accumulation promotes to Python ints, and
+        # the partial row carries them as decimal strings (they exceed
+        # 2^53, so array<double> would silently round).
+        n, s, g = 0, None, None
         for pdf in batches:
             x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-            if len(x):
-                n += len(x)
-                s += x.sum(0)
-                g += x.T @ x
-        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+            if not len(x):
+                continue
+            xq = np.rint(x * _PCA_SCALE).astype(np.int64)
+            if s is None:
+                d = x.shape[1]
+                s = np.zeros(d, dtype=object)
+                g = np.zeros((d, d), dtype=object)
+            n += len(x)
+            s += xq.sum(0)
+            g += xq.T @ xq
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [[] if s is None else [str(int(v)) for v in s]],
+                "g": [[] if g is None else [str(int(v)) for v in g.ravel()]],
+            }
+        )
 
     parts = src.select("v").mapInPandas(
-        moments, "n long, s array<double>, g array<double>"
-    ).collect()  # O(partitions) rows of d^2 floats — bounded by design
+        moments, "n long, s array<string>, g array<string>"
+    ).collect()  # O(partitions) rows of d^2 integers — bounded by design
+    parts = [p for p in parts if p["n"]]
     n = sum(p["n"] for p in parts)
-    s = np.sum([p["s"] for p in parts if p["n"]], axis=0)
-    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts if p["n"]], axis=0)
-    mean = s / n
-    cov = g / n - np.outer(mean, mean)
-    evals, evecs = np.linalg.eigh(cov)
+    if n == 0:  # empty corpus: no moments to decompose
+        return spark.createDataFrame([], schema)
+    d = int(len(parts[0]["s"]))
+    s = np.zeros(d, dtype=object)
+    g = np.zeros((d, d), dtype=object)
+    for p in parts:
+        s += np.array([int(v) for v in p["s"]], dtype=object)
+        g += np.array([int(v) for v in p["g"]], dtype=object).reshape(d, d)
+    # exact integers -> floats: same integers on every layout, so the
+    # float results (and eigh) are bit-identical across layouts too
+    mean = (s / n).astype(np.float64) / _PCA_SCALE
+    cov = (g / n).astype(np.float64) / (_PCA_SCALE * _PCA_SCALE) - np.outer(mean, mean)
+    _, evecs = np.linalg.eigh(cov)
     comp = evecs[:, ::-1][:, :_PCA_K]  # columns = top-k components
     for j in range(_PCA_K):
         if comp[np.abs(comp[:, j]).argmax(), j] < 0:

@@ -73,7 +73,7 @@ def main() -> int:
             _write_corpus(n, sf_dir)
 
         t0 = time.perf_counter()
-        build_ann_index(spark, sf_dir)
+        assert build_ann_index(spark, sf_dir) is not None  # corpora are non-empty
         build_s = round(time.perf_counter() - t0, 2)
 
         row = {"build_index_s": build_s}

@@ -34,6 +34,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: The adversarial layout — single source of truth, imported by the
+#: pytest tripwire (tests/test_layout_invariance.py) so the sampled
+#: check can never drift from the round-end artifact's layout.
 LAYOUT_B = {
     "spark.sql.shuffle.partitions": "7",
     "spark.sql.files.maxPartitionBytes": str(1 << 20),
@@ -67,7 +70,8 @@ def main() -> int:
                 out[name] = (sorted(cols), ms)
             except Exception as e:  # noqa: BLE001 — record, don't abort sweep
                 out[name] = ("ERROR", repr(e)[:200])
-            print(f"# {tag} {name}: ok", file=sys.stderr)
+            status = "ERROR" if out[name][0] == "ERROR" else "ok"
+            print(f"# {tag} {name}: {status}", file=sys.stderr)
         return out
 
     a = run_all("A")

@@ -32,11 +32,24 @@ SAMPLE = [
     "dedup_embedding_ann",
 ]
 
-LAYOUT_B = {
-    "spark.sql.shuffle.partitions": "7",
-    "spark.sql.files.maxPartitionBytes": str(1 << 20),
-    "spark.sql.files.openCostInBytes": "0",
-}
+
+def _layout_b():
+    """The sweep's adversarial layout — imported, not copied, so this
+    tripwire can never drift from the round-end artifact's layout."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "layout_invariance_sweep",
+        os.path.join(repo, "scripts", "layout_invariance_sweep.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.LAYOUT_B
+
+
+LAYOUT_B = _layout_b()
 
 
 def test_sampled_queries_layout_invariant(spark):
