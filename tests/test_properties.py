@@ -502,3 +502,64 @@ def test_seasonal_decompose_gap_fill_calendar(spark, tmp_path):
         qs["ts_seasonal_decompose"].oracle,
     )
     assert rep["match"], rep
+
+
+# --- Embedding-ANN per-list scorer: exactly-once emission (r9) ------------
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(2, 40),
+    nprobe=st.integers(1, 4),
+    n_lists=st.integers(1, 6),
+    block_rows=st.integers(1, 50),
+    seed=st.integers(0, 10_000),
+)
+def test_score_list_pairs_ownership_exactly_once(n, nprobe, n_lists, block_rows, seed):
+    """Union over every list's first-shared-list emissions must equal
+    the brute-force thresholded pair set restricted to pairs sharing at
+    least one list — each pair EXACTLY once, regardless of block size,
+    list count, or assignment overlap (the exactly-once-by-construction
+    claim behind dropping the cross-list reconciliation shuffle)."""
+    import numpy as np
+
+    from dirhash_spark.operators.dedup import _score_list_pairs
+
+    rng = np.random.RandomState(seed)
+    nprobe = min(nprobe, n_lists)
+    ids = rng.permutation(np.arange(n)) * 3 + 1
+    # half clustered (dense survivors), half scattered
+    center = rng.randn(8) * 4
+    mat = np.vstack(
+        [center + rng.randn(n // 2, 8) * 0.1, rng.randn(n - n // 2, 8)]
+    )
+    lists = np.stack(
+        [rng.choice(n_lists, nprobe, replace=False) for _ in range(n)]
+    ).astype(np.int64)
+
+    emitted = []
+    for lid in range(n_lists):
+        member = (lists == lid).any(axis=1)
+        if not member.any():
+            continue
+        out = _score_list_pairs(
+            ids[member].copy(),
+            mat[member].copy(),
+            block_rows=block_rows,
+            lists=lists[member].copy(),
+            owner_id=lid,
+        )
+        emitted.extend((int(a), int(b)) for a, b in zip(out["vec_a"], out["vec_b"]))
+
+    assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
+
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    expected = set()
+    by_id = {int(i): k for k, i in enumerate(ids)}
+    for a in sorted(by_id):
+        for b in sorted(by_id):
+            if a < b and cos[by_id[a], by_id[b]] >= 0.35:
+                if set(lists[by_id[a]]) & set(lists[by_id[b]]):
+                    expected.add((a, b))
+    assert set(emitted) == expected
