@@ -163,6 +163,8 @@ def hash_directory_raw(
     has_bytes = any((not e.is_dir) and e.size > 0 for e in entries)
     if has_bytes:
         rows = digest_directory(spark, entries, blocksize, hash_algorithm).collect()
+        # bounded: digests only — 32 bytes + path per CHUNK (see scale
+        # note below), never content bytes.
         # Driver-side tuple sort == reference sortBy((path, num)),
         # dirhash.py:413 — and avoids the range-exchange sampling pass
         # that would re-execute the read+hash stage.  Scale bound on this

@@ -113,6 +113,8 @@ def _check_manifest_parameters(
             "provenance cannot be safely reused"
         )
     stamps = (
+        # bounded: distinct over the 2 stamp columns — exactly 1 row on a
+        # well-formed manifest (validated right below).
         manifest.select("hash_algorithm", "blocksize_bytes").distinct().collect()
     )
     mismatched = [
@@ -156,6 +158,8 @@ def hash_directory_incremental(
 
     manifest_keys = {
         (r["path"], r["size"], r["mtime_ns"])
+        # bounded: one metadata triple per manifest FILE (no digests, no
+        # content) — same order as the driver-side listing it diffs against.
         for r in manifest.select("path", "size", "mtime_ns").distinct().collect()
     }
     unchanged_paths = []
@@ -173,10 +177,11 @@ def hash_directory_incremental(
             manifest.join(F.broadcast(keep), "path")
             .where(F.col("digest").isNotNull())  # empty files carry no chunks
             .select("path", "block_num", "digest")
-            .collect()
+            .collect()  # bounded: digest rows only, as in hash_directory_raw
         )
     if any(e.size > 0 for e in changed):
         digest_rows.extend(
+            # bounded: digest rows for the CHANGED files only
             digest_directory(spark, changed, bs, hash_algorithm).collect()
         )
     digest_rows.sort(key=lambda r: (r["path"], r["block_num"]))

@@ -173,7 +173,7 @@ def _train_centroids(cat: Catalog) -> np.ndarray | None:
         cat.embeddings.orderBy("vec_id")
         .limit(_IVF_SAMPLE)
         .select(F.col("embedding").cast("array<double>").alias("v"))
-        .toPandas()["v"]
+        .toPandas()["v"]  # bounded: limit() right above caps the rows
         .tolist()
     )
     if not sample:  # empty corpus: nothing to quantize (callers emit empty)
@@ -223,7 +223,7 @@ def _train_centroids_distributed(cat: Catalog, iters: int = _IVF_ITERS) -> np.nd
         emb.orderBy("vec_id")
         .limit(_IVF_K)
         .select("v")
-        .toPandas()["v"]
+        .toPandas()["v"]  # bounded: limit() right above caps the rows
         .tolist()
     )
     if not init:  # empty corpus: nothing to quantize (callers emit empty)
@@ -714,7 +714,7 @@ def _train_pq_codebooks(cat: Catalog) -> np.ndarray | None:
         cat.embeddings.orderBy("vec_id")
         .limit(_IVF_SAMPLE)
         .select(F.col("embedding").cast("array<double>").alias("v"))
-        .toPandas()["v"]
+        .toPandas()["v"]  # bounded: limit() right above caps the rows
         .tolist()
     )
     if not sample:  # empty corpus: nothing to encode (callers emit empty)

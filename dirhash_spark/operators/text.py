@@ -1138,7 +1138,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "l", "r")
             .limit(1)
-            .collect()
+            .collect()  # bounded: exactly one merge-winner row per step
         )
         if not top_rows:  # vocabulary fully merged before N steps —
             break         # the oracle's m{k} CTE is empty then too

@@ -81,6 +81,8 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize: the memory-sink table is tied to the (now stopped)
     # query; hand back an immutable snapshot.
     return spark.createDataFrame(
+        # bounded: the memory sink is driver-resident by definition;
+        # this snapshots aggregate state, not the stream.
         spark.table("dirhash_stateful_running").collect(),
         _OUT_SCHEMA,
     )
@@ -187,6 +189,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.createDataFrame(
+        # bounded: memory-sink snapshot of nation-keyed aggregate state
         spark.table("dirhash_stream_static_join").collect(),
         "nation_key BIGINT, n_events BIGINT, total_value DOUBLE",
     )
@@ -366,6 +369,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.createDataFrame(
+        # bounded: memory-sink snapshot of the joined-window output
         spark.table("dirhash_stream_stream_join").collect(),
         "click_id BIGINT, purchase_id BIGINT, user_id BIGINT",
     )
