@@ -1042,9 +1042,16 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON s.event_type = c.event_type AND s.day = c.day
     ),
     t AS (
+      -- CAST: DuckDB windowed sum(BIGINT) returns HUGEINT; without the
+      -- cast trend/seasonal/residual surface as float64/object on the
+      -- driver's pandas-hash path (the ONE driver-red row of r9) even
+      -- though the builder harness's multiset canonicalizer forgave the
+      -- dtype.  The repo float-discipline rule: every window-sum output
+      -- is cast back to BIGINT in the oracle.
       SELECT event_type, day, daily_cents,
              CASE WHEN count(*) OVER w = 7
-                  THEN sum(daily_cents) OVER w // 7 END AS trend_cents
+                  THEN CAST(sum(daily_cents) OVER w // 7 AS BIGINT)
+             END AS trend_cents
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
@@ -1056,11 +1063,12 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT event_type, day, daily_cents, trend_cents, dow,
-           CASE WHEN count(detr) OVER p > 0
-                THEN sum(detr) OVER p // count(detr) OVER p
-           END AS seasonal_cents,
-           detr - (CASE WHEN count(detr) OVER p > 0
-                        THEN sum(detr) OVER p // count(detr) OVER p END)
+           CAST(CASE WHEN count(detr) OVER p > 0
+                     THEN sum(detr) OVER p // count(detr) OVER p
+                END AS BIGINT) AS seasonal_cents,
+           CAST(detr - (CASE WHEN count(detr) OVER p > 0
+                             THEN sum(detr) OVER p // count(detr) OVER p
+                        END) AS BIGINT)
              AS residual_cents
     FROM d
     WINDOW p AS (PARTITION BY event_type, dow)

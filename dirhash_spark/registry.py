@@ -58,94 +58,99 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: every remaining r1-code row; round 6 re-fronted the 40 r2-code rows
 #: plus 10 never-checked; round 7 drained the 39-query never-checked
 #: backlog plus the 11 oldest r3 rows; round 8 drained the 23 remaining
-#: r3 rows, the 8 r7 registrations, and the first 19 r4 rows.  Round 9
-#: (per the r8 plan): (a) the 28 remaining r4-code rows — they hit MUST
-#: age 5 the moment CORRECTNESS_r09 lands; (b) the 6 queries registered
-#: during r8 (never driver-checked; green in ORACLE_SNAPSHOT_r08{,_sf01}
-#: at both scale factors); (c) 16 slack slots on the oldest r5-code
-#: rows, MAY-front tier (age >= 3), taken alphabetically (first 16 of
-#: 50).  Exactly 50 names.
+#: r3 rows, the 8 r7 registrations, and the first 19 r4 rows; round 9
+#: drained the 28 remaining r4 rows, the 6 r8 registrations, and the
+#: first 16 r5 rows.  Round 10 (per the r9 plan): (a) the 34 remaining
+#: r5-code rows — they hit MUST age 5 the moment CORRECTNESS_r10 lands;
+#: (b) ``ts_seasonal_decompose`` — the only driver-RED row in r9 (oracle
+#: HUGEINT leak, fixed this round — re-front to confirm green); (c) the
+#: 3 queries registered during r9 (never driver-checked; green in
+#: ORACLE_SNAPSHOT_r09{,_sf01} at both scale factors); (d) 12 slack
+#: slots on the oldest r6-code rows, MAY-front tier (age >= 3), taken
+#: alphabetically (first 12 of 50).  Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 28 remaining r4-code rows — MUST tier at r9 close
-    "mm_meta_extract",
-    "mm_resize",
-    "pack_sequences",
-    "pipeline_incremental_refresh",
-    "query_observe_metrics",
-    "recursive_listing",
-    "scan_cached_branches",
-    "scd2_history",
-    "sessionize_batch",
-    "sink_time_travel",
-    "sort_multi",
-    "sql_correlated_exists",
-    "sql_scalar_subquery",
-    "stream_foreach_batch_sink",
-    "stream_python_datasource",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful_running",
-    "stream_static_join",
-    "stream_tumbling",
-    "stream_watermark_dedup",
-    "text_repetition_score",
-    "ts_interpolate_linear",
-    "ts_zscore",
-    "ts_zscore_window",
-    "udtf_cogroup_asof",
-    "udtf_group_apply_arrow",
-    "udtf_python_chunker",
-    # (b) the 6 r8 registrations, never driver-checked
-    "sim_ann_ivfpq",
-    "dedup_embedding_ann",
-    "pipeline_semdedup_e2e",
+    # (a) the 34 remaining r5-code rows — MUST tier at r10 close
+    "fn_math_cond",
+    "fn_string",
+    "join_anti",
+    "join_asof_forward",
+    "join_broadcast",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_hash",
+    "join_left_outer",
+    "join_semi",
+    "join_theta_range",
+    "limit_topk",
+    "merge_upsert",
+    "mm_frame_sample",
+    "project_rename",
+    "scan_binary_file",
+    "scan_csv_infer",
+    "scan_fixed_binary",
+    "scan_parquet",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_dist",
+    "sim_ann_ivf_distfit",
+    "sink_parquet",
+    "topk_per_group",
+    "ts_anomaly_mad",
+    "win_first_last",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_percent_rank",
+    "win_range_frame",
+    "win_rank",
+    "win_running",
+    # (b) the only r9 driver-RED row (oracle HUGEINT cast fixed in r10)
     "ts_seasonal_decompose",
-    "text_perplexity_bigram",
-    "corpus_quality_filter_funnel",
-    # (c) slack → pre-emptive rotation of the oldest r5-code rows
-    # (age 4 = MAY-front tier; first 16 of 50 alphabetically)
-    "agg_approx_distinct",
-    "agg_collect_sorted",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_stats",
-    "corpus_temperature_sampling",
-    "dedup_containment",
-    "dirhash_chunk_digests",
-    "dirhash_full",
-    "filter_in_like",
-    "filter_null",
-    "fn_array",
+    # (c) the 3 r9 registrations, never driver-checked
+    "text_span_dedup",
+    "corpus_dsir_importance",
+    "embedding_pca",
+    # (d) slack → pre-emptive rotation of the oldest r6-code rows
+    # (age 3 = MAY-front tier; first 12 of 50 alphabetically)
+    "agg_mode_median",
+    "agg_pivot",
+    "agg_regression",
+    "agg_skew_salted",
+    "chunk_split_text",
+    "corpus_drift_chi2",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
 )
-# r10 rotation backlog: after r9's window lands, the oldest driver rows
-# are the 34 remaining r5-code queries (the 50 r5 rows minus the 16
-# fronted above: fn_math_cond, fn_string, join_anti, join_asof_forward,
-# join_broadcast, join_cross, join_full_outer, join_inner_hash,
-# join_left_outer, join_semi, join_theta_range, limit_topk,
-# merge_upsert, mm_frame_sample, project_rename, scan_binary_file,
-# scan_csv_infer, scan_fixed_binary, scan_parquet, set_except,
-# set_intersect, set_union_all, set_union_dist, sim_ann_ivf_distfit,
-# sink_parquet, topk_per_group, ts_anomaly_mad, win_first_last,
-# win_lag_lead, win_moving_avg, win_percent_rank, win_range_frame,
-# win_rank, win_running) — they hit MUST age 5 when CORRECTNESS_r10
-# lands —
-# plus the queries registered during r9 (text_span_dedup,
-# corpus_dsir_importance, embedding_pca — green in ORACLE_SNAPSHOT_r09
-# at registration), with remaining slack on the oldest r6 rows.
-# Backlog arithmetic after r9's window: 237 registered = 28 (r4, this
-# window) + 6 (r8 regs, this window) + 16 (r5, this window) + 34 (r5
-# remainder, r10 MUST) + 50 (r6) + 50 (r7) + 50 (r8) + 3 (r9
-# registrations, r10 fill) — every query has either a driver row or a
-# dated slot here.
+# r11 rotation backlog: after r10's window lands, the oldest driver rows
+# are the 38 remaining r6-code queries (the 50 r6 rows minus the 12
+# fronted above: dedup_url_canonical is NOT among them — it is r7-code;
+# the remainder is fn_bitwise, fn_interval, fn_json, fn_map,
+# fn_regexp_all, fn_struct_nested, graph_pagerank, hash_sha2_text,
+# join_asof_nearest, join_bucketed, join_skew_salted, merkle_fold_group,
+# pipeline_corpus_curation, quality_expectations, reshape_posexplode,
+# reshape_unpivot, sample_hash_deterministic, scan_json_lines,
+# scan_text_lines, sim_ann_ivf, sim_ann_lsh, sim_knn_join,
+# sim_maxsim_late_interaction, sim_topk_cosine, sink_orc,
+# sink_parquet_clustered, sink_parquet_partitioned, sink_parquet_zorder,
+# stream_stream_join, text_fingerprint, text_lang_id, text_quality,
+# text_token_count, text_tokens, ts_cohort_retention, udaf_pandas,
+# udf_python, udtf_map_in_pandas) — they hit MUST age 5 when
+# CORRECTNESS_r11 lands — plus any queries registered during r10, with
+# remaining slack on the oldest r7 rows.
+# Backlog arithmetic after r10's window: 237 registered = 34 (r5, this
+# window) + 1 (r9-red re-front, this window) + 3 (r9 regs, this window)
+# + 12 (r6, this window) + 38 (r6 remainder, r11 MUST) + 50 (r7) +
+# 50 (r8) + 49 (r9 rows minus the re-fronted red one) — every query has
+# either a driver row or a dated slot here.
 
 
 def all_queries() -> dict[str, Query]:

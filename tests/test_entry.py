@@ -28,7 +28,7 @@ def test_every_oracle_has_a_query():
 def test_priority_order_names_all_registered():
     """Every PRIORITY_ORDER name resolves — all_queries() raises on
     phantoms, so a stale planned-query name can't silently drop its
-    intended driver-row coverage (round-2 postmortem).  The round-9
+    intended driver-row coverage (round-2 postmortem).  The round-10
     window's hand-picked anchors must sit inside the 50-entry prefix."""
     from dirhash_spark.registry import PRIORITY_ORDER, all_queries
 
@@ -37,18 +37,20 @@ def test_priority_order_names_all_registered():
     assert len(PRIORITY_ORDER) == 50  # exactly one driver window
     window = list(qs)[:50]
     for must in (
-        # r4-code rows that hit MUST age 5 when CORRECTNESS_r09 lands
-        "mm_meta_extract",
-        "stream_tumbling",
-        "udtf_python_chunker",
-        "sort_multi",
-        # the 6 r8 registrations get their first driver rows
-        "sim_ann_ivfpq",
-        "dedup_embedding_ann",
-        "pipeline_semdedup_e2e",
-        # pre-emptive r5-code rotation fills the slack
-        "agg_approx_distinct",
-        "fn_array",
+        # r5-code rows that hit MUST age 5 when CORRECTNESS_r10 lands
+        "fn_math_cond",
+        "scan_fixed_binary",
+        "win_running",
+        "sim_ann_ivf_distfit",
+        # the only r9 driver-RED row, re-fronted after the oracle fix
+        "ts_seasonal_decompose",
+        # the 3 r9 registrations get their first driver rows
+        "text_span_dedup",
+        "corpus_dsir_importance",
+        "embedding_pca",
+        # pre-emptive r6-code rotation fills the slack
+        "agg_mode_median",
+        "dedup_simhash",
     ):
         assert must in window, must
 
