@@ -808,6 +808,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the difference between a skewed Voronoi cell completing and OOMing.
 _ANN_SCORE_BLOCK_ROWS = 1024
 
+#: Pair-chunk length for the exactly-once ownership check: the check
+#: broadcasts each surviving pair's two nprobe-length assignment arrays
+#: against each other (nprobe^2 int64 cells per pair), so its scratch is
+#: a SECOND memory term on top of the block x |list| cosine matrix.  In
+#: a dense skewed Voronoi cell — the exact case the blocking targets —
+#: nearly every pair in a block can survive the threshold, so
+#: npairs ~ block_rows x |list| (1024 x 100k = 1e8 pairs ~ 7 GB at
+#: nprobe=3) would dwarf the documented ~0.8 GB block bound (r9 advisor
+#: finding).  Chunking bounds it at CHUNK x nprobe^2 x 8 bytes
+#: (~72 MB at 1M pairs / nprobe=3), independent of survivor density.
+_ANN_OWNERSHIP_CHUNK_PAIRS = 1 << 20
+
 
 def _score_list_pairs(
     ids: np.ndarray,
@@ -838,6 +850,17 @@ def _score_list_pairs(
     multi-assigned pair is emitted by exactly one task, so the caller
     needs no cross-list reconciliation shuffle at all and the emitted
     cosine is deterministic (always the owner list's block shape).
+    Consequence (r9 advisor note): threshold adjudication is
+    owner-list-only — the owner list's block-shaped BLAS product is the
+    sole verdict, so a pair whose cosine straddles the threshold by a
+    last ulp ACROSS lists (above in some non-owner list's block shape,
+    below in the owner's) is dropped, where the old
+    union-of-lists+distinct form would have emitted it.  Boundary-only
+    float behavior, deliberate: exactly-once emission is worth a
+    one-ulp fuzz band at the threshold.  The ownership check itself
+    runs in ``_ANN_OWNERSHIP_CHUNK_PAIRS`` sub-chunks so its
+    npairs x nprobe^2 scratch stays bounded when a dense cell makes
+    nearly every pair survive (see the constant's doc).
     """
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
@@ -858,10 +881,17 @@ def _score_list_pairs(
         rows, cols = np.nonzero(np.triu(cos >= threshold, 1))
         if len(rows) and lists is not None:
             # smallest shared list of each surviving pair == owner_id?
-            la = lists[start + rows][:, :, None]
-            lb = lists[start + cols][:, None, :]
-            shared = np.where(la == lb, la, np.iinfo(np.int64).max)
-            own = shared.min(axis=(1, 2)) == owner_id
+            # Chunked: the nprobe x nprobe broadcast is per-PAIR scratch
+            # and survivor count is data-dependent (dense cells approach
+            # all-pairs), so it must not scale with len(rows).
+            own_parts = []
+            for c0 in range(0, len(rows), _ANN_OWNERSHIP_CHUNK_PAIRS):
+                c1 = min(c0 + _ANN_OWNERSHIP_CHUNK_PAIRS, len(rows))
+                la = lists[start + rows[c0:c1]][:, :, None]
+                lb = lists[start + cols[c0:c1]][:, None, :]
+                shared = np.where(la == lb, la, np.iinfo(np.int64).max)
+                own_parts.append(shared.min(axis=(1, 2)) == owner_id)
+            own = np.concatenate(own_parts)
             rows, cols = rows[own], cols[own]
         if len(rows):
             out_a.append(ids[start + rows])

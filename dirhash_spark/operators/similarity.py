@@ -930,6 +930,36 @@ _PCA_K = 4  # projected dimensions
 _PCA_SCALE = 1 << 20
 
 
+def _exact_gram(xq: np.ndarray) -> np.ndarray:
+    """Exact ``xq.T @ xq`` for an int64 matrix, overflow-proof.
+
+    NumPy integer matmul wraps silently, so the "coordinates are small
+    and batches are short" assumption the int64 product rests on must
+    be enforced, not assumed (r9 advisor finding): larger embedding
+    magnitudes or a raised ``arrow.maxRecordsPerBatch`` would corrupt
+    the PCA components without any error.  A Gram cell of a
+    ``rows``-row chunk is bounded by ``rows * amax^2``, so chunking to
+    ``rows < 2^62 / amax^2`` keeps every chunk product exact in int64
+    (2x margin) and the object-int accumulation across chunks is
+    arbitrary-precision — the result equals the one-shot matmul for
+    ANY input magnitude.  A single coordinate with ``amax^2 >= 2^62``
+    (|x| >= ~2^11 at 2^20 fixed point) cannot be chunked below one
+    row; that raises loudly instead of wrapping.
+    """
+    amax = int(np.abs(xq).max()) if len(xq) else 0
+    if amax and amax * amax >= 1 << 62:
+        raise ValueError(
+            f"exact int64 Gram impossible: |quantized coordinate| {amax} "
+            f"overflows a single product"
+        )
+    g = np.zeros((xq.shape[1], xq.shape[1]), dtype=object)
+    chunk = max(1, (1 << 62) // (amax * amax)) if amax else max(1, len(xq))
+    for r0 in range(0, len(xq), chunk):
+        xc = xq[r0 : r0 + chunk]
+        g += xc.T @ xc
+    return g
+
+
 @query("embedding_pca", oracle=None, tags=("embedding", "linalg"))
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding column — the classic
@@ -972,11 +1002,15 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         # IDENTICAL under any partitioning.  Float partials summed in
         # partition order would make the 4-decimal output layout-
         # sensitive at the last ulp (the failure mode the layout-
-        # invariance sweep exists to catch).  Per-batch int64 Gram is
-        # safe (|xq| ≤ ~2^23 ⇒ products ≤ 2^46, Arrow batches ≪ 2^17
-        # rows); cross-batch accumulation promotes to Python ints, and
-        # the partial row carries them as decimal strings (they exceed
-        # 2^53, so array<double> would silently round).
+        # invariance sweep exists to catch).  Cross-batch accumulation
+        # promotes to Python ints, and the partial row carries them as
+        # decimal strings (they exceed 2^53, so array<double> would
+        # silently round).  The int64 Gram product is chunked to the
+        # PROVEN-safe row count — NumPy integer matmul wraps silently,
+        # so "batches are small and coordinates are ~2^3" must be
+        # enforced, not assumed: larger embedding magnitudes or a
+        # raised arrow.maxRecordsPerBatch would otherwise corrupt the
+        # components without any error (r9 advisor finding).
         n, s, g = 0, None, None
         for pdf in batches:
             x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
@@ -989,7 +1023,7 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g = np.zeros((d, d), dtype=object)
             n += len(x)
             s += xq.sum(0)
-            g += xq.T @ xq
+            g += _exact_gram(xq)
         yield pd.DataFrame(
             {
                 "n": [n],

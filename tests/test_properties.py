@@ -563,3 +563,65 @@ def test_score_list_pairs_ownership_exactly_once(n, nprobe, n_lists, block_rows,
                 if set(lists[by_id[a]]) & set(lists[by_id[b]]):
                     expected.add((a, b))
     assert set(emitted) == expected
+
+
+def test_score_list_pairs_ownership_chunking_is_transparent(monkeypatch):
+    """The sub-chunked ownership check (r9 advisor: its npairs x
+    nprobe^2 scratch must not scale with survivor count) is a pure
+    memory bound — a pathologically small chunk size must produce the
+    exact same pair set as one unchunked pass."""
+    import numpy as np
+
+    from dirhash_spark.operators import dedup
+
+    rng = np.random.RandomState(7)
+    n = 60
+    ids = np.arange(n) * 2 + 1
+    # one dense cone: nearly every pair survives the 0.35 threshold,
+    # the exact regime where npairs approaches block_rows x |list|
+    mat = rng.randn(8) * 3 + rng.randn(n, 8) * 0.05
+    lists = np.stack([rng.choice(4, 3, replace=False) for _ in range(n)]).astype(
+        np.int64
+    )
+
+    def run():
+        got = []
+        for lid in range(4):
+            m = (lists == lid).any(axis=1)
+            out = dedup._score_list_pairs(
+                ids[m].copy(), mat[m].copy(), block_rows=16,
+                lists=lists[m].copy(), owner_id=lid,
+            )
+            got.extend(map(tuple, out.itertuples(index=False)))
+        return sorted(got)
+
+    baseline = run()
+    assert len(baseline) > 500  # the dense cone really is dense
+    monkeypatch.setattr(dedup, "_ANN_OWNERSHIP_CHUNK_PAIRS", 3)
+    assert run() == baseline
+
+
+def test_exact_gram_chunks_and_overflow_guard():
+    """_exact_gram must equal arbitrary-precision X.T @ X even when a
+    one-shot int64 matmul would silently wrap, and must raise (not
+    wrap) when a single product overflows (r9 advisor finding)."""
+    import numpy as np
+    import pytest
+
+    from dirhash_spark.operators.similarity import _exact_gram
+
+    rng = np.random.RandomState(3)
+    # rows * amax^2 = 8 * 2^60 = 2^63: the one-shot product wraps
+    xq = (rng.randint(-1, 2, size=(8, 4)) * (1 << 30)).astype(np.int64)
+    ref = np.asarray(xq, dtype=object).T @ np.asarray(xq, dtype=object)
+    got = _exact_gram(xq)
+    assert (got == ref).all()
+    assert any(abs(int(v)) >= 1 << 62 for v in ref.ravel())  # non-trivial
+    # small values: single chunk, still exact
+    small = rng.randint(-100, 100, size=(50, 4)).astype(np.int64)
+    assert (_exact_gram(small) == small.T.astype(object) @ small.astype(object)).all()
+    # a single coordinate too large for any chunking raises loudly
+    with pytest.raises(ValueError, match="overflows a single product"):
+        _exact_gram(np.array([[1 << 31]], dtype=np.int64))
+    # empty input: zero matrix, no div-by-zero
+    assert (_exact_gram(np.zeros((0, 3), dtype=np.int64)) == 0).all()
