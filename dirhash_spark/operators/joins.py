@@ -221,7 +221,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
     FROM ranked WHERE rn = 1
     """,
-    tags=("join", "asof"),
+    tags=("join", "asof", "witness"),
 )
 def join_asof_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B16 (pairwise form): as-of join — for each event, the latest order

@@ -6,7 +6,15 @@ The external driver verifies a 50-query prefix window per round, so its
 green wall accumulates across rounds (and code states).  This sweep
 removes that caveat: one run, all queries, one commit hash.
 
-Usage: python scripts/oracle_snapshot.py [sf_dir] [out.json]
+Usage: python scripts/oracle_snapshot.py [sf_dir] [out.json] [--skip-tags t1,t2]
+
+``--skip-tags witness`` mechanically excludes deliberate scale-witness
+queries (currently ``join_asof_pairwise``: it multiplies each event by
+the user's full order history, so a skewed corpus at sf0.1 gives it a
+1.35-billion-row single-task intermediate — a recorded by-design
+negative, not a failure).  Skew-corpus sweeps should pass it; skipped
+queries are recorded in the artifact as ``mode: "skipped"`` so the
+exclusion is visible, never silent.
 """
 
 from __future__ import annotations
@@ -19,9 +27,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def parse_args(argv: list[str]) -> tuple[str, str, frozenset[str]]:
+    skip_tags: frozenset[str] = frozenset()
+    pos = []
+    it = iter(argv)
+    for a in it:
+        if a == "--skip-tags":
+            skip_tags = frozenset(next(it, "").split(","))
+        else:
+            pos.append(a)
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
+    out_path = pos[1] if len(pos) > 1 else "ORACLE_SNAPSHOT.json"
+    return sf_dir, out_path, skip_tags
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "ORACLE_SNAPSHOT.json"
+    sf_dir, out_path, skip_tags = parse_args(sys.argv[1:])
 
     from dirhash_spark.registry import all_queries
     from dirhash_spark.session import get_spark
@@ -36,6 +57,13 @@ def main() -> int:
     results: dict[str, dict] = {}
     n_ok = n_rows_only = n_fail = 0
     for name, q in all_queries().items():
+        if skip_tags & set(q.tags):
+            results[name] = {
+                "mode": "skipped",
+                "match": None,
+                "detail": f"tags {sorted(skip_tags & set(q.tags))}",
+            }
+            continue
         try:
             if q.oracle is None:
                 df = q.fn(spark, sf_dir)

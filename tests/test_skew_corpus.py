@@ -78,3 +78,27 @@ def test_sampled_queries_oracle_exact_under_skew(skew_dir, spark):
         if not report["match"]:
             failures.append(f"{name}: {report['detail']}")
     assert not failures, "skew mismatches:\n" + "\n".join(failures)
+
+
+def test_witness_queries_are_tagged_and_mechanically_skippable():
+    """Deliberate scale-witness queries (pairwise as-of: unbounded
+    row-multiplication on a skewed corpus — the recorded r9 sf0.1
+    by-design negative) must be excluded from skew sweeps by TAG, not
+    by footnote: the tag exists, the sweep's --skip-tags parser honors
+    it, and no production query accidentally carries it."""
+    qs = all_queries()
+    witnesses = sorted(n for n, q in qs.items() if "witness" in q.tags)
+    assert witnesses == ["join_asof_pairwise"]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "oracle_snapshot", os.path.join(repo, "scripts", "oracle_snapshot.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf, out, tags = mod.parse_args(
+        ["/tmp/x", "OUT.json", "--skip-tags", "witness"]
+    )
+    assert (sf, out) == ("/tmp/x", "OUT.json")
+    assert tags & set(qs["join_asof_pairwise"].tags)
+    assert not tags & set(qs["join_asof"].tags)  # production form runs
