@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="persist the (path, size, mtime, block, digest) manifest "
         "for future incremental runs",
     )
+    p.add_argument(
+        "--streamed-fold",
+        action="store_true",
+        help="constant-memory driver fold: cluster-side digest sort, "
+        "one partition on the driver at a time (same hash; for "
+        "listings whose digest set outgrows a driver collect)",
+    )
     return p
 
 
@@ -106,7 +113,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
         else:
             hash_string = hash_directory(
-                spark, args.directory, args.hash_algorithm, args.block_size
+                spark,
+                args.directory,
+                args.hash_algorithm,
+                args.block_size,
+                streamed=args.streamed_fold,
             )
             new_manifest = None
         print(hash_string)

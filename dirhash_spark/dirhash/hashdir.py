@@ -181,14 +181,87 @@ def hash_directory_raw(
     return fold_digest(hash_algorithm, listing, digest_list)
 
 
+def hash_directory_raw_streamed(
+    spark: SparkSession,
+    directory: str,
+    hash_algorithm: str = "sha256",
+    blocksize: int | None = None,
+) -> str:
+    """:func:`hash_directory_raw` with a constant-memory driver fold —
+    the scale variant for listings whose digest set outgrows a
+    driver-side ``collect()`` + sort (the one remaining driver-side
+    assumption flagged in listing.py).
+
+    A literal tree-reduce cannot exist for the v1 digest: the fold is a
+    single hash chain over an ORDERED byte stream (header then chunk
+    digests in (path, block_num) order, dirhash.py:422-441), and the
+    chain's state at byte k depends on every byte before it.  What CAN
+    move off the driver is everything except the O(1) hash state:
+
+    - the digest sort runs on the cluster (``orderBy`` = range
+      exchange; Spark's UTF8String binary comparison equals Python's
+      code-point string sort because UTF-8 byte order preserves
+      code-point order, so the stream arrives in exactly the order the
+      reference's driver sort produced);
+    - the digest rows are ``localCheckpoint``-ed FIRST, so the range
+      exchange's boundary-sampling pass re-reads materialized 32-byte
+      digests, not the fused read+hash stage (the re-execution trap
+      that made the collect form avoid ``orderBy``);
+    - the driver consumes ``toLocalIterator()`` — one sorted partition
+      resident at a time, each ``update()`` feeding the chain — and
+      never materializes the NUL-joined listing copy that
+      ``fold_digest`` builds.
+
+    Peak driver memory: the listing strings (metadata, ~hundred MB at
+    millions of files) + ONE digest partition, versus the collect
+    form's listing + joined-listing copy + every digest row + Python
+    sort overhead.  Output is bit-identical to
+    :func:`hash_directory_raw` (pinned against the golden digests and
+    on randomized trees in tests/test_dirhash_e2e.py).
+    """
+    configure(spark)
+    blocksize = blocksize or parse_blocksize(DEFAULT_BLOCK_SIZE)
+    directory = strip_trailing_slash(directory)
+
+    entries = list_entries(directory, spark)
+    h = get_hash_func(hash_algorithm)()
+    ordered = sorted(e.relative_path for e in entries)
+    h.update(str(len(ordered)).encode("ascii"))
+    h.update(b"\x00")
+    for i, rel in enumerate(ordered):
+        if i:
+            h.update(b"\x00")
+        h.update(rel.encode("utf-8"))
+    h.update(b"\x00")
+
+    if any((not e.is_dir) and e.size > 0 for e in entries):
+        digests = digest_directory(
+            spark, entries, blocksize, hash_algorithm
+        ).localCheckpoint()
+        it = (
+            digests.orderBy("path", "block_num")
+            .select("digest")
+            .toLocalIterator()  # bounded: one sorted partition of
+            # 32-byte digests resident at a time — never the full set
+        )
+        for row in it:
+            h.update(bytes(row["digest"]))
+    return h.hexdigest()
+
+
 def hash_directory(
     spark: SparkSession,
     directory: str,
     hash_algorithm: str = "sha256",
     blocksize: str = DEFAULT_BLOCK_SIZE,
+    streamed: bool = False,
 ) -> str:
-    """Full lifecycle → versioned hash string ``v1-<algo>-<bs>-<hex>``."""
-    hex_digest = hash_directory_raw(
-        spark, directory, hash_algorithm, parse_blocksize(blocksize)
-    )
+    """Full lifecycle → versioned hash string ``v1-<algo>-<bs>-<hex>``.
+
+    ``streamed=True`` selects the constant-memory driver fold
+    (:func:`hash_directory_raw_streamed`) — same digest, cluster-side
+    sort, one partition on the driver at a time.
+    """
+    raw = hash_directory_raw_streamed if streamed else hash_directory_raw
+    hex_digest = raw(spark, directory, hash_algorithm, parse_blocksize(blocksize))
     return build_hash_string(hash_algorithm, blocksize, hex_digest)

@@ -122,3 +122,12 @@ def test_manifest_flags_rejected_on_verify_path(spark, tree, capsys):
             main([tree, "--check", "v1-sha256-1k-00", *extra], spark=spark)
         assert exc.value.code == 2
         assert "cannot be combined" in capsys.readouterr().err
+
+
+def test_streamed_fold_flag_same_hash(spark, tree, capsys):
+    """--streamed-fold must print byte-identical output to the default
+    collect-and-sort fold (it only changes WHERE the sort runs)."""
+    assert main([tree, "--block-size", "1k"], spark=spark) == 0
+    default = capsys.readouterr().out.strip()
+    assert main([tree, "--block-size", "1k", "--streamed-fold"], spark=spark) == 0
+    assert capsys.readouterr().out.strip() == default

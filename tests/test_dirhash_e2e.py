@@ -14,7 +14,11 @@ import os
 import pytest
 
 from dirhash_spark.dirhash.chunks import read_chunks
-from dirhash_spark.dirhash.hashdir import hash_directory, hash_directory_raw
+from dirhash_spark.dirhash.hashdir import (
+    hash_directory,
+    hash_directory_raw,
+    hash_directory_raw_streamed,
+)
 from dirhash_spark.dirhash.listing import list_entries
 from dirhash_spark.dirhash.verify import (
     HashComparisonResult,
@@ -135,6 +139,55 @@ def test_e2e_other_algorithms(spark, tree, algo):
     root, files = tree
     bs = 64 * 1024
     assert hash_directory_raw(spark, root, algo, bs) == spec_hash(root, files, bs, algo)
+
+
+def test_streamed_fold_bit_identical(spark, tree):
+    """The constant-memory fold (cluster-side orderBy + toLocalIterator)
+    must produce the exact digest of the collect-and-sort fold for every
+    blocksize shape: multi-chunk, short last block, single chunk."""
+    root, files = tree
+    for bs in (7, 32 * 1024, 1 << 20):
+        assert hash_directory_raw_streamed(spark, root, "sha256", bs) == spec_hash(
+            root, files, bs
+        )
+    hs = hash_directory(spark, root, "sha256", "32k", streamed=True)
+    assert hs == hash_directory(spark, root, "sha256", "32k")
+
+
+def test_streamed_fold_nonascii_sort_parity(spark, tmp_path):
+    """The streamed fold's load-bearing claim: Spark's binary UTF8String
+    ordering equals Python's code-point string sort (UTF-8 byte order
+    preserves code-point order), so the cluster-sorted digest stream
+    arrives in exactly the reference driver-sort order.  Exercised with
+    names across 1/2/3/4-byte UTF-8 classes, spaces, and digits."""
+    root = tmp_path / "unicode_tree"
+    files = {
+        "Z.txt": b"z",
+        "a b.txt": b"ab",
+        "é.txt": b"e-acute",       # 2-byte UTF-8
+        "ß.bin": b"sharp-s" * 900,  # 2-byte, multi-chunk at bs=1k
+        "中文.txt": b"cjk",      # 3-byte
+        "\U0001d4cc.dat": b"script-w",   # 4-byte (beyond BMP)
+        "0digit.txt": b"d",
+    }
+    for rel, content in files.items():
+        (root / rel).parent.mkdir(parents=True, exist_ok=True)
+        (root / rel).write_bytes(content)
+    bs = 1024
+    expected = spec_hash(str(root), files, bs)
+    assert hash_directory_raw_streamed(spark, str(root), "sha256", bs) == expected
+    assert hash_directory_raw(spark, str(root), "sha256", bs) == expected
+
+
+def test_streamed_fold_empty_and_emptyfile_tree(spark, tmp_path):
+    """No chunk rows at all (dirs + empty files only): the streamed
+    fold must skip the digest job entirely and still match."""
+    root = tmp_path / "hollow"
+    (root / "sub").mkdir(parents=True)
+    (root / "sub" / "void.txt").write_bytes(b"")
+    assert hash_directory_raw_streamed(
+        spark, str(root), "sha256", 1024
+    ) == hash_directory_raw(spark, str(root), "sha256", 1024)
 
 
 def test_verify_roundtrip(spark, tree):
