@@ -236,6 +236,19 @@ def dirhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(HASHTREE, hs)], "directory STRING, hash_string STRING")
 
 
+@query("dirhash_full_streamed", oracle=None, tags=("dirhash", "e2e"))
+def dirhash_full_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+A8, constant-memory fold: same pipeline, but the digest sort
+    runs on the cluster and the driver streams one sorted partition at
+    a time into the hash chain (hashdir.hash_directory_raw_streamed) —
+    the scale path for listings whose digest set outgrows a driver
+    collect.  Must emit the byte-identical hash string to
+    ``dirhash_full`` (also pinned against the from-scratch spec digest
+    in tests/test_dirhash_e2e.py)."""
+    hs = hash_directory(spark, HASHTREE, "sha256", "4k", streamed=True)
+    return spark.createDataFrame([(HASHTREE, hs)], "directory STRING, hash_string STRING")
+
+
 @query(
     "dirhash_incremental_rehash",
     # Same rollup value as dirhash_tree_fold (the splice MUST be

@@ -144,13 +144,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # stream_stream_join, text_fingerprint, text_lang_id, text_quality,
 # text_token_count, text_tokens, ts_cohort_retention, udaf_pandas,
 # udf_python, udtf_map_in_pandas) — they hit MUST age 5 when
-# CORRECTNESS_r11 lands — plus any queries registered during r10, with
-# remaining slack on the oldest r7 rows.
-# Backlog arithmetic after r10's window: 237 registered = 34 (r5, this
+# CORRECTNESS_r11 lands — plus the queries registered during r10
+# (stream_session_native, dirhash_full_streamed — green in
+# ORACLE_SNAPSHOT_r10 at registration), with remaining slack on the
+# oldest r7 rows.
+# Backlog arithmetic after r10's window: 239 registered = 34 (r5, this
 # window) + 1 (r9-red re-front, this window) + 3 (r9 regs, this window)
 # + 12 (r6, this window) + 38 (r6 remainder, r11 MUST) + 50 (r7) +
-# 50 (r8) + 49 (r9 rows minus the re-fronted red one) — every query has
-# either a driver row or a dated slot here.
+# 50 (r8) + 49 (r9 rows minus the re-fronted red one) + 2 (r10
+# registrations, r11 fill) — every query has either a driver row or a
+# dated slot here.
 
 
 def all_queries() -> dict[str, Query]:

@@ -17,6 +17,7 @@ so each user emits exactly one final row.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 from collections.abc import Iterator
@@ -745,3 +746,136 @@ def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the result BEFORE the version dirs can be cleaned by a
     # subsequent run (the sink root is shared scratch)
     return final.localCheckpoint()
+
+
+def run_session_flush(
+    spark: SparkSession, sf_dir: str, query_name: str = "dirhash_session_native"
+) -> tuple[DataFrame, list]:
+    """Stream-NATIVE gap sessionization with watermark finalization —
+    the state-store lifecycle the batch twin (``stream_session``)
+    cannot exercise: sessions accumulate/merge in the session-window
+    state store across micro-batches, the advancing watermark
+    finalizes them into an APPEND-mode sink, and finalized state is
+    PURGED from the store.
+
+    Replay harness (in production the source is Kafka/arriving files):
+    the events table is split at its midpoint timestamp into two files
+    processed as separate micro-batches (``maxFilesPerTrigger=1``,
+    mtime-ordered), so sessions straddling the split must merge in
+    state; a third, far-future sentinel file then pushes the watermark
+    past every real session end, flushing ALL real sessions exactly
+    once.  Chronological splitting is what makes the replay faithful:
+    batch 2's earliest event is later than batch 1's watermark, so
+    nothing is dropped as late, and the sink provably equals the batch
+    gaps-and-islands oracle.  The sentinel's own session is the only
+    state never finalized (the watermark cannot pass it).
+
+    Returns (bounded sink snapshot sans sentinel, per-batch
+    stateOperators progress) — the metrics let tests assert rows were
+    actually added to AND removed from the state store, not just that
+    the answer came out right.  Scale shape: state is O(open sessions),
+    keyed by user; the shuffle is the session-window exchange per
+    micro-batch — identical topology at any corpus size.
+    """
+    import shutil
+
+    from .ops import session_counts
+
+    cat = Catalog(spark, sf_dir)
+    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "session_native_src")
+    shutil.rmtree(src, ignore_errors=True)
+
+    ev = cat.events.select("ts", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()  # bounded: one row
+    mid = lo + (hi - lo) / 2
+
+    def add_file(df, order):
+        known = set()
+        if os.path.isdir(src):
+            known = {f for f in os.listdir(src) if not f.startswith("_")}
+        df.coalesce(1).write.mode("append").parquet(src)
+        # deterministic replay order: the file source processes oldest
+        # mtime first, so stamp each wave 100 s apart
+        for f in os.listdir(src):
+            if not f.startswith("_") and f not in known:
+                t = 1_600_000_000 + order * 100
+                os.utime(os.path.join(src, f), (t, t))
+
+    add_file(ev.where(F.col("ts") < F.lit(mid)), 0)
+    add_file(ev.where(F.col("ts") >= F.lit(mid)), 1)
+    sentinel = spark.sql(
+        f"SELECT timestamp'{hi}' + INTERVAL 365 DAYS AS ts, CAST(-1 AS BIGINT) AS user_id"
+    )
+    add_file(sentinel, 2)
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("session flush stream still running after 300 s")
+        progress = [
+            p["stateOperators"]
+            for p in (json.loads(pr.json) for pr in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+    finally:
+        q.stop()
+    out = spark.createDataFrame(
+        # bounded: memory-sink snapshot of finalized sessions (one row
+        # per closed session, never per event)
+        spark.table(query_name).where(F.col("user_id") >= 0).collect(),
+        "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT",
+    )
+    return out, progress
+
+
+@query(
+    "stream_session_native",
+    # Exact oracle: every REAL session is finalized by the sentinel-
+    # driven watermark, so the append-mode sink equals the batch
+    # gaps-and-islands reconstruction (same islands SQL as
+    # stream_session; no event_id tiebreak needed — islands depend
+    # only on ts gaps).
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session", "stateful"),
+)
+def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51 stream-native form: watermarked session windows finalized
+    across real micro-batches in APPEND mode — state merge, watermark
+    flush, and store purge all actually execute (see
+    :func:`run_session_flush`; state metrics asserted in
+    tests/test_streaming.py)."""
+    out, _ = run_session_flush(spark, sf_dir)
+    return out

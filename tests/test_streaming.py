@@ -159,3 +159,44 @@ def test_cdc_merge_stream_equals_batch_merge(spark, sf_dir):
     root = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "cdc_merge")
     versions = sorted(d for d in os.listdir(root) if d.startswith("v"))
     assert versions == ["v0", "v1", "v2", "v3", "v4"], versions
+
+
+def test_session_native_state_store_lifecycle(spark, sf_dir):
+    """The stream-native session query must demonstrably exercise the
+    session-window state store, not just produce the right rows:
+    (a) sessions straddling the chronological split merge in state
+        (updated-row traffic exceeds the net store size);
+    (b) the advancing watermark PURGES finalized sessions
+        (numRowsRemoved > 0 — state does not grow monotonically);
+    (c) after the sentinel flush only the sentinel's own session
+        remains in the store;
+    (d) the append-mode sink equals the batch session aggregation.
+    """
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.catalog import load_table
+    from dirhash_spark.streaming.stateful import run_session_flush
+
+    out, prog = run_session_flush(spark, sf_dir, query_name="t_session_native")
+    ops = [op for batch in prog for op in batch]
+    assert ops and all(
+        op["operatorName"] == "sessionWindowStateStoreSaveExec" for op in ops
+    )
+    assert sum(op["numRowsRemoved"] for op in ops) > 0, "state never purged"
+    assert any(op["numRowsUpdated"] > 0 and op["numRowsRemoved"] > 0 for op in ops)
+    assert ops[-1]["numRowsTotal"] <= 1, "store should hold only the sentinel"
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    expected = sorted(map(tuple, batch.collect()))
+    assert got == expected and len(got) > 0
