@@ -203,21 +203,23 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         → quality filter (length + word-count bands)
         → deterministic 20% sample (key residue)
 
-    ONE scan and ONE shuffle total: dedup is row_number() over the
-    content hash rather than groupBy + join-back — the join-back form
-    needs either a second scan or a broadcast of the keeper set, and
-    the keeper set is O(corpus), which does not broadcast at 100 TB.
-    Each stage is also available as its own operator (dedup_exact,
-    text_quality, sample_hash_deterministic) — this query is the proof
-    they compose without materialization boundaries."""
-    from pyspark.sql.window import Window
-
+    ONE scan and ONE shuffle total: dedup is ``groupBy(content hash)
+    .agg(min_by(row, doc_id))`` — the keeper ROW rides the aggregation
+    buffer, so there is no join-back (whose keeper set is O(corpus)
+    and does not broadcast at 100 TB) AND no ``row_number`` window
+    (which admits no map-side combine, so a boilerplate document
+    duplicated 10^8 times would shuffle every copy into one task — the
+    r10 span-dedup lesson applied to its exact-dedup sibling; partial
+    min_by reduces a hot hash to one surviving row per map task before
+    the exchange).  Each stage is also available as its own operator
+    (dedup_exact, text_quality, sample_hash_deterministic) — this
+    query is the proof they compose without materialization
+    boundaries."""
     cat = Catalog(spark, sf_dir)
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     deduped = (
-        cat.documents.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        cat.documents.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("keep"))
+        .select(F.col("keep.doc_id").alias("doc_id"), F.col("keep.text").alias("text"))
     )
     words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
     metrics = deduped.select(
@@ -591,24 +593,26 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
           token total): the returned numbers prove the export, not
           just the plan.
 
-    One scan and one shuffle to the write (dedup window); the
-    partitioned write adds no extra exchange (shard is a column, the
-    writer splits files per task).  At 100 TB the same program only
-    changes mod-8 to mod-N(shards)."""
+    One scan and one shuffle to the write — dedup is ``groupBy(hash)
+    .agg(min_by(row, doc_id))``, the skew-safe keeper pick (partial
+    combine bounds a mega-hot duplicate at one row per map task; a
+    ``row_number`` window would shuffle every copy to one task — the
+    r10 span-dedup lesson); the partitioned write adds no extra
+    exchange (shard is a column, the writer splits files per task).
+    At 100 TB the same program only changes mod-8 to mod-N(shards)."""
     import os
     import tempfile
-
-    from pyspark.sql.window import Window
 
     cat = Catalog(spark, sf_dir)
     out = os.path.join(
         tempfile.gettempdir(), "dirhash_spark_sink", "training_shards"
     )
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     words = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     curated = (
-        cat.documents.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & F.length("text").between(50, 5000))
+        cat.documents.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("keep"))
+        .select(F.col("keep.doc_id").alias("doc_id"), F.col("keep.text").alias("text"))
+        .where(F.length("text").between(50, 5000))
         .select("doc_id", "text", F.size(words).alias("n_words"))
         .where(F.col("n_words") >= 10)
         # scramble rides DECIMAL(38,0)/HUGEINT — BIGINT wraps negative

@@ -180,11 +180,16 @@ def test_pivot_is_two_bounded_aggregations(spark):
 
 def test_curation_pipeline_is_single_shuffle(spark):
     """The composed dedup→filter→sample pipeline must stay one scan +
-    one shuffle (the window over the content hash); a join-back dedup
-    would show a second exchange or a broadcast here."""
+    one shuffle, with the keeper pick PARTIALLY aggregated before the
+    content-hash exchange (min_by carries the keeper row through the
+    buffer — a join-back dedup would show a second exchange or a
+    broadcast; a row_number window would admit no map-side combine and
+    funnel a hot duplicate's every copy into one task)."""
     p = plan(spark, "pipeline_corpus_curation", "simple")
     assert p.count("Exchange") == 1, p
     assert "BroadcastExchange" not in p
+    assert "partial_min_by" in p, p
+    assert "Window" not in p, p
 
 
 def test_clustered_sink_readback_pushes_date_filter(spark):
