@@ -103,6 +103,8 @@ EXTRA = [
     "text_span_dedup",              # C4-style global span dedup + reassembly
     "corpus_dsir_importance",       # integer DSIR importance weights
     "embedding_pca",                # moment-partial PCA + map-only projection
+    # round-10 additions
+    "stream_session_native",        # watermark-flushed session windows, real micro-batches
 ]
 
 #: headline_v2 = HEADLINE plus the round-4 operators promoted at the
