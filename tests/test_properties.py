@@ -625,3 +625,86 @@ def test_exact_gram_chunks_and_overflow_guard():
         _exact_gram(np.array([[1 << 31]], dtype=np.int64))
     # empty input: zero matrix, no div-by-zero
     assert (_exact_gram(np.zeros((0, 3), dtype=np.int64)) == 0).all()
+
+
+# --- streamed dirhash fold: randomized-tree equivalence (r10) -------------
+
+_FNAME_ALPHABET = string.ascii_lowercase + string.digits + " -_é中𝓌"
+
+
+@settings(
+    max_examples=8,  # each example runs two Spark jobs — keep it tight
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    files=st.dictionaries(
+        st.tuples(
+            st.sampled_from(["", "d1", "d1/d2"]),
+            st.text(_FNAME_ALPHABET, min_size=1, max_size=8).filter(
+                lambda s: s not in (".", "..") and not s.startswith(".")
+                and s == s.strip()
+            ),
+        ),
+        st.binary(min_size=0, max_size=200),
+        min_size=1,
+        max_size=6,
+    ),
+    blocksize=st.sampled_from([1, 7, 64, 4096]),
+)
+def test_streamed_fold_equals_collect_fold_on_random_trees(
+    spark, tmp_path_factory, files, blocksize
+):
+    """For ANY tree shape (empty files, nested dirs, unicode names, a
+    1-byte blocksize making hundreds of chunks per file) the streamed
+    fold, the collect fold, and the independent pure-Python spec digest
+    must agree byte-for-byte — the cluster-sort-order and
+    boundary-sampling claims hold on the whole input domain, not just
+    the curated fixture."""
+    import hashlib
+    import os as _os
+
+    from dirhash_spark.dirhash.hashdir import (
+        hash_directory_raw,
+        hash_directory_raw_streamed,
+    )
+
+    root = str(tmp_path_factory.mktemp("rand_tree"))
+    rels = {}
+    for (d, name), content in files.items():
+        rel = f"{d}/{name}" if d else name
+        p = _os.path.join(root, rel)
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(content)
+        rels[rel] = content
+
+    # independent spec digest (mirrors tests/test_dirhash_e2e.spec_hash)
+    entries = []
+    for dirpath, dirnames, filenames in _os.walk(root):
+        for dn in dirnames:
+            entries.append(
+                _os.path.relpath(_os.path.join(dirpath, dn), root) + "/"
+            )
+        for fn in filenames:
+            entries.append(_os.path.relpath(_os.path.join(dirpath, fn), root))
+    chunks = []
+    for rel in sorted(rels):
+        content = rels[rel]
+        for i in range((len(content) + blocksize - 1) // blocksize):
+            pre = (
+                rel.encode() + b"\x00" + str(i).encode() + b"\x00"
+                + content[i * blocksize : (i + 1) * blocksize]
+            )
+            chunks.append(((rel, i), hashlib.sha256(pre).digest()))
+    chunks.sort(key=lambda t: t[0])
+    h = hashlib.sha256()
+    entries.sort()
+    h.update(str(len(entries)).encode() + b"\x00")
+    h.update("\x00".join(entries).encode() + b"\x00")
+    for _, dgst in chunks:
+        h.update(dgst)
+    expected = h.hexdigest()
+
+    assert hash_directory_raw_streamed(spark, root, "sha256", blocksize) == expected
+    assert hash_directory_raw(spark, root, "sha256", blocksize) == expected
