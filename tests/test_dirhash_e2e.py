@@ -376,3 +376,38 @@ def test_incremental_rejects_mismatched_manifest_parameters(spark, tmp_path):
         spark, str(root), man, "sha256", "1k", with_manifest=True
     )
     assert {"hash_algorithm", "blocksize_bytes"} <= set(man2.columns)
+
+
+def test_parallel_listing_equals_serial(spark, tree, tmp_path):
+    """The level-parallel walk must produce the identical Entry set —
+    same relative paths (dirs slash-suffixed), sizes, and dir flags —
+    as the serial walk, on the fixture tree and on a wide many-dir
+    tree (the shape whose serial walk is latency-bound at scale)."""
+    from dirhash_spark.dirhash.listing import parallel_list_entries
+
+    root, _ = tree
+    as_set = lambda es: {(e.relative_path, e.is_dir, e.size) for e in es}  # noqa: E731
+    assert as_set(parallel_list_entries(spark, root)) == as_set(list_entries(root))
+
+    wide = tmp_path / "wide"
+    for i in range(40):
+        d = wide / f"d{i:02d}" / "sub"
+        d.mkdir(parents=True)
+        (d / f"f{i}.bin").write_bytes(b"x" * i)
+    assert as_set(parallel_list_entries(spark, str(wide))) == as_set(
+        list_entries(str(wide))
+    )
+    # and the fold consumes it identically: same v1 digest
+    from dirhash_spark.dirhash.hashdir import digest_directory, hash_directory_raw
+    from dirhash_spark.dirhash.codec import fold_digest
+
+    entries = parallel_list_entries(spark, str(wide))
+    rows = digest_directory(spark, entries, 7, "sha256").collect()
+    # bounded: digest rows of the 40-file test tree
+    rows.sort(key=lambda r: (r["path"], r["block_num"]))
+    got = fold_digest(
+        "sha256",
+        [e.relative_path for e in entries],
+        [bytes(r["digest"]) for r in rows],
+    )
+    assert got == hash_directory_raw(spark, str(wide), "sha256", 7)
