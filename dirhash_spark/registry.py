@@ -60,100 +60,88 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: backlog plus the 11 oldest r3 rows; round 8 drained the 23 remaining
 #: r3 rows, the 8 r7 registrations, and the first 19 r4 rows; round 9
 #: drained the 28 remaining r4 rows, the 6 r8 registrations, and the
-#: first 16 r5 rows.  Round 10 (per the r9 plan): (a) the 34 remaining
-#: r5-code rows — they hit MUST age 5 the moment CORRECTNESS_r10 lands;
-#: (b) ``ts_seasonal_decompose`` — the only driver-RED row in r9 (oracle
-#: HUGEINT leak, fixed this round — re-front to confirm green); (c) the
-#: 3 queries registered during r9 (never driver-checked; green in
-#: ORACLE_SNAPSHOT_r09{,_sf01} at both scale factors); (d) 12 slack
-#: slots on the oldest r6-code rows, MAY-front tier (age >= 3), taken
-#: alphabetically (first 12 of 50).  Exactly 50 names.
+#: first 16 r5 rows; round 10 drained the 34 remaining r5 rows, the
+#: r9 driver-red ``ts_seasonal_decompose`` (confirmed green), the 3 r9
+#: registrations, and the first 12 r6 rows.  Round 11 (per the r10
+#: plan): (a) the 38 remaining r6-code rows — they hit MUST age 5 the
+#: moment CORRECTNESS_r11 lands; (b) the 2 queries registered during
+#: r10 (never driver-checked; green in ORACLE_SNAPSHOT_r10{,_sf01} at
+#: both scale factors); (c) 10 slack slots on the oldest r7-code rows,
+#: MAY-front tier (age >= 3 at r11 close), taken alphabetically (first
+#: 10 of 50).  Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 34 remaining r5-code rows — MUST tier at r10 close
-    "fn_math_cond",
-    "fn_string",
-    "join_anti",
-    "join_asof_forward",
-    "join_broadcast",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_hash",
-    "join_left_outer",
-    "join_semi",
-    "join_theta_range",
-    "limit_topk",
-    "merge_upsert",
-    "mm_frame_sample",
-    "project_rename",
-    "scan_binary_file",
-    "scan_csv_infer",
-    "scan_fixed_binary",
-    "scan_parquet",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_dist",
-    "sim_ann_ivf_distfit",
-    "sink_parquet",
-    "topk_per_group",
-    "ts_anomaly_mad",
-    "win_first_last",
-    "win_lag_lead",
-    "win_moving_avg",
-    "win_percent_rank",
-    "win_range_frame",
-    "win_rank",
-    "win_running",
-    # (b) the only r9 driver-RED row (oracle HUGEINT cast fixed in r10)
-    "ts_seasonal_decompose",
-    # (c) the 3 r9 registrations, never driver-checked
-    "text_span_dedup",
-    "corpus_dsir_importance",
-    "embedding_pca",
-    # (d) slack → pre-emptive rotation of the oldest r6-code rows
-    # (age 3 = MAY-front tier; first 12 of 50 alphabetically)
-    "agg_mode_median",
-    "agg_pivot",
-    "agg_regression",
-    "agg_skew_salted",
-    "chunk_split_text",
-    "corpus_drift_chi2",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # (a) the 38 remaining r6-code rows — MUST tier at r11 close
+    "fn_bitwise",
+    "fn_interval",
+    "fn_json",
+    "fn_map",
+    "fn_regexp_all",
+    "fn_struct_nested",
+    "graph_pagerank",
+    "hash_sha2_text",
+    "join_asof_nearest",
+    "join_bucketed",
+    "join_skew_salted",
+    "merkle_fold_group",
+    "pipeline_corpus_curation",
+    "quality_expectations",
+    "reshape_posexplode",
+    "reshape_unpivot",
+    "sample_hash_deterministic",
+    "scan_json_lines",
+    "scan_text_lines",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_knn_join",
+    "sim_maxsim_late_interaction",
+    "sim_topk_cosine",
+    "sink_orc",
+    "sink_parquet_clustered",
+    "sink_parquet_partitioned",
+    "sink_parquet_zorder",
+    "stream_stream_join",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_tokens",
+    "ts_cohort_retention",
+    "udaf_pandas",
+    "udf_python",
+    "udtf_map_in_pandas",
+    # (b) the 2 r10 registrations, never driver-checked
+    "stream_session_native",
+    "dirhash_full_streamed",
+    # (c) slack → pre-emptive rotation of the oldest r7-code rows
+    # (age 3 at r11 close = MAY-front tier; first 10 of 50
+    # alphabetically)
+    "agg_approx_top_k",
+    "agg_bitmap_distinct",
+    "agg_boolean",
+    "agg_corr_matrix",
+    "agg_filtered",
+    "agg_grouping_id",
+    "agg_hll_sketch_merge",
+    "agg_listagg",
+    "corpus_cross_source_overlap",
+    "corpus_vocab_coverage",
 )
-# r11 rotation backlog: after r10's window lands, the oldest driver rows
-# are the 38 remaining r6-code queries (the 50 r6 rows minus the 12
-# fronted above: dedup_url_canonical is NOT among them — it is r7-code;
-# the remainder is fn_bitwise, fn_interval, fn_json, fn_map,
-# fn_regexp_all, fn_struct_nested, graph_pagerank, hash_sha2_text,
-# join_asof_nearest, join_bucketed, join_skew_salted, merkle_fold_group,
-# pipeline_corpus_curation, quality_expectations, reshape_posexplode,
-# reshape_unpivot, sample_hash_deterministic, scan_json_lines,
-# scan_text_lines, sim_ann_ivf, sim_ann_lsh, sim_knn_join,
-# sim_maxsim_late_interaction, sim_topk_cosine, sink_orc,
-# sink_parquet_clustered, sink_parquet_partitioned, sink_parquet_zorder,
-# stream_stream_join, text_fingerprint, text_lang_id, text_quality,
-# text_token_count, text_tokens, ts_cohort_retention, udaf_pandas,
-# udf_python, udtf_map_in_pandas) — they hit MUST age 5 when
-# CORRECTNESS_r11 lands — plus the queries registered during r10
-# (stream_session_native, dirhash_full_streamed — green in
-# ORACLE_SNAPSHOT_r10 at registration), with remaining slack on the
-# oldest r7 rows.
-# Backlog arithmetic after r10's window: 239 registered = 34 (r5, this
-# window) + 1 (r9-red re-front, this window) + 3 (r9 regs, this window)
-# + 12 (r6, this window) + 38 (r6 remainder, r11 MUST) + 50 (r7) +
-# 50 (r8) + 49 (r9 rows minus the re-fronted red one) + 2 (r10
-# registrations, r11 fill) — every query has either a driver row or a
-# dated slot here.
+# r12 rotation backlog: after r11's window lands, the oldest driver rows
+# are the 40 remaining r7-code queries (the 50 r7 rows minus the 10
+# fronted above; alphabetically they run csv_corrupt_records,
+# decontaminate_ngram_overlap, dedup_bloom_manifest, ... through the
+# rest of the r7 cohort) — they hit MUST age 5 when CORRECTNESS_r12
+# lands — with remaining slack on the oldest r8 rows and any queries
+# registered during r11.
+# Backlog arithmetic after r11's window: 239 registered = 38 (r6
+# remainder, this window) + 2 (r10 regs, this window) + 10 (r7, this
+# window) + 40 (r7 remainder, r12 MUST) + 50 (r8) + 49 (r9) + 50 (r10)
+# — every query has either a driver row or a dated slot here.
 
 
 def all_queries() -> dict[str, Query]:

@@ -28,7 +28,7 @@ def test_every_oracle_has_a_query():
 def test_priority_order_names_all_registered():
     """Every PRIORITY_ORDER name resolves — all_queries() raises on
     phantoms, so a stale planned-query name can't silently drop its
-    intended driver-row coverage (round-2 postmortem).  The round-10
+    intended driver-row coverage (round-2 postmortem).  The round-11
     window's hand-picked anchors must sit inside the 50-entry prefix."""
     from dirhash_spark.registry import PRIORITY_ORDER, all_queries
 
@@ -37,20 +37,17 @@ def test_priority_order_names_all_registered():
     assert len(PRIORITY_ORDER) == 50  # exactly one driver window
     window = list(qs)[:50]
     for must in (
-        # r5-code rows that hit MUST age 5 when CORRECTNESS_r10 lands
-        "fn_math_cond",
-        "scan_fixed_binary",
-        "win_running",
-        "sim_ann_ivf_distfit",
-        # the only r9 driver-RED row, re-fronted after the oracle fix
-        "ts_seasonal_decompose",
-        # the 3 r9 registrations get their first driver rows
-        "text_span_dedup",
-        "corpus_dsir_importance",
-        "embedding_pca",
-        # pre-emptive r6-code rotation fills the slack
-        "agg_mode_median",
-        "dedup_simhash",
+        # r6-code rows that hit MUST age 5 when CORRECTNESS_r11 lands
+        "fn_bitwise",
+        "graph_pagerank",
+        "sim_topk_cosine",
+        "udtf_map_in_pandas",
+        # the 2 r10 registrations get their first driver rows
+        "stream_session_native",
+        "dirhash_full_streamed",
+        # pre-emptive r7-code rotation fills the slack
+        "agg_approx_top_k",
+        "corpus_vocab_coverage",
     ):
         assert must in window, must
 
