@@ -64,6 +64,22 @@ def chunk_plan(spark: SparkSession, entries: list[Entry], blocksize: int) -> Dat
     meta = spark.createDataFrame(
         files or [], "path STRING, full_path STRING, size BIGINT"
     )
+    return _plan_from_meta(meta, blocksize)
+
+
+def chunk_plan_df(entries_df: DataFrame, blocksize: int) -> DataFrame:
+    """:func:`chunk_plan` over a listing DATAFRAME
+    (``listing.ENTRY_DF_SCHEMA``) — the file list never passes through
+    the driver, for folds that stream the listing."""
+    meta = entries_df.where(~F.col("is_dir")).select(
+        F.col("relative_path").alias("path"),
+        "full_path",
+        F.col("size").cast("long").alias("size"),
+    )
+    return _plan_from_meta(meta, blocksize)
+
+
+def _plan_from_meta(meta: DataFrame, blocksize: int) -> DataFrame:
     n_blocks = F.floor((F.col("size") + blocksize - 1) / blocksize).cast("long")
     return (
         meta.where(F.col("size") > 0)

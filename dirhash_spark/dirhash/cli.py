@@ -78,6 +78,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--manifest/--write-manifest cannot be combined with "
             "--check/--check-name (the verify path does not touch manifests)"
         )
+    if args.streamed_fold and args.manifest:
+        # same principle: the incremental path has its own fold (it
+        # merges reused and re-hashed chunk digests) and does not honor
+        # the flag — erroring beats silently ignoring it
+        parser.error(
+            "--streamed-fold cannot be combined with --manifest "
+            "(the incremental path uses its own merge fold)"
+        )
     owns_session = spark is None
     if owns_session:
         from ..session import get_spark
@@ -86,7 +94,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     try:
         if args.check or args.check_name:
             expected = args.check or os.path.basename(args.directory.rstrip("/"))
-            result = verify_directory_hash(spark, args.directory, expected)
+            result = verify_directory_hash(
+                spark, args.directory, expected, streamed=args.streamed_fold
+            )
             if result:
                 print(f"OK {result.actual_hash_value}")
                 return 0

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
 
 from ..session import configure
-from .chunks import chunk_plan, open_for_range_read, read_chunks
+from .chunks import chunk_plan, chunk_plan_df, open_for_range_read, read_chunks
 from .codec import (
     DEFAULT_BLOCK_SIZE,
     build_hash_string,
@@ -47,7 +47,7 @@ from .codec import (
     get_hash_func,
     parse_blocksize,
 )
-from .listing import Entry, list_entries, strip_trailing_slash
+from .listing import Entry, list_entries, list_entries_df, strip_trailing_slash
 
 _SHA2_BITS = {"sha224": 224, "sha256": 256, "sha384": 384, "sha512": 512}
 
@@ -146,6 +146,20 @@ def digest_directory(
     )
 
 
+def digest_directory_df(
+    spark: SparkSession, entries_df: DataFrame, blocksize: int, algo: str
+) -> DataFrame:
+    """:func:`digest_directory` from a listing DATAFRAME
+    (``listing.ENTRY_DF_SCHEMA``): the chunk plan derives cluster-side,
+    so the file list never passes through the driver."""
+    get_hash_func(algo)  # whitelist check before any cluster work
+    plan = chunk_plan_df(entries_df, blocksize)
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    return plan.repartition(n_parts, "path", "block_num").mapInPandas(
+        _read_hash_ranges(algo), DIGEST_SCHEMA
+    )
+
+
 def hash_directory_raw(
     spark: SparkSession,
     directory: str,
@@ -198,24 +212,34 @@ def hash_directory_raw_streamed(
     chain's state at byte k depends on every byte before it.  What CAN
     move off the driver is everything except the O(1) hash state:
 
-    - the digest sort runs on the cluster (``orderBy`` = range
-      exchange; Spark's UTF8String binary comparison equals Python's
-      code-point string sort because UTF-8 byte order preserves
-      code-point order, so the stream arrives in exactly the order the
-      reference's driver sort produced);
-    - the digest rows are ``localCheckpoint``-ed FIRST, so the range
-      exchange's boundary-sampling pass re-reads materialized 32-byte
-      digests, not the fused read+hash stage (the re-execution trap
-      that made the collect form avoid ``orderBy``);
+    - the LISTING stays cluster-side (:func:`list_entries_df`): the
+      walk's per-level rows are checkpointed on executors, the header's
+      path sort is a cluster ``orderBy``, and the chunk plan derives
+      from the same DataFrame — the driver never holds the entry list;
+    - sorts run on the cluster (``orderBy`` = range exchange; Spark's
+      UTF8String binary comparison equals Python's code-point string
+      sort because UTF-8 byte order preserves code-point order, so both
+      streams arrive in exactly the order the reference's driver sort
+      produced);
+    - sorted inputs are ``localCheckpoint``-ed FIRST, so the range
+      exchange's boundary-sampling pass re-reads materialized rows,
+      not the walk or the fused read+hash stage (the re-execution trap
+      that made the collect form avoid ``orderBy``).  Trade-off: a
+      local checkpoint pins those rows in executor block-manager
+      storage with lineage truncated, so losing an executor mid-drain
+      fails the job unrecoverably — acceptable for digest/metadata-
+      sized state; a cluster deployment that cannot tolerate the
+      restart should use reliable ``checkpoint()`` (or persist with
+      replication) at the cost of a distributed-FS write;
     - the driver consumes ``toLocalIterator()`` — one sorted partition
       resident at a time, each ``update()`` feeding the chain — and
       never materializes the NUL-joined listing copy that
       ``fold_digest`` builds.
 
-    Peak driver memory: the listing strings (metadata, ~hundred MB at
-    millions of files) + ONE digest partition, versus the collect
-    form's listing + joined-listing copy + every digest row + Python
-    sort overhead.  Output is bit-identical to
+    Peak driver memory: ONE partition of path strings or digests (plus
+    one level's directory frontier during the walk), versus the collect
+    form's full listing + joined-listing copy + every digest row +
+    Python sort overhead.  Output is bit-identical to
     :func:`hash_directory_raw` (pinned against the golden digests and
     on randomized trees in tests/test_dirhash_e2e.py).
     """
@@ -223,19 +247,27 @@ def hash_directory_raw_streamed(
     blocksize = blocksize or parse_blocksize(DEFAULT_BLOCK_SIZE)
     directory = strip_trailing_slash(directory)
 
-    entries = list_entries(directory, spark)
+    entries = list_entries_df(spark, directory)
     h = get_hash_func(hash_algorithm)()
-    ordered = sorted(e.relative_path for e in entries)
-    h.update(str(len(ordered)).encode("ascii"))
+    h.update(str(entries.count()).encode("ascii"))
     h.update(b"\x00")
-    for i, rel in enumerate(ordered):
+    paths = (
+        entries.orderBy("relative_path")
+        .select("relative_path")
+        .toLocalIterator()  # bounded: one sorted partition of path
+        # strings resident at a time — never the full listing
+    )
+    for i, row in enumerate(paths):
         if i:
             h.update(b"\x00")
-        h.update(rel.encode("utf-8"))
+        h.update(row["relative_path"].encode("utf-8"))
     h.update(b"\x00")
 
-    if any((not e.is_dir) and e.size > 0 for e in entries):
-        digests = digest_directory(
+    has_bytes = (
+        entries.where((~F.col("is_dir")) & (F.col("size") > 0)).limit(1).count() > 0
+    )
+    if has_bytes:
+        digests = digest_directory_df(
             spark, entries, blocksize, hash_algorithm
         ).localCheckpoint()
         it = (

@@ -8,17 +8,29 @@ Hadoop-visible scheme: hdfs://, s3a://, file://), plain ``os.walk`` for
 local paths otherwise.  Output convention matches the reference:
 relative paths, directories suffixed '/', the root itself excluded.
 
-Scale note: listing is metadata-only; at 100 TB the listing of even
-millions of files is a few hundred MB of strings — driver-side is fine
-(and the reference's final fold needs the complete ordered listing on
-the driver anyway).  For listings too large for one driver, the chunk
-*plan* (chunks.py) already distributes; only the fold would need a
-tree-reduce variant.
+Scale routing: a serial walk issues one listing round-trip per
+directory, so it is latency-bound on networked metadata (NFS/Lustre/
+object stores) and CPU-bound only on huge local trees.  Rather than
+guess which case we are in, :func:`list_entries` runs the serial walk
+under a TIME BUDGET when a SparkSession is available: most trees finish
+well inside it; a tree that trips the budget is, by that very
+measurement, one where listing time dominates — so the walk restarts as
+the level-parallel cluster walk (:func:`parallel_list_entries`), losing
+at most the budget against a listing already known to be slow.
+
+Driver residency: the ``Entry``-list forms hold the full listing on the
+driver (metadata: ~hundred MB at millions of files — fine, and the
+collect-fold needs it there anyway).  :func:`list_entries_df` is the
+form for folds that stream the listing (``hash_directory_raw_streamed``):
+rows stay cluster-side; only one level's directory frontier ever
+returns to the driver.
 """
 
 from __future__ import annotations
 
 import os
+import time
+from collections.abc import Iterator
 from dataclasses import dataclass
 
 
@@ -30,25 +42,59 @@ class Entry:
     full_path: str  # absolute/scheme path usable for reads
 
 
+#: Schema of the DataFrame listing (list_entries_df).
+ENTRY_DF_SCHEMA = "relative_path string, is_dir boolean, size long, full_path string"
+
+#: Serial-walk budget before list_entries restarts as the parallel
+#: cluster walk (seconds).  Local filesystems list ~1M entries/s, so
+#: only trees that are huge or metadata-latency-bound trip this.
+SERIAL_WALK_BUDGET_S = 2.0
+
+
 def strip_trailing_slash(path: str) -> str:
     """The reference strips one trailing '/' from the input dir
     (dirhash.py:323; regression test dirhash_test.py:275-279)."""
     return path[:-1] if path.endswith("/") and len(path) > 1 else path
 
 
-def list_entries(root: str, spark=None) -> list[Entry]:
-    """Recursively list ``root`` → entries with reference conventions."""
+def list_entries(
+    root: str, spark=None, serial_budget_s: float | None = None
+) -> list[Entry]:
+    """Recursively list ``root`` → entries with reference conventions.
+
+    With a SparkSession and a local path, the serial walk runs under
+    ``serial_budget_s`` (default: :data:`SERIAL_WALK_BUDGET_S`, read at
+    call time); on trip it restarts as the cluster-parallel walk (see
+    module doc).  ``serial_budget_s=0`` forces the parallel walk;
+    ``spark=None`` always walks serially with no budget.
+    """
     root = strip_trailing_slash(root)
     if spark is not None and "://" in root:
         return _list_hadoop(spark, root)
-    return _list_local(root)
+    if spark is None:
+        return _list_local(root)
+    if serial_budget_s is None:
+        serial_budget_s = SERIAL_WALK_BUDGET_S
+    entries = _list_local(root, budget_s=serial_budget_s)
+    if entries is None:  # budget tripped → latency/size-bound tree
+        entries = parallel_list_entries(spark, root)
+    return entries
 
 
-def _list_local(root: str) -> list[Entry]:
+def _list_local(root: str, budget_s: float | None = None) -> list[Entry] | None:
+    """Serial ``os.walk`` listing; returns None if ``budget_s`` elapses
+    first (checked every 64 directories — cheap vs. the walk itself)."""
     if not os.path.isdir(root):
         raise FileNotFoundError(f"not a directory: {root}")
+    if budget_s is not None and budget_s <= 0:
+        return None
+    deadline = None if budget_s is None else time.perf_counter() + budget_s
     entries: list[Entry] = []
+    n_dirs = 0
     for dirpath, dirnames, filenames in os.walk(root):
+        n_dirs += 1
+        if deadline is not None and n_dirs % 64 == 0 and time.perf_counter() > deadline:
+            return None
         for d in dirnames:
             full = os.path.join(dirpath, d)
             rel = os.path.relpath(full, root).replace(os.sep, "/")
@@ -57,6 +103,14 @@ def _list_local(root: str) -> list[Entry]:
             full = os.path.join(dirpath, f)
             rel = os.path.relpath(full, root).replace(os.sep, "/")
             entries.append(Entry(rel, False, os.path.getsize(full), full))
+            # getsize is one metadata round-trip per FILE — re-check the
+            # budget inside file-heavy directories too
+            if (
+                deadline is not None
+                and len(entries) % 1024 == 0
+                and time.perf_counter() > deadline
+            ):
+                return None
     return entries
 
 
@@ -83,6 +137,68 @@ def _list_hadoop(spark, root: str) -> list[Entry]:
     return entries
 
 
+def _scan_level(batches) -> Iterator:
+    """Per-directory ``os.scandir`` with ``os.walk`` parity (the serial
+    walk is the semantic contract; equivalence is pinned in
+    tests/test_dirhash_e2e.py, including symlink trees):
+
+    - classification FOLLOWS symlinks (``de.is_dir()``): a symlink to a
+      directory lists as a dir entry, exactly as ``os.walk`` puts it in
+      ``dirnames``;
+    - sizes FOLLOW symlinks (``de.stat().st_size`` == the serial walk's
+      ``os.path.getsize``): a symlink to a file records the target's
+      byte length (a broken symlink raises OSError on both walks);
+    - only REAL directories are walked into (``walk_into`` =
+      ``is_dir and not is_symlink`` == ``os.walk(followlinks=False)``),
+      so a symlinked directory is listed but its contents are not.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["dir"]:
+            for de in os.scandir(d):
+                try:
+                    is_dir = de.is_dir()
+                except OSError:  # os.walk treats an unstatable entry as a file
+                    is_dir = False
+                rows.append(
+                    (
+                        de.path,
+                        is_dir,
+                        0 if is_dir else de.stat().st_size,
+                        is_dir and not de.is_symlink(),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["path", "is_dir", "size", "walk_into"])
+
+
+_SCAN_LEVEL_SCHEMA = "path string, is_dir boolean, size long, walk_into boolean"
+
+
+def _level_frontier_walk(spark, local_root: str, level_partitions: int):
+    """Shared core of the cluster walks: yield one localCheckpoint'd
+    DataFrame of ``_SCAN_LEVEL_SCHEMA`` rows per tree level.  Only the
+    directory frontier — one level at a time — returns to the driver;
+    the checkpoint means later consumers (union / collect) re-read
+    materialized metadata rows, never the filesystem."""
+    frontier = [local_root]
+    while frontier:
+        level = (
+            spark.createDataFrame([(d,) for d in frontier], "dir string")
+            .repartition(min(level_partitions, max(1, len(frontier))))
+            .mapInPandas(_scan_level, _SCAN_LEVEL_SCHEMA)
+            .localCheckpoint()
+        )
+        frontier = [
+            r["path"]
+            for r in level.where("walk_into").select("path").collect()
+            # bounded: one tree LEVEL of directory paths — the walk
+            # frontier a serial walk would also hold
+        ]
+        yield level
+
+
 def parallel_list_entries(
     spark, root: str, level_partitions: int = 32
 ) -> list[Entry]:
@@ -97,15 +213,16 @@ def parallel_list_entries(
     becomes a DataFrame, every executor ``os.scandir``s its slice of
     the frontier in parallel (one ``mapInPandas`` job per tree LEVEL,
     so a 1M-dir tree of depth 10 costs 10 jobs of ~100k parallel
-    listings instead of 1M serial ones), and the children directories
-    form the next frontier.
+    listings instead of 1M serial ones), and the non-symlink children
+    directories form the next frontier.
 
     Output is the same ``Entry`` list with the same conventions —
     byte-identical fold input, pinned against :func:`list_entries` in
-    tests/test_dirhash_e2e.py.  The listing itself still returns to
-    the driver (metadata: ~hundred MB at millions of files — the
-    accepted bound; the digest set no longer needs to, see
-    ``hash_directory_raw_streamed``).
+    tests/test_dirhash_e2e.py (symlink trees included; see
+    :func:`_scan_level` for the parity rules).  The listing itself
+    still returns to the driver (metadata: ~hundred MB at millions of
+    files — the accepted bound; :func:`list_entries_df` is the form
+    that keeps it cluster-side).
 
     Local/shared-filesystem paths only: executors list with
     ``os.scandir``, which is correct wherever the tree is mounted on
@@ -115,49 +232,81 @@ def parallel_list_entries(
     container), so those fall back to the serial JVM-gateway walk
     rather than silently producing an empty listing.
     """
-    import pandas as pd
-
     root = strip_trailing_slash(root)
     if "://" in root and not root.startswith("file://"):
         return list_entries(root, spark)  # serial fallback (see doc)
-    local_root = root[len("file://"):] if root.startswith("file://") else root
+    local_root = root[len("file://") :] if root.startswith("file://") else root
     if not os.path.isdir(local_root):
         raise FileNotFoundError(f"not a directory: {local_root}")
 
-    def scan_level(batches):
-        for pdf in batches:
-            rows = []
-            for d in pdf["dir"]:
-                for de in os.scandir(d):
-                    is_dir = de.is_dir(follow_symlinks=False)
-                    rows.append(
-                        (
-                            de.path,
-                            is_dir,
-                            0 if is_dir else de.stat(follow_symlinks=False).st_size,
-                        )
-                    )
-            yield pd.DataFrame(rows, columns=["path", "is_dir", "size"])
-
     entries: list[Entry] = []
-    frontier = [local_root]
-    while frontier:
-        level = (
-            spark.createDataFrame(
-                [(d,) for d in frontier], "dir string"
-            )
-            .repartition(min(level_partitions, max(1, len(frontier))))
-            .mapInPandas(scan_level, "path string, is_dir boolean, size long")
-            .collect()
+    for level in _level_frontier_walk(spark, local_root, level_partitions):
+        for r in level.collect():
             # bounded: one tree LEVEL of (path, is_dir, size) metadata
             # triples — the same rows a serial walk would hold anyway
-        )
-        frontier = []
-        for r in level:
             rel = os.path.relpath(r["path"], local_root).replace(os.sep, "/")
             if r["is_dir"]:
                 entries.append(Entry(rel + "/", True, 0, r["path"]))
-                frontier.append(r["path"])
             else:
                 entries.append(Entry(rel, False, int(r["size"]), r["path"]))
     return entries
+
+
+def list_entries_df(
+    spark,
+    root: str,
+    level_partitions: int = 32,
+    serial_budget_s: float | None = None,
+):
+    """DataFrame twin of :func:`list_entries` (schema
+    :data:`ENTRY_DF_SCHEMA`) for folds that stream the listing
+    (``hash_directory_raw_streamed``): entry rows stay cluster-side in
+    per-level localCheckpoint'd DataFrames; only the directory
+    frontier — one level at a time — ever returns to the driver.
+
+    Small/fast trees (the serial walk finishes inside
+    ``serial_budget_s``) short-circuit to the driver walk +
+    ``createDataFrame``: their metadata fits the driver by that very
+    measurement, and a per-level Spark-job cadence would only add fixed
+    overhead.  ``serial_budget_s=0`` forces the cluster-side walk
+    (tests pin route equality).  Scheme paths go through the serial
+    JVM-gateway walk (same reason as :func:`parallel_list_entries`).
+    """
+    root = strip_trailing_slash(root)
+    if "://" in root and not root.startswith("file://"):
+        entries = list_entries(root, spark)
+        return spark.createDataFrame(
+            [(e.relative_path, e.is_dir, e.size, e.full_path) for e in entries],
+            ENTRY_DF_SCHEMA,
+        )
+    local_root = root[len("file://") :] if root.startswith("file://") else root
+    if not os.path.isdir(local_root):
+        raise FileNotFoundError(f"not a directory: {local_root}")
+    if serial_budget_s is None:
+        serial_budget_s = SERIAL_WALK_BUDGET_S
+    if serial_budget_s > 0:
+        entries = _list_local(local_root, budget_s=serial_budget_s)
+        if entries is not None:
+            return spark.createDataFrame(
+                [(e.relative_path, e.is_dir, e.size, e.full_path) for e in entries],
+                ENTRY_DF_SCHEMA,
+            )
+
+    from pyspark.sql import functions as F
+
+    levels = list(_level_frontier_walk(spark, local_root, level_partitions))
+    df = levels[0]
+    for lv in levels[1:]:
+        df = df.union(lv)
+    # Children paths are os.path.join(parent, name) descending from
+    # local_root, so the relative path is a fixed-length prefix strip
+    # (substring positions count the same code points Python len does).
+    rel = F.expr(f"substring(path, {len(local_root) + 2})")
+    return df.select(
+        F.when(F.col("is_dir"), F.concat(rel, F.lit("/"))).otherwise(rel).alias(
+            "relative_path"
+        ),
+        "is_dir",
+        F.col("size").cast("long").alias("size"),
+        F.col("path").alias("full_path"),
+    )

@@ -33,7 +33,12 @@ def parse_args(argv: list[str]) -> tuple[str, str, frozenset[str]]:
     it = iter(argv)
     for a in it:
         if a == "--skip-tags":
-            skip_tags = frozenset(next(it, "").split(","))
+            value = next(it, "")
+            if not value or value.startswith("--"):
+                # a trailing/typo'd --skip-tags must not silently run an
+                # UNSKIPPED full sweep (frozenset({""}) matches no tag)
+                sys.exit("usage: --skip-tags requires a comma-separated tag list")
+            skip_tags = frozenset(value.split(","))
         else:
             pos.append(a)
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"

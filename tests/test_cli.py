@@ -131,3 +131,28 @@ def test_streamed_fold_flag_same_hash(spark, tree, capsys):
     default = capsys.readouterr().out.strip()
     assert main([tree, "--block-size", "1k", "--streamed-fold"], spark=spark) == 0
     assert capsys.readouterr().out.strip() == default
+
+
+def test_streamed_fold_on_verify_path(spark, tree, capsys):
+    """--streamed-fold threads through --check/--check-name (ADVICE
+    r10: it was silently ignored there): same verdict and exit codes,
+    recomputed via the constant-memory fold."""
+    main([tree, "--block-size", "1k"], spark=spark)
+    good = capsys.readouterr().out.strip()
+
+    assert main([tree, "--check", good, "--streamed-fold"], spark=spark) == 0
+    assert capsys.readouterr().out.startswith("OK ")
+    bad = good[:-8] + "00000000"
+    assert main([tree, "--check", bad, "--streamed-fold"], spark=spark) == 1
+    assert "MISMATCH" in capsys.readouterr().out
+
+
+def test_streamed_fold_rejected_with_manifest(spark, tree, capsys):
+    """--streamed-fold + --manifest is an error (the incremental path
+    uses its own merge fold; silently ignoring flags misleads)."""
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        main([tree, "--manifest", "/tmp/nope", "--streamed-fold"], spark=spark)
+    assert exc.value.code == 2
+    assert "cannot be combined" in capsys.readouterr().err

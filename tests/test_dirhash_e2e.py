@@ -411,3 +411,82 @@ def test_parallel_listing_equals_serial(spark, tree, tmp_path):
         [bytes(r["digest"]) for r in rows],
     )
     assert got == hash_directory_raw(spark, str(wide), "sha256", 7)
+
+
+def test_parallel_listing_symlink_parity(spark, tmp_path):
+    """os.walk parity on symlinks (ADVICE r10): a symlink to a
+    directory lists as a dir entry but is NOT walked into; a symlink to
+    a file records the TARGET's size (getsize follows links).  The
+    parallel walk and the DataFrame walk must both match the serial
+    walk's Entry set exactly."""
+    from dirhash_spark.dirhash.listing import (
+        list_entries_df,
+        parallel_list_entries,
+    )
+
+    root = tmp_path / "links"
+    (root / "real").mkdir(parents=True)
+    (root / "real" / "inner.txt").write_bytes(b"inner-bytes")
+    (root / "target.bin").write_bytes(b"x" * 777)
+    (root / "dirlink").symlink_to(root / "real", target_is_directory=True)
+    (root / "filelink.bin").symlink_to(root / "target.bin")
+
+    serial = list_entries(str(root))
+    as_set = lambda es: {(e.relative_path, e.is_dir, e.size) for e in es}  # noqa: E731
+    expected = as_set(serial)
+    # the serial walk's own semantics, pinned so the parity claim means
+    # something: dirlink listed as a dir, its contents absent, filelink
+    # sized as the 777-byte target
+    assert ("dirlink/", True, 0) in expected
+    assert ("filelink.bin", False, 777) in expected
+    assert not any(p.startswith("dirlink/") and p != "dirlink/" for p, _, _ in expected)
+
+    assert as_set(parallel_list_entries(spark, str(root))) == expected
+    df_rows = list_entries_df(spark, str(root), serial_budget_s=0).collect()
+    assert {(r["relative_path"], r["is_dir"], r["size"]) for r in df_rows} == expected
+
+
+def test_listing_df_cluster_route_matches_serial(spark, tree, tmp_path):
+    """list_entries_df's cluster-side level walk (serial_budget_s=0)
+    must produce the same rows as the serial short-circuit route, and
+    full_path must stay readable."""
+    from dirhash_spark.dirhash.listing import list_entries_df
+
+    root, _ = tree
+    fast = list_entries_df(spark, root).collect()
+    clustered = list_entries_df(spark, root, serial_budget_s=0).collect()
+    key = lambda r: (r["relative_path"], r["is_dir"], r["size"], r["full_path"])  # noqa: E731
+    assert sorted(map(key, clustered)) == sorted(map(key, fast))
+    assert all(
+        r["is_dir"] or open(r["full_path"], "rb").read(1) is not None for r in clustered
+    )
+
+
+def test_streamed_fold_cluster_listing_bit_identical(spark, tree, monkeypatch):
+    """Force EVERY listing through the cluster walk (budget 0) — the
+    100-TB route where neither the listing nor the digest set ever
+    materializes on the driver — and require the exact spec digest."""
+    import dirhash_spark.dirhash.listing as L
+
+    monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
+    root, files = tree
+    bs = 32 * 1024
+    assert hash_directory_raw_streamed(spark, root, "sha256", bs) == spec_hash(
+        root, files, bs
+    )
+
+
+def test_list_entries_budget_crossover(spark, tree, monkeypatch):
+    """The default list_entries path reroutes to the parallel walk when
+    the serial budget trips — same Entry set either way."""
+    import dirhash_spark.dirhash.listing as L
+
+    root, _ = tree
+    serial = list_entries(root)
+    as_set = lambda es: {(e.relative_path, e.is_dir, e.size) for e in es}  # noqa: E731
+    # budget 0 forces the reroute through parallel_list_entries
+    assert as_set(list_entries(root, spark, serial_budget_s=0)) == as_set(serial)
+    # and the default budget (no kwarg) reads the module constant at
+    # call time, so deployments (and tests) can retune it
+    monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
+    assert as_set(list_entries(root, spark)) == as_set(serial)
