@@ -951,13 +951,14 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 → 0.95.  The 3-assignment point is pinned >=0.8 in
     tests/test_llm_ops.py, with precision exact by construction.
 
-    At 100 TB the lever is K: production sizes K ∝ N / target-list-
-    size so each list's block fits one task's memory and lists >> cores
-    (here K=16 over the small fixtures, so only 16 tasks parallelize —
-    a fixture artifact, not a design property); the IVF index already
-    persists exactly this partitioning.  rows-only: the clustering is
-    engine-specific; recall vs brute-force exact cosine and exact
-    precision are pinned in tests/test_llm_ops.py.
+    At 100 TB the lever is K: K = ceil(N / target-list-size) is DERIVED
+    from the corpus count at train time (``similarity._ivf_k``, r11) so
+    each list's block fits one task's memory and lists scale with the
+    corpus (500-vector fixtures → 4 lists, 2000 → 16, growing with the
+    size knob); the IVF index already persists exactly this
+    partitioning.  rows-only: the clustering is engine-specific; recall
+    vs brute-force exact cosine and exact precision are pinned in
+    tests/test_llm_ops.py.
     """
     from .similarity import _nprobe_clusters, _train_centroids
 

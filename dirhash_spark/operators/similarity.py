@@ -20,6 +20,7 @@ the PQ residual codes).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -147,10 +148,56 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ IVF ANN
 
-_IVF_K = 16
+#: K is DERIVED from corpus size at train time (r10 verdict item 5):
+#: K = ceil(N / _IVF_TARGET_LIST), clamped — the production sizing rule
+#: (each inverted list targets ~_IVF_TARGET_LIST vectors so a list's
+#: scoring block fits one task and lists >> cores).  On the test
+#: fixtures: 500 vectors → K=4, 2000 → K=16 (the former fixed value),
+#: so per-list parallelism now scales with the corpus-size knob.
+_IVF_TARGET_LIST = 128
+_IVF_K_MIN = 4
+#: Driver/centroid-state bound: K×64 doubles stays ~2 MB at the cap.
+#: Beyond _IVF_CODEGEN_MAX_K the literal-expression argmin would bloat
+#: codegen, so assignment switches to the Arrow-batched numpy route
+#: (same ordering semantics; forced-route parity pinned in tests).
+_IVF_K_MAX = 4096
+_IVF_CODEGEN_MAX_K = 32
 _IVF_ITERS = 8
-_IVF_NPROBE = 6
+_IVF_NPROBE = 6  # probed lists at K=16; scales with K via _nprobe_for
 _IVF_SAMPLE = 2048
+
+
+def _ivf_k(n_vectors: int) -> int:
+    """Coarse-quantizer size for an N-vector corpus: ceil(N / target
+    list size), clamped to [_IVF_K_MIN, _IVF_K_MAX] and to N itself
+    (k-means cannot have more centroids than points)."""
+    if n_vectors <= 0:
+        return _IVF_K_MIN
+    k = -(-n_vectors // _IVF_TARGET_LIST)
+    return max(min(_IVF_K_MIN, n_vectors), min(_IVF_K_MAX, k, n_vectors))
+
+
+def _nprobe_for(k: int) -> int:
+    """Probed-list count for a K-list quantizer: keep the probed
+    FRACTION of the baseline (_IVF_NPROBE of 16) as K grows — recall
+    tracks the probed fraction, not the absolute list count — with the
+    baseline as the floor and K itself as the cap (a 4-list quantizer
+    probes all 4: small corpora degrade toward exact search, never
+    toward missed lists)."""
+    return min(k, max(_IVF_NPROBE, -(-k * _IVF_NPROBE // 16)))
+
+
+#: Derived K per sf_dir (one embeddings count() per corpus, cached —
+#: same lifecycle as the centroid caches below).
+_IVF_K_CACHE: dict[str, int] = {}
+
+
+def _corpus_ivf_k(cat: Catalog) -> int:
+    k = _IVF_K_CACHE.get(cat.sf_dir)
+    if k is None:
+        k = _ivf_k(cat.embeddings.count())
+        _IVF_K_CACHE[cat.sf_dir] = k
+    return k
 
 #: Trained coarse quantizers, keyed by sf_dir.  Training is a bounded
 #: O(sample) driver-side job; caching it makes repeated queries reuse
@@ -179,11 +226,12 @@ def _train_centroids(cat: Catalog) -> np.ndarray | None:
     if not sample:  # empty corpus: nothing to quantize (callers emit empty)
         return None
     x = np.asarray(sample, dtype=np.float64)
+    n_k = min(_corpus_ivf_k(cat), len(x))  # K derived from corpus size
     rng = np.random.RandomState(7)
-    cents = x[rng.choice(len(x), _IVF_K, replace=False)]
+    cents = x[rng.choice(len(x), n_k, replace=False)]
     for _ in range(_IVF_ITERS):
         assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
-        for k in range(_IVF_K):
+        for k in range(n_k):
             if (assign == k).any():
                 cents[k] = x[assign == k].mean(0)
     _CENTROID_CACHE[cat.sf_dir] = cents
@@ -221,7 +269,7 @@ def _train_centroids_distributed(cat: Catalog, iters: int = _IVF_ITERS) -> np.nd
     )
     init = (
         emb.orderBy("vec_id")
-        .limit(_IVF_K)
+        .limit(_corpus_ivf_k(cat))  # K derived from corpus size
         .select("v")
         .toPandas()["v"]  # bounded: limit() right above caps the rows
         .tolist()
@@ -254,13 +302,20 @@ def _centroid_dist2(vec_col, c: np.ndarray):
 
 
 def _nearest_centroid(vec_col, cents: np.ndarray):
-    """JVM-side argmin over squared distances to every centroid:
-    array_min over (distance, id) structs — lexicographic struct order
-    makes the min-by-distance explicit, all inside codegen."""
+    """Argmin over squared distances to every centroid.  K (from the
+    trained quantizer itself, ``len(cents)``) ≤ _IVF_CODEGEN_MAX_K uses
+    the JVM codegen form: array_min over (distance, id) structs —
+    lexicographic struct order makes the min-by-distance explicit, all
+    inside codegen, zero Python in the pass.  Larger K (derived from
+    corpus size at 100 TB) would bloat the generated code O(K·dim), so
+    it switches to the Arrow-batched numpy route (ordering parity —
+    smallest distance, ties to smallest id — pinned in tests)."""
+    if len(cents) > _IVF_CODEGEN_MAX_K:
+        return _nprobe_clusters_arrow(vec_col, cents, 1)[0]
     return F.array_min(
         F.array(*[
             F.struct(_centroid_dist2(vec_col, cents[i]).alias("d"), F.lit(i).alias("cid"))
-            for i in range(_IVF_K)
+            for i in range(len(cents))
         ])
     )["cid"]
 
@@ -268,12 +323,45 @@ def _nearest_centroid(vec_col, cents: np.ndarray):
 def _nprobe_clusters(vec_col, cents: np.ndarray, nprobe: int):
     """The ``nprobe`` nearest centroid ids for a vector, as a codegen
     expression (array_sort of (distance, id) structs, slice, project id)
-    — so probe→lists stays a dataflow edge, not a driver collect."""
+    — so probe→lists stays a dataflow edge, not a driver collect.
+    Same K-threshold switch to the Arrow route as
+    :func:`_nearest_centroid`."""
+    nprobe = min(nprobe, len(cents))
+    if len(cents) > _IVF_CODEGEN_MAX_K:
+        return _nprobe_clusters_arrow(vec_col, cents, nprobe)
     structs = F.array(*[
         F.struct(_centroid_dist2(vec_col, cents[i]).alias("d"), F.lit(i).alias("cid"))
-        for i in range(_IVF_K)
+        for i in range(len(cents))
     ])
     return F.transform(F.slice(F.array_sort(structs), 1, nprobe), lambda s: s["cid"])
+
+
+def _nprobe_clusters_arrow(vec_col, cents: np.ndarray, nprobe: int):
+    """Arrow-batched twin of :func:`_nprobe_clusters` for K above the
+    codegen threshold: distances computed per batch as the explicit
+    (x - c)² sum in fixed row chunks (scratch bounded at
+    chunk·K·dim, never batch·K·dim), stable argsort so ties break to
+    the smallest centroid id exactly like the struct sort."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.ascontiguousarray(cents, dtype=np.float64)
+    take = int(nprobe)
+    # chunk rows so the (chunk, K, dim) scratch stays ~64 MB
+    chunk = max(1, (64 << 20) // (c.shape[0] * c.shape[1] * 8))
+
+    @pandas_udf("array<int>")
+    def nearest_lists(v: pd.Series) -> pd.Series:
+        x = np.asarray(v.tolist(), dtype=np.float64)
+        out = []
+        for s in range(0, len(x), chunk):
+            d = ((x[s : s + chunk, None, :] - c[None, :, :]) ** 2).sum(-1)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :take]
+            out.append(idx.astype(np.int32))
+        return pd.Series([row.tolist() for row in np.vstack(out)]) if out else pd.Series(
+            [], dtype=object
+        )
+
+    return nearest_lists(vec_col)
 
 
 #: Every ANN top-k query emits this shape; the empty-corpus result is
@@ -321,7 +409,7 @@ def _ivf_topk(cat: Catalog, cents: np.ndarray) -> DataFrame:
     probe = F.broadcast(
         cat.embeddings.where(F.col("vec_id") == 0).select(
             v.alias("probe"),
-            _nprobe_clusters(v, cents, _IVF_NPROBE).alias("probe_clusters"),
+            _nprobe_clusters(v, cents, _nprobe_for(len(cents))).alias("probe_clusters"),
         )
     )
     assigned = cat.embeddings.where(F.col("vec_id") != 0).select(
@@ -360,7 +448,7 @@ def sim_ann_ivf_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Bump when signature/centroid logic changes: the version is part of
 #: the index path, so a stale on-disk index from older code can never be
 #: read by newer query logic (it would silently return wrong neighbors).
-_ANN_INDEX_VERSION = 2  # v2: + PQ codes/nrm columns (sim_ann_ivfpq)
+_ANN_INDEX_VERSION = 3  # v3: K derived from corpus size (r11)
 
 
 def _ann_index_path(sf_dir: str) -> str:
@@ -461,7 +549,9 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["p"],
         dtype=np.float64,
     )
-    probe_lists = ((cents - probe_vec) ** 2).sum(-1).argsort()[:_IVF_NPROBE].tolist()
+    probe_lists = (
+        ((cents - probe_vec) ** 2).sum(-1).argsort(kind="stable")[: _nprobe_for(len(cents))].tolist()
+    )
 
     candidates = index.where(
         F.col("cluster_id").isin([int(c) for c in probe_lists]) & (F.col("vec_id") != 0)
@@ -902,7 +992,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["p"],
         dtype=np.float64,
     )
-    probe_lists = ((cents - probe_vec) ** 2).sum(-1).argsort()[:_IVF_NPROBE].tolist()
+    probe_lists = (
+        ((cents - probe_vec) ** 2).sum(-1).argsort(kind="stable")[: _nprobe_for(len(cents))].tolist()
+    )
     probed = index.where(
         F.col("cluster_id").isin([int(c) for c in probe_lists]) & (F.col("vec_id") != 0)
     )

@@ -56,61 +56,58 @@ def main() -> int:
     V0 = np.asarray(base.column("embedding").to_pylist(), dtype=np.float64)
     n0, d = V0.shape
 
-    base_k = S._IVF_K
     out, cand, rows_out = {}, {}, {}
-    try:
-        for mult in (1, 2, 4):
-            tmp = os.path.join(tempfile.gettempdir(), f"semdedup_bench_x{mult}")
-            blocks, idblocks = [V0], [ids0]
-            for c in range(1, mult):
-                rng = np.random.RandomState(1000 + c)
-                q, _ = np.linalg.qr(rng.randn(d, d))
-                blocks.append(V0 @ q)
-                idblocks.append(ids0 + c * 10_000_000)
-            V = np.vstack(blocks)
-            ids = np.concatenate(idblocks)
-            tbl = pa.table(
-                {
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "embedding": pa.array(
-                        [v.tolist() for v in V.astype(np.float32)],
-                        pa.list_(pa.float32()),
-                    ),
-                    "label": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
-                }
-            )
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"))
+    for mult in (1, 2, 4):
+        tmp = os.path.join(tempfile.gettempdir(), f"semdedup_bench_x{mult}")
+        blocks, idblocks = [V0], [ids0]
+        for c in range(1, mult):
+            rng = np.random.RandomState(1000 + c)
+            q, _ = np.linalg.qr(rng.randn(d, d))
+            blocks.append(V0 @ q)
+            idblocks.append(ids0 + c * 10_000_000)
+        V = np.vstack(blocks)
+        ids = np.concatenate(idblocks)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in V.astype(np.float32)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+            }
+        )
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"))
 
-            # fixed target list size: K ∝ N (the production lever)
-            S._IVF_K = base_k * mult
-            S._CENTROID_CACHE.pop(tmp, None)
+        # fixed target list size: K ∝ N — derived automatically
+        # by _ivf_k(count) since r11; just clear per-dir caches
+        S._CENTROID_CACHE.pop(tmp, None)
+        S._IVF_K_CACHE.pop(tmp, None)
 
-            def run():
-                return qs["pipeline_semdedup_e2e"].fn(spark, tmp).count()
+        def run():
+            return qs["pipeline_semdedup_e2e"].fn(spark, tmp).count()
 
-            nrows = run()  # warm: trains + caches centroids, python pool
-            best = min(
-                (lambda t0=time.perf_counter(): (run(), time.perf_counter() - t0)[1])()
-                for _ in range(2)
-            )
-            out[mult] = round(best, 2)
-            rows_out[mult] = nrows
+        nrows = run()  # warm: trains + caches centroids, python pool
+        best = min(
+            (lambda t0=time.perf_counter(): (run(), time.perf_counter() - t0)[1])()
+            for _ in range(2)
+        )
+        out[mult] = round(best, 2)
+        rows_out[mult] = nrows
 
-            # measured candidate volume Σ nC2 over the ACTUAL inverted
-            # lists of the trained quantizer under 3-assignment
-            cents = S._CENTROID_CACHE[tmp]
-            d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            near3 = np.argsort(d2, axis=1)[:, :3]
-            sizes = np.bincount(near3.ravel(), minlength=len(cents)).astype(np.int64)
-            cand[mult] = int((sizes * (sizes - 1) // 2).sum())
-            print(
-                f"# x{mult}: vecs={n0 * mult} K={S._IVF_K} "
-                f"cand={cand[mult]} rows={nrows} {best:.2f}s",
-                file=sys.stderr,
-            )
-    finally:
-        S._IVF_K = base_k
+        # measured candidate volume Σ nC2 over the ACTUAL inverted
+        # lists of the trained quantizer under 3-assignment
+        cents = S._CENTROID_CACHE[tmp]
+        d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        near3 = np.argsort(d2, axis=1)[:, :3]
+        sizes = np.bincount(near3.ravel(), minlength=len(cents)).astype(np.int64)
+        cand[mult] = int((sizes * (sizes - 1) // 2).sum())
+        print(
+            f"# x{mult}: vecs={n0 * mult} K={len(cents)} "
+            f"cand={cand[mult]} rows={nrows} {best:.2f}s",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
