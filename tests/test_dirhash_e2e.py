@@ -490,3 +490,16 @@ def test_list_entries_budget_crossover(spark, tree, monkeypatch):
     # call time, so deployments (and tests) can retune it
     monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
     assert as_set(list_entries(root, spark)) == as_set(serial)
+
+
+def test_streamed_fold_cluster_listing_hollow_tree(spark, tmp_path, monkeypatch):
+    """Cluster-walk route on a tree with no chunk rows at all (dirs +
+    empty files): header-only fold, still bit-identical."""
+    import dirhash_spark.dirhash.listing as L
+
+    root = tmp_path / "hollow2"
+    (root / "sub" / "subsub").mkdir(parents=True)
+    (root / "sub" / "void.txt").write_bytes(b"")
+    expected = hash_directory_raw(spark, str(root), "sha256", 1024)
+    monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
+    assert hash_directory_raw_streamed(spark, str(root), "sha256", 1024) == expected
