@@ -47,7 +47,7 @@ from .codec import (
     get_hash_func,
     parse_blocksize,
 )
-from .listing import Entry, list_entries, list_entries_df, strip_trailing_slash
+from .listing import Entry, list_entries, listing_for_fold, strip_trailing_slash
 
 _SHA2_BITS = {"sha224": 224, "sha256": 256, "sha384": 384, "sha512": 512}
 
@@ -212,10 +212,17 @@ def hash_directory_raw_streamed(
     chain's state at byte k depends on every byte before it.  What CAN
     move off the driver is everything except the O(1) hash state:
 
-    - the LISTING stays cluster-side (:func:`list_entries_df`): the
-      walk's per-level rows are checkpointed on executors, the header's
-      path sort is a cluster ``orderBy``, and the chunk plan derives
-      from the same DataFrame — the driver never holds the entry list;
+    - the LISTING is routed by the serial-walk budget
+      (:func:`listing_for_fold`): a tree that lists inside the budget
+      keeps the driver-side header fold — by that measurement its
+      metadata fits the driver, and the profiled alternative (three
+      extra Spark jobs to count/sort/probe a driver-local relation)
+      halves small-tree throughput for nothing — while a budget trip
+      switches to the cluster-side walk, where per-level rows are
+      checkpointed on executors, the header's path sort is a cluster
+      ``orderBy``, and the chunk plan derives from the same DataFrame:
+      the driver never holds the entry list on the route where it
+      could not;
     - sorts run on the cluster (``orderBy`` = range exchange; Spark's
       UTF8String binary comparison equals Python's code-point string
       sort because UTF-8 byte order preserves code-point order, so both
@@ -247,29 +254,51 @@ def hash_directory_raw_streamed(
     blocksize = blocksize or parse_blocksize(DEFAULT_BLOCK_SIZE)
     directory = strip_trailing_slash(directory)
 
-    entries = list_entries_df(spark, directory)
+    entries, entries_df = listing_for_fold(spark, directory)
     h = get_hash_func(hash_algorithm)()
-    h.update(str(entries.count()).encode("ascii"))
-    h.update(b"\x00")
-    paths = (
-        entries.orderBy("relative_path")
-        .select("relative_path")
-        .toLocalIterator()  # bounded: one sorted partition of path
-        # strings resident at a time — never the full listing
-    )
-    for i, row in enumerate(paths):
-        if i:
-            h.update(b"\x00")
-        h.update(row["relative_path"].encode("utf-8"))
-    h.update(b"\x00")
+    if entries is not None:
+        # serial route: header folds driver-side over the (budget-
+        # bounded) listing, exactly the collect form's header
+        ordered = sorted(e.relative_path for e in entries)
+        h.update(str(len(ordered)).encode("ascii"))
+        h.update(b"\x00")
+        for i, rel in enumerate(ordered):
+            if i:
+                h.update(b"\x00")
+            h.update(rel.encode("utf-8"))
+        h.update(b"\x00")
+        has_bytes = any((not e.is_dir) and e.size > 0 for e in entries)
+        digests = (
+            digest_directory(spark, entries, blocksize, hash_algorithm)
+            if has_bytes
+            else None
+        )
+    else:
+        h.update(str(entries_df.count()).encode("ascii"))
+        h.update(b"\x00")
+        paths = (
+            entries_df.orderBy("relative_path")
+            .select("relative_path")
+            .toLocalIterator()  # bounded: one sorted partition of path
+            # strings resident at a time — never the full listing
+        )
+        for i, row in enumerate(paths):
+            if i:
+                h.update(b"\x00")
+            h.update(row["relative_path"].encode("utf-8"))
+        h.update(b"\x00")
+        has_bytes = (
+            entries_df.where((~F.col("is_dir")) & (F.col("size") > 0)).limit(1).count()
+            > 0
+        )
+        digests = (
+            digest_directory_df(spark, entries_df, blocksize, hash_algorithm)
+            if has_bytes
+            else None
+        )
 
-    has_bytes = (
-        entries.where((~F.col("is_dir")) & (F.col("size") > 0)).limit(1).count() > 0
-    )
-    if has_bytes:
-        digests = digest_directory_df(
-            spark, entries, blocksize, hash_algorithm
-        ).localCheckpoint()
+    if digests is not None:
+        digests = digests.localCheckpoint()
         it = (
             digests.orderBy("path", "block_num")
             .select("digest")

@@ -252,6 +252,34 @@ def parallel_list_entries(
     return entries
 
 
+def listing_for_fold(
+    spark, root: str, serial_budget_s: float | None = None
+) -> tuple[list[Entry] | None, "object"]:
+    """Serial-budget router for the streamed fold: returns
+    ``(entries, None)`` when the serial walk finishes inside the budget
+    — by that very measurement the listing fits the driver, so the fold
+    keeps its zero-Spark-job driver-side header (each metadata job on a
+    warm local session costs ~0.3-0.6 s of fixed overhead; paying three
+    of them to "stream" a 9-row listing halved the measured streamed-
+    fold throughput in r11 profiling) — else ``(None, entries_df)``
+    with the cluster-side level walk, where the listing never
+    materializes on the driver at all.  Scheme paths use the serial
+    JVM-gateway walk (same reason as :func:`parallel_list_entries`)."""
+    root = strip_trailing_slash(root)
+    if "://" in root and not root.startswith("file://"):
+        return list_entries(root, spark), None
+    local_root = root[len("file://") :] if root.startswith("file://") else root
+    if not os.path.isdir(local_root):
+        raise FileNotFoundError(f"not a directory: {local_root}")
+    if serial_budget_s is None:
+        serial_budget_s = SERIAL_WALK_BUDGET_S
+    if serial_budget_s > 0:
+        entries = _list_local(local_root, budget_s=serial_budget_s)
+        if entries is not None:
+            return entries, None
+    return None, list_entries_df(spark, root, serial_budget_s=0)
+
+
 def list_entries_df(
     spark,
     root: str,
