@@ -503,3 +503,27 @@ def test_streamed_fold_cluster_listing_hollow_tree(spark, tmp_path, monkeypatch)
     expected = hash_directory_raw(spark, str(root), "sha256", 1024)
     monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
     assert hash_directory_raw_streamed(spark, str(root), "sha256", 1024) == expected
+
+
+def test_listing_for_fold_routing(spark, tree, monkeypatch):
+    """The fold router's contract: inside-budget serial walks return
+    the Entry list (driver-side header route), a tripped budget returns
+    the cluster DataFrame, and both carry the same rows."""
+    import dirhash_spark.dirhash.listing as L
+
+    root, _ = tree
+    entries, df = L.listing_for_fold(spark, root)
+    assert entries is not None and df is None
+    serial = {(e.relative_path, e.is_dir, e.size) for e in entries}
+
+    entries2, df2 = L.listing_for_fold(spark, root, serial_budget_s=0)
+    assert entries2 is None and df2 is not None
+    clustered = {
+        (r["relative_path"], r["is_dir"], r["size"]) for r in df2.collect()
+    }
+    assert clustered == serial
+
+    # the module constant is read at call time (deployment-tunable)
+    monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
+    entries3, df3 = L.listing_for_fold(spark, root)
+    assert entries3 is None and df3 is not None

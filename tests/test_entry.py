@@ -162,3 +162,32 @@ def test_window_covers_stalest_driver_rows():
         f"queries registered without a green row in {os.path.basename(newest_snap)} "
         f"(re-run scripts/oracle_snapshot.py): {unverified}"
     )
+
+
+def test_scan_diamond_baseline_names_are_registered():
+    """Every query named in the committed scan-diamond baseline must
+    still exist in the registry — a rename would otherwise leave its
+    recorded diamond orphaned while the renamed query's diamond counts
+    as 'new' only at sweep time, not in CI."""
+    import json
+    import os
+
+    from dirhash_spark.registry import all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "scripts", "scan_diamonds_baseline.json")
+    baseline = json.load(open(path))
+    qs = all_queries()
+    stale = sorted(set(baseline) - set(qs))
+    assert not stale, f"scan-diamond baseline names not in registry: {stale}"
+    tables = set(
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    )
+    for name, counts in baseline.items():
+        assert counts, name
+        assert set(counts) <= tables, (name, counts)
+        assert all(isinstance(c, int) and c > 1 for c in counts.values()), (
+            name,
+            counts,
+        )
