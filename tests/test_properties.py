@@ -708,3 +708,67 @@ def test_streamed_fold_equals_collect_fold_on_random_trees(
 
     assert hash_directory_raw_streamed(spark, root, "sha256", blocksize) == expected
     assert hash_directory_raw(spark, root, "sha256", blocksize) == expected
+
+
+# --- listing routes: randomized-tree equivalence (r11) --------------------
+
+
+@settings(
+    max_examples=6,  # each example runs two cluster walks — keep it tight
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    files=st.dictionaries(
+        st.tuples(
+            st.sampled_from(["", "d1", "d1/d2", "d1/d2/d3", "e1"]),
+            st.text(_FNAME_ALPHABET, min_size=1, max_size=8).filter(
+                lambda s: s not in (".", "..") and not s.startswith(".")
+                and s == s.strip()
+            ),
+        ),
+        st.binary(min_size=0, max_size=50),
+        min_size=0,
+        max_size=8,
+    ),
+    empty_dirs=st.lists(
+        st.sampled_from(["z1", "z1/z2", "d1/zz"]), max_size=2, unique=True
+    ),
+)
+def test_listing_routes_agree_on_random_trees(
+    spark, tmp_path_factory, files, empty_dirs
+):
+    """For ANY tree shape — nested dirs, unicode names, empty files,
+    empty directories, even a completely empty root — the serial walk,
+    the level-parallel walk, and the cluster-side DataFrame walk must
+    produce the identical (relative_path, is_dir, size) set: the
+    routing budget may change WHERE the walk runs, never what it
+    returns."""
+    import os as _os
+
+    from dirhash_spark.dirhash.listing import (
+        list_entries,
+        list_entries_df,
+        parallel_list_entries,
+    )
+
+    root = str(tmp_path_factory.mktemp("rand_list_tree"))
+    for (d, name), content in files.items():
+        p = _os.path.join(root, d, name)
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(content)
+    for d in empty_dirs:
+        _os.makedirs(_os.path.join(root, d), exist_ok=True)
+
+    serial = {(e.relative_path, e.is_dir, e.size) for e in list_entries(root)}
+    par = {
+        (e.relative_path, e.is_dir, e.size)
+        for e in parallel_list_entries(spark, root)
+    }
+    dfr = {
+        (r["relative_path"], r["is_dir"], r["size"])
+        for r in list_entries_df(spark, root, serial_budget_s=0).collect()
+    }
+    assert par == serial
+    assert dfr == serial
