@@ -470,8 +470,8 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
     This is the artifact a 100 TB deployment maintains at ingest: the
     expensive per-vector work (signature bits, centroid assignment, PQ
     encoding) happens once at write, and every query afterwards reads
-    the index — nprobe search becomes partition pruning (only nprobe of
-    _IVF_K directories are listed/read), signature filtering reuses the
+    the index — nprobe search becomes partition pruning (only nprobe of the
+    K index directories are listed/read), signature filtering reuses the
     stored sig column, and IVFPQ's ADC stage reads only the ~50x-
     compressed codes column instead of the float vectors.
     Idempotent: returns the existing index if already built.
@@ -532,9 +532,9 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The probe's nprobe list ids are resolved driver-side from the cached
     centroids — that lookup is the query *parameter* (microseconds over
-    _IVF_K centroids), and expressing it as literals is exactly what
+    the K cached centroids), and expressing it as literals is exactly what
     lets Catalyst turn ``cluster_id IN (...)`` into PartitionFilters, so
-    only nprobe of the _IVF_K directories are ever listed or read
+    only nprobe of the K index directories are ever listed or read
     (asserted in tests/test_plans.py).
     """
     cat = Catalog(spark, sf_dir)
@@ -960,10 +960,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_ann_ivf_indexed``'s partition pruning and ``sim_ann_pq``'s
     literal-table ADC — applied in sequence over the persisted index.
 
-    1. COARSE: resolve the probe's _IVF_NPROBE nearest lists driver-
+    1. COARSE: resolve the probe's nprobe nearest lists driver-
        side from the cached centroids and express them as a
        ``cluster_id IN (...)`` literal — Catalyst turns that into
-       PartitionFilters, so only nprobe of _IVF_K index directories
+       PartitionFilters, so only nprobe of the K index directories
        are ever listed or read;
     2. ADC within the probed lists: score approx cosine from the
        stored PQ ``codes``/``nrm`` columns via the inlined lookup

@@ -203,7 +203,7 @@ def test_clustered_sink_readback_pushes_date_filter(spark):
 
 def test_ann_index_nprobe_is_partition_pruning(spark):
     """The persisted ANN index is partitioned by IVF list id, so the
-    nprobe search reads only nprobe of the _IVF_K directories: the
+    nprobe search reads only nprobe of the K index directories: the
     cluster_id IN (...) literal filter must appear as PartitionFilters
     on the index scan — at 100 TB this is the difference between
     scanning nprobe/K of the corpus and all of it."""
@@ -902,7 +902,7 @@ def test_bpe_encode_broadcasts_vocabulary(spark):
 
 def test_ivfpq_prunes_partitions_and_never_scans_floats_for_adc(spark):
     """sim_ann_ivfpq's contract at 100 TB: (a) BOTH index scans carry
-    the cluster_id IN (...) PartitionFilters (only nprobe of _IVF_K
+    the cluster_id IN (...) PartitionFilters (only nprobe of the K
     directories are listed), and (b) the ADC scoring scan reads the
     ~50x-compressed codes+nrm columns WITHOUT the float vectors —
     the full-corpus float read is exactly what IVFPQ exists to avoid;
