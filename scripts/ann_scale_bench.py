@@ -5,14 +5,17 @@ as the corpus grows 2k → 20k → 100k vectors.
 The similarity family's 100 TB claim decomposes into two levers this
 script separates:
 
-- the PRUNING lever measured here at fixed K=16/nprobe=6: the indexed
-  queries read nprobe/K of the corpus (partition pruning), and IVFPQ
-  reads that slice as ~50x-compressed codes — so their wall should
-  grow far slower than the brute-force scan's as N grows;
-- the LIST-SIZE lever (K ∝ N) measured by scripts/semdedup_bench.py —
-  production scales K to hold |list| fixed, which keeps per-task work
-  constant; it is deliberately NOT applied here so the same query
-  plans are compared across sizes.
+- the PRUNING lever, measured in mode "fixed16" by PINNING the
+  derived K back to 16/nprobe=6 via the per-corpus K cache: the
+  indexed queries read nprobe/K of the corpus (partition pruning), and
+  IVFPQ reads that slice as ~50x-compressed codes — so their wall
+  should grow far slower than the brute-force scan's as N grows, with
+  the SAME query plans across sizes;
+- the LIST-SIZE lever (K ∝ N), measured in mode "derived" with the
+  r11 automatic sizing (K = ceil(N/128), nprobe holding the 6/16
+  fraction): per-list work stays constant and the >32-K Arrow argmin
+  route gets exercised at 20k (K=157) and 100k (K=782) — sizes the
+  fixtures never reach.
 
 Corpora: the real sf0.1 table (2000 vectors) plus seeded gaussian
 synthetics at 20k/100k (same 64-dim shape, vec_id 0 = probe).  Also
@@ -60,6 +63,8 @@ def main() -> int:
     from dirhash_spark.registry import all_queries
     from dirhash_spark.session import get_spark
 
+    from dirhash_spark.operators import similarity as S
+
     spark = get_spark("ann_scale_bench")
     qs = all_queries()
     variants = ["sim_topk_cosine", "sim_ann_ivf_indexed", "sim_ann_ivfpq"]
@@ -72,29 +77,41 @@ def main() -> int:
             sf_dir = os.path.join(tempfile.gettempdir(), f"ann_scale_{n}")
             _write_corpus(n, sf_dir)
 
-        t0 = time.perf_counter()
-        assert build_ann_index(spark, sf_dir) is not None  # corpora are non-empty
-        build_s = round(time.perf_counter() - t0, 2)
+        for mode in ("fixed16", "derived"):
+            # reset per-corpus state: K cache, trained quantizers, and
+            # the on-disk index (its path is keyed by sf_dir, so the
+            # two modes would otherwise read each other's artifact)
+            S._IVF_K_CACHE.pop(sf_dir, None)
+            S._CENTROID_CACHE.pop(sf_dir, None)
+            S._CENTROID_CACHE_DIST.pop(sf_dir, None)
+            shutil.rmtree(S._ann_index_path(sf_dir), True)
+            if mode == "fixed16":
+                S._IVF_K_CACHE[sf_dir] = 16  # pin the pruning-lever premise
 
-        row = {"build_index_s": build_s}
-        exact: set[int] = set()
-        for name in variants:
-            got = qs[name].fn(spark, sf_dir).collect()  # warm
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rows = qs[name].fn(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            ids = {r["vec_id"] for r in rows}
-            if name == "sim_topk_cosine":
-                exact = ids
-            else:
-                row[f"recall_{name}"] = round(len(ids & exact) / len(exact), 2)
-            row[f"{name}_s"] = round(best, 3)
-        summary[str(n)] = row
-        print(f"# n={n}: {row}", file=sys.stderr)
+            t0 = time.perf_counter()
+            assert build_ann_index(spark, sf_dir) is not None  # non-empty corpora
+            build_s = round(time.perf_counter() - t0, 2)
 
-    print(json.dumps({"metric": "ann wall vs corpus size (fixed K=16/nprobe=6)",
+            row = {"build_index_s": build_s, "K": len(S._CENTROID_CACHE[sf_dir])}
+            exact: set[int] = set()
+            for name in variants:
+                qs[name].fn(spark, sf_dir).collect()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = qs[name].fn(spark, sf_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                ids = {r["vec_id"] for r in rows}
+                if name == "sim_topk_cosine":
+                    exact = ids
+                else:
+                    row[f"recall_{name}"] = round(len(ids & exact) / len(exact), 2)
+                row[f"{name}_s"] = round(best, 3)
+            summary[f"{n}/{mode}"] = row
+            print(f"# n={n} mode={mode}: {row}", file=sys.stderr)
+
+    print(json.dumps({"metric": "ann wall vs corpus size "
+                      "(fixed16 = pruning lever, derived = K \u221d N)",
                       "sizes": summary}))
     for n in (20_000, 100_000):
         shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ann_scale_{n}"), True)
