@@ -1076,3 +1076,30 @@ def test_ivf_arrow_assignment_route_parity(spark, monkeypatch):
     monkeypatch.setattr(S, "_IVF_CODEGEN_MAX_K", 0)  # force the Arrow route
     arrow = assignments()
     assert codegen == arrow
+
+
+def test_ivf_arrow_route_chunked_scratch(spark):
+    """The Arrow argmin bounds its (chunk, K, dim) scratch at ~64 MB by
+    row-chunking each batch; with a K large enough to force chunk=1-3
+    rows the multi-chunk stitch (vstack across chunks) must still
+    return every row's true nearest lists in order."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.operators import similarity as S
+
+    rng = np.random.RandomState(99)
+    cents = rng.standard_normal((40_000, 64))  # chunk = 64MB/(40000*64*8) = 3
+    vecs = rng.standard_normal((10, 64))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    got = {
+        r["id"]: list(r["lists"])
+        for r in df.select(
+            "id", S._nprobe_clusters_arrow(F.col("v"), cents, 4).alias("lists")
+        ).collect()
+    }
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    want = {i: list(np.argsort(d2[i], kind="stable")[:4]) for i in range(len(vecs))}
+    assert got == want
