@@ -527,3 +527,39 @@ def test_listing_for_fold_routing(spark, tree, monkeypatch):
     monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
     entries3, df3 = L.listing_for_fold(spark, root)
     assert entries3 is None and df3 is not None
+
+
+def test_broken_symlink_fails_loudly_on_every_walk(spark, tmp_path):
+    """A broken symlink kills the serial walk (os.path.getsize follows
+    the link) — the parallel and DataFrame walks must also fail loudly
+    rather than silently emitting a divergent Entry set."""
+    from dirhash_spark.dirhash.listing import (
+        list_entries_df,
+        parallel_list_entries,
+    )
+
+    root = tmp_path / "broken"
+    root.mkdir()
+    (root / "ok.txt").write_bytes(b"fine")
+    (root / "dangling").symlink_to(root / "no-such-target")
+
+    with pytest.raises(OSError):
+        list_entries(str(root))
+    with pytest.raises(Exception):  # surfaces as a Spark task failure
+        parallel_list_entries(spark, str(root))
+    with pytest.raises(Exception):
+        list_entries_df(spark, str(root), serial_budget_s=0).collect()
+
+
+def test_collect_fold_bit_identical_under_forced_parallel_listing(
+    spark, tree, monkeypatch
+):
+    """hash_directory_raw routes its listing through the same budget
+    crossover — forcing the parallel walk must not change the digest."""
+    import dirhash_spark.dirhash.listing as L
+
+    root, files = tree
+    bs = 32 * 1024
+    expected = spec_hash(root, files, bs)
+    monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
+    assert hash_directory_raw(spark, root, "sha256", bs) == expected
