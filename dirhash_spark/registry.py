@@ -62,86 +62,85 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: drained the 28 remaining r4 rows, the 6 r8 registrations, and the
 #: first 16 r5 rows; round 10 drained the 34 remaining r5 rows, the
 #: r9 driver-red ``ts_seasonal_decompose`` (confirmed green), the 3 r9
-#: registrations, and the first 12 r6 rows.  Round 11 (per the r10
-#: plan): (a) the 38 remaining r6-code rows — they hit MUST age 5 the
-#: moment CORRECTNESS_r11 lands; (b) the 2 queries registered during
-#: r10 (never driver-checked; green in ORACLE_SNAPSHOT_r10{,_sf01} at
-#: both scale factors); (c) 10 slack slots on the oldest r7-code rows,
-#: MAY-front tier (age >= 3 at r11 close), taken alphabetically (first
-#: 10 of 50).  Exactly 50 names.
+#: registrations, and the first 12 r6 rows; round 11 drained the 38
+#: remaining r6 rows, the 2 r10 registrations, and the first 10
+#: r7-code rows (alphabetical).  Round 12 (per the r11 plan): (a) the
+#: 40 remaining r7-code rows — they hit MUST age 5 the moment
+#: CORRECTNESS_r12 lands (r11 registered NO new queries, so there is
+#: no never-checked tier this round); (b) 10 slack slots on the oldest
+#: r8-code rows, MAY-front tier (age >= 3 at r12 close), taken
+#: alphabetically (first 10 of 50).  Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 38 remaining r6-code rows — MUST tier at r11 close
-    "fn_bitwise",
-    "fn_interval",
-    "fn_json",
-    "fn_map",
-    "fn_regexp_all",
-    "fn_struct_nested",
-    "graph_pagerank",
-    "hash_sha2_text",
-    "join_asof_nearest",
-    "join_bucketed",
-    "join_skew_salted",
-    "merkle_fold_group",
-    "pipeline_corpus_curation",
-    "quality_expectations",
-    "reshape_posexplode",
-    "reshape_unpivot",
-    "sample_hash_deterministic",
-    "scan_json_lines",
-    "scan_text_lines",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
-    "sim_knn_join",
-    "sim_maxsim_late_interaction",
-    "sim_topk_cosine",
-    "sink_orc",
-    "sink_parquet_clustered",
-    "sink_parquet_partitioned",
-    "sink_parquet_zorder",
-    "stream_stream_join",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_tokens",
-    "ts_cohort_retention",
-    "udaf_pandas",
-    "udf_python",
-    "udtf_map_in_pandas",
-    # (b) the 2 r10 registrations, never driver-checked
-    "stream_session_native",
-    "dirhash_full_streamed",
-    # (c) slack → pre-emptive rotation of the oldest r7-code rows
-    # (age 3 at r11 close = MAY-front tier; first 10 of 50
+    # (a) the 40 remaining r7-code rows — MUST tier at r12 close
+    "csv_corrupt_records",
+    "decontaminate_ngram_overlap",
+    "dedup_bloom_manifest",
+    "dedup_bloom_probe",
+    "dedup_cluster_canonical",
+    "dedup_incremental",
+    "dedup_levenshtein",
+    "dedup_url_canonical",
+    "dedup_verbatim_runs",
+    "dirhash_tree_fold",
+    "fn_aes_roundtrip",
+    "fn_surrogate_key",
+    "funnel_time_to_convert",
+    "graph_triangle_count",
+    "join_asof_tolerance",
+    "join_dynamic_partition_prune",
+    "pipeline_neardup_e2e",
+    "pipeline_training_export",
+    "sample_balanced_classes",
+    "scan_csv_multiline",
+    "scan_nested_pruning",
+    "sessionize_pattern_match",
+    "set_except_all",
+    "set_intersect_all",
+    "sink_csv_roundtrip",
+    "snapshot_diff",
+    "sql_exchange_reuse",
+    "stream_bloom_ingest_gate",
+    "stream_stream_left_outer",
+    "text_chunk_sliding",
+    "text_rarity_score",
+    "text_surprisal_bits",
+    "text_winnow_fingerprints",
+    "ts_autocorr",
+    "ts_changepoint_cusum",
+    "ts_event_transitions",
+    "ts_ewma_fixed_point",
+    "ts_rolling_distinct",
+    "udf_python_arrow",
+    "vocab_bpe_merges",
+    # (b) slack → pre-emptive rotation of the oldest r8-code rows
+    # (age 3 at r12 close = MAY-front tier; first 10 of 50
     # alphabetically)
-    "agg_approx_top_k",
-    "agg_bitmap_distinct",
-    "agg_boolean",
-    "agg_corr_matrix",
-    "agg_filtered",
-    "agg_grouping_id",
-    "agg_hll_sketch_merge",
-    "agg_listagg",
-    "corpus_cross_source_overlap",
-    "corpus_vocab_coverage",
+    "agg_approx_percentile",
+    "agg_basic",
+    "agg_histogram",
+    "blocksize_codec",
+    "corpus_mixture_weights",
+    "dedup_cluster_canonical_bigstar",
+    "dirhash_incremental_rehash",
+    "dirhash_verify",
+    "embedding_quantize_int8",
+    "filter_pred",
 )
-# r12 rotation backlog: after r11's window lands, the oldest driver rows
-# are the 40 remaining r7-code queries (the 50 r7 rows minus the 10
-# fronted above; alphabetically they run csv_corrupt_records,
-# decontaminate_ngram_overlap, dedup_bloom_manifest, ... through the
-# rest of the r7 cohort) — they hit MUST age 5 when CORRECTNESS_r12
-# lands — with remaining slack on the oldest r8 rows and any queries
-# registered during r11.
-# Backlog arithmetic after r11's window: 239 registered = 38 (r6
-# remainder, this window) + 2 (r10 regs, this window) + 10 (r7, this
-# window) + 40 (r7 remainder, r12 MUST) + 50 (r8) + 49 (r9) + 50 (r10)
-# — every query has either a driver row or a dated slot here.
+# r13 rotation backlog: after r12's window lands, the oldest driver rows
+# are the 40 remaining r8-code queries (the 50 r8 rows minus the 10
+# fronted above; alphabetically they run filter_range_pushdown ...
+# through the rest of the r8 cohort) — they hit MUST age 5 when
+# CORRECTNESS_r13 lands — with remaining slack on the oldest r9 rows
+# and any queries registered during r12.
+# Backlog arithmetic after r12's window: 239 registered = 40 (r7
+# remainder, this window) + 10 (r8, this window) + 40 (r8 remainder,
+# r13 MUST) + 49 (r9) + 50 (r10) + 50 (r11) — every query has either
+# a driver row or a dated slot here.
 
 
 def all_queries() -> dict[str, Query]:
