@@ -78,14 +78,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--manifest/--write-manifest cannot be combined with "
             "--check/--check-name (the verify path does not touch manifests)"
         )
-    if args.streamed_fold and args.manifest:
-        # same principle: the incremental path has its own fold (it
-        # merges reused and re-hashed chunk digests) and does not honor
-        # the flag — erroring beats silently ignoring it
-        parser.error(
-            "--streamed-fold cannot be combined with --manifest "
-            "(the incremental path uses its own merge fold)"
-        )
     owns_session = spark is None
     if owns_session:
         from ..session import get_spark
@@ -114,6 +106,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.hash_algorithm,
                 args.block_size,
                 with_manifest=True,
+                streamed=args.streamed_fold,
             )
             # stats to stderr: stdout stays the reference's hash-only contract
             print(

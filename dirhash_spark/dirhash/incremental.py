@@ -37,9 +37,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .codec import DEFAULT_BLOCK_SIZE, build_hash_string, fold_digest, parse_blocksize
-from .hashdir import digest_directory
-from .listing import Entry, list_entries, strip_trailing_slash
+from .codec import (
+    DEFAULT_BLOCK_SIZE,
+    build_hash_string,
+    fold_digest,
+    get_hash_func,
+    parse_blocksize,
+)
+from .hashdir import digest_directory, digest_directory_df
+from .listing import Entry, list_entries, listing_for_fold, strip_trailing_slash
 
 
 def _entry_mtime_ns(entry: Entry, spark: SparkSession | None = None) -> int:
@@ -139,6 +145,7 @@ def hash_directory_incremental(
     hash_algorithm: str = "sha256",
     blocksize: str = DEFAULT_BLOCK_SIZE,
     with_manifest: bool = False,
+    streamed: bool = False,
 ) -> tuple:
     """v1 hash string of ``directory`` computed by splicing manifest
     digests for files whose (path, size, mtime_ns) are unchanged and
@@ -148,11 +155,31 @@ def hash_directory_incremental(
     churn-sized.  With ``with_manifest=True`` a third element is the
     REFRESHED manifest built from the spliced digests (no second read
     pass) — the daily-rollover shape: hash incrementally, persist the
-    new manifest, repeat tomorrow."""
+    new manifest, repeat tomorrow.
+
+    ``streamed=True`` removes the O(files) driver residency this path
+    used to carry (the listing, the manifest-key set, and every spliced
+    digest were driver Python — the last such structure in the dirhash
+    scale paths): the stat-diff becomes a cluster-side left join of the
+    listing DataFrame against the manifest keys, the splice a union of
+    two cluster relations, and the fold the same budget-routed streamed
+    machinery as ``hash_directory_raw_streamed`` — a tree whose serial
+    walk finishes inside the budget is, by that measurement,
+    driver-sized and keeps the cheaper driver-side diff+fold
+    (bit-identical either way, pinned in tests/test_dirhash_e2e.py)."""
     directory = strip_trailing_slash(directory)
     bs = parse_blocksize(blocksize)
     _check_manifest_parameters(manifest, hash_algorithm, bs)
-    all_entries = list_entries(directory, spark)
+    if streamed:
+        entries, entries_df = listing_for_fold(spark, directory)
+        if entries is None:
+            return _incremental_cluster(
+                spark, entries_df, manifest, hash_algorithm, bs, blocksize,
+                with_manifest,
+            )
+        all_entries = entries  # budget passed: driver-sized tree
+    else:
+        all_entries = list_entries(directory, spark)
     files = [e for e in all_entries if not e.is_dir]
     listing = [e.relative_path for e in all_entries]
 
@@ -213,5 +240,121 @@ def hash_directory_incremental(
         "*",
         F.lit(hash_algorithm).alias("hash_algorithm"),
         F.lit(bs).cast("bigint").alias("blocksize_bytes"),
+    )
+    return hash_string, stats, new_manifest
+
+
+def _stat_mtime_ns(files_df: DataFrame) -> DataFrame:
+    """Append ``mtime_ns`` to listing rows by stat-ing each file on the
+    executors — the cluster twin of :func:`_entry_mtime_ns` (the
+    cluster walk only ever carries local/shared-filesystem paths, see
+    ``listing_for_fold``, so ``os.stat`` is the right call on every
+    row, exactly like the walk's own ``scandir`` stats)."""
+    import pandas as pd
+
+    def stat_batches(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["mtime_ns"] = pd.array(
+                [os.stat(p).st_mtime_ns for p in pdf["full_path"]], dtype="int64"
+            )
+            yield pdf
+
+    return files_df.mapInPandas(
+        stat_batches,
+        "relative_path string, is_dir boolean, size long, full_path string, "
+        "mtime_ns long",
+    )
+
+
+def _incremental_cluster(
+    spark: SparkSession,
+    entries_df: DataFrame,
+    manifest: DataFrame,
+    hash_algorithm: str,
+    bs: int,
+    blocksize: str,
+    with_manifest: bool,
+) -> tuple:
+    """Cluster-side incremental re-hash for trees whose listing tripped
+    the serial-walk budget: the stat-diff is a left join on
+    (path, size, mtime_ns), the splice a union of the manifest's
+    unchanged digests with freshly-hashed changed chunks, and the fold
+    streams one sorted partition at a time — peak driver state is one
+    partition of paths/digests plus one walk frontier, never the file
+    set (r11 verdict item 4: this was the last O(files) driver
+    structure in the dirhash scale paths)."""
+    files = _stat_mtime_ns(entries_df.where(~F.col("is_dir")))
+    keys = manifest.select(
+        F.col("path").alias("relative_path"), "size", "mtime_ns"
+    ).distinct()
+    joined = files.join(
+        keys.withColumn("matched", F.lit(True)),
+        ["relative_path", "size", "mtime_ns"],
+        "left",
+        # consumed by the counts aggregate, the reused-digest semi-side,
+        # the changed-file chunk plan, and the refreshed manifest —
+        # checkpoint so the stat stage and the diff join run once
+    ).localCheckpoint()
+
+    counts = joined.agg(
+        F.count(F.lit(1)).alias("n_files"), F.count("matched").alias("n_reused")
+    ).first()
+    stats = {
+        "n_files": int(counts["n_files"]),
+        "n_reused_files": int(counts["n_reused"]),
+        "n_rehashed_files": int(counts["n_files"]) - int(counts["n_reused"]),
+    }
+
+    reused = manifest.join(
+        joined.where("matched").select(F.col("relative_path").alias("path")),
+        "path",
+    ).where(F.col("digest").isNotNull()).select("path", "block_num", "digest")
+    changed = joined.where(F.col("matched").isNull()).select(
+        "relative_path", F.lit(False).alias("is_dir"), "size", "full_path"
+    )
+    digests = reused.unionByName(
+        digest_directory_df(spark, changed, bs, hash_algorithm)
+    ).localCheckpoint()  # the orderBy's range-exchange sampling (and a
+    # with_manifest re-read) must re-read materialized digests, never
+    # re-run the read+hash stage
+
+    h = get_hash_func(hash_algorithm)()
+    h.update(str(entries_df.count()).encode("ascii"))
+    h.update(b"\x00")
+    paths = (
+        entries_df.orderBy("relative_path")
+        .select("relative_path")
+        .toLocalIterator()  # bounded: one sorted partition of path
+        # strings resident at a time — never the full listing
+    )
+    for i, row in enumerate(paths):
+        if i:
+            h.update(b"\x00")
+        h.update(row["relative_path"].encode("utf-8"))
+    h.update(b"\x00")
+    it = (
+        digests.orderBy("path", "block_num")
+        .select("digest")
+        .toLocalIterator()  # bounded: one sorted partition of 32-byte
+        # digests resident at a time — never the full set
+    )
+    for row in it:
+        h.update(bytes(row["digest"]))
+    hash_string = build_hash_string(hash_algorithm, blocksize, h.hexdigest())
+    if not with_manifest:
+        return hash_string, stats
+    new_manifest = (
+        joined.select(F.col("relative_path").alias("path"), "size", "mtime_ns")
+        .join(digests, "path", "left")  # zero-chunk files keep their key
+        .select(
+            "path",
+            "size",
+            "mtime_ns",
+            "block_num",
+            "digest",
+            F.lit(hash_algorithm).alias("hash_algorithm"),
+            F.lit(bs).cast("bigint").alias("blocksize_bytes"),
+        )
     )
     return hash_string, stats, new_manifest

@@ -69,15 +69,22 @@ def list_entries(
     ``spark=None`` always walks serially with no budget.
     """
     root = strip_trailing_slash(root)
-    if spark is not None and "://" in root:
+    if spark is not None and "://" in root and not root.startswith("file://"):
         return _list_hadoop(spark, root)
+    # file:// is walked LOCALLY, same as a bare path: every listing form
+    # (serial, parallel, DataFrame) must share one symlink semantics —
+    # Hadoop's LocalFileSystem reports a symlinked dir as a directory
+    # and walks INTO it, so routing file:// through _list_hadoop made
+    # the collect and streamed folds diverge on symlink trees (and made
+    # hash("file:///t") != hash("/t") on the same tree).
+    local_root = root[len("file://") :] if root.startswith("file://") else root
     if spark is None:
-        return _list_local(root)
+        return _list_local(local_root)
     if serial_budget_s is None:
         serial_budget_s = SERIAL_WALK_BUDGET_S
-    entries = _list_local(root, budget_s=serial_budget_s)
+    entries = _list_local(local_root, budget_s=serial_budget_s)
     if entries is None:  # budget tripped → latency/size-bound tree
-        entries = parallel_list_entries(spark, root)
+        entries = parallel_list_entries(spark, local_root)
     return entries
 
 
@@ -329,7 +336,11 @@ def list_entries_df(
     # Children paths are os.path.join(parent, name) descending from
     # local_root, so the relative path is a fixed-length prefix strip
     # (substring positions count the same code points Python len does).
-    rel = F.expr(f"substring(path, {len(local_root) + 2})")
+    # The joining '/' is only appended when local_root doesn't already
+    # end with one — computing the strip length from the rstrip'd root
+    # keeps local_root == '/' (children '/name') from silently losing
+    # the first character of every relative path.
+    rel = F.expr(f"substring(path, {len(local_root.rstrip('/')) + 2})")
     return df.select(
         F.when(F.col("is_dir"), F.concat(rel, F.lit("/"))).otherwise(rel).alias(
             "relative_path"

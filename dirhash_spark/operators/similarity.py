@@ -187,15 +187,29 @@ def _nprobe_for(k: int) -> int:
     return min(k, max(_IVF_NPROBE, -(-k * _IVF_NPROBE // 16)))
 
 
-#: Derived K per sf_dir (one embeddings count() per corpus, cached —
-#: same lifecycle as the centroid caches below).
+#: Corpus size per sf_dir (ONE embeddings count() per corpus, shared by
+#: every parameter-derivation rule — IVF K and the PQ codebook/re-rank
+#: sizing below all read this).
+_N_CACHE: dict[str, int] = {}
+
+#: Derived K per sf_dir (cached separately from _N_CACHE so benches can
+#: PIN a K without faking a corpus size — scripts/ann_scale_bench.py's
+#: fixed16 mode).
 _IVF_K_CACHE: dict[str, int] = {}
+
+
+def _corpus_n(cat: Catalog) -> int:
+    n = _N_CACHE.get(cat.sf_dir)
+    if n is None:
+        n = cat.embeddings.count()
+        _N_CACHE[cat.sf_dir] = n
+    return n
 
 
 def _corpus_ivf_k(cat: Catalog) -> int:
     k = _IVF_K_CACHE.get(cat.sf_dir)
     if k is None:
-        k = _ivf_k(cat.embeddings.count())
+        k = _ivf_k(_corpus_n(cat))
         _IVF_K_CACHE[cat.sf_dir] = k
     return k
 
@@ -338,23 +352,33 @@ def _nprobe_clusters(vec_col, cents: np.ndarray, nprobe: int):
 
 def _nprobe_clusters_arrow(vec_col, cents: np.ndarray, nprobe: int):
     """Arrow-batched twin of :func:`_nprobe_clusters` for K above the
-    codegen threshold: distances computed per batch as the explicit
-    (x - c)² sum in fixed row chunks (scratch bounded at
-    chunk·K·dim, never batch·K·dim), stable argsort so ties break to
-    the smallest centroid id exactly like the struct sort."""
+    codegen threshold.  Distances accumulate per DIMENSION, in
+    dimension order, exactly like the codegen ``F.aggregate`` fold —
+    ``d += (x[:, j] - c[:, j])²`` is the same left-to-right IEEE
+    addition chain per (row, centroid), so the two routes produce
+    bit-identical distances (not merely tolerance-close: numpy's
+    pairwise ``.sum(-1)`` reassociates and could flip near-tie
+    rankings, ADVICE r11).  Scratch is (chunk, K) per dimension step —
+    strictly below the old (chunk, K, dim) bound; stable argsort keeps
+    ties on the smallest centroid id exactly like the struct sort."""
     from pyspark.sql.functions import pandas_udf
 
     c = np.ascontiguousarray(cents, dtype=np.float64)
     take = int(nprobe)
-    # chunk rows so the (chunk, K, dim) scratch stays ~64 MB
-    chunk = max(1, (64 << 20) // (c.shape[0] * c.shape[1] * 8))
+    # chunk rows so the (chunk, K) scratch (a handful of live copies)
+    # stays ~64 MB
+    chunk = max(1, (64 << 20) // (c.shape[0] * 8))
 
     @pandas_udf("array<int>")
     def nearest_lists(v: pd.Series) -> pd.Series:
         x = np.asarray(v.tolist(), dtype=np.float64)
         out = []
         for s in range(0, len(x), chunk):
-            d = ((x[s : s + chunk, None, :] - c[None, :, :]) ** 2).sum(-1)
+            xc = x[s : s + chunk]
+            d = np.zeros((xc.shape[0], c.shape[0]), dtype=np.float64)
+            for j in range(c.shape[1]):  # fold dims in order == codegen
+                t = xc[:, j, None] - c[None, :, j]
+                d += t * t
             idx = np.argsort(d, axis=1, kind="stable")[:, :take]
             out.append(idx.astype(np.int32))
         return pd.Series([row.tolist() for row in np.vstack(out)]) if out else pd.Series(
@@ -448,7 +472,7 @@ def sim_ann_ivf_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Bump when signature/centroid logic changes: the version is part of
 #: the index path, so a stale on-disk index from older code can never be
 #: read by newer query logic (it would silently return wrong neighbors).
-_ANN_INDEX_VERSION = 3  # v3: K derived from corpus size (r11)
+_ANN_INDEX_VERSION = 4  # v4: PQ codebook/re-rank derived from corpus size (r12)
 
 
 def _ann_index_path(sf_dir: str) -> str:
@@ -783,26 +807,72 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- product quantization (PQ)
 
 _PQ_M = 8   # subspaces (64-dim embeddings -> 8-dim subvectors)
-_PQ_K = 32  # centroids per sub-codebook -> 5 bits/code, 8 codes/vector
-_PQ_RERANK = 100  # ADC candidates kept for the exact re-rank (constant
-# regardless of corpus size — measured recall@10 0.9/1.0 on the
-# fixtures vs 0.5/0.8 at K=16,rerank=50)
+#: Per-subspace centroid count is DERIVED from corpus size like the IVF
+#: K (r11 verdict item 3 — the fixed 32-centroid/5-bit codebook was the
+#: measured recall bottleneck on the 20k/100k gaussian worst case:
+#: 0.3-0.4 recall@10).  Rule: ceil(N / _PQ_TARGET) clamped to
+#: [_PQ_K_MIN, _PQ_K_MAX] — fixtures (500/2000 vectors) keep the
+#: original 32 (5-bit codes, recall floors 0.9/1.0 unchanged); 20k+
+#: corpora reach 256 (8-bit codes — the FAISS default — still ~12x
+#: memory vs float32 after the +3 bits/code).
+_PQ_TARGET = 64
+_PQ_K_MIN = 32
+_PQ_K_MAX = 256
+#: Exact re-rank depth scales with N too (same clamp pattern): recall@10
+#: is capped by whether the true top-10 survive the ADC ordering into
+#: the re-rank set, and a fixed 100 starves at 100k vectors.  The cap
+#: bounds the broadcast back-join at ~2k ids regardless of corpus size.
+_PQ_RERANK_MIN = 100
+_PQ_RERANK_MAX = 2048
 
-#: Trained sub-codebooks keyed by sf_dir, shape (_PQ_M, _PQ_K, D/_PQ_M).
+
+def _pq_k(n_vectors: int) -> int:
+    """Per-subspace codebook size for an N-vector corpus."""
+    if n_vectors <= 0:
+        return _PQ_K_MIN
+    k = -(-n_vectors // _PQ_TARGET)
+    return max(min(_PQ_K_MIN, n_vectors), min(_PQ_K_MAX, k, n_vectors))
+
+
+def _pq_rerank(n_vectors: int) -> int:
+    """ADC candidate count kept for the exact re-rank."""
+    return min(_PQ_RERANK_MAX, max(_PQ_RERANK_MIN, -(-n_vectors // _PQ_TARGET)))
+
+
+#: Derived (codebook K, re-rank depth) per sf_dir; pinnable by benches
+#: exactly like _IVF_K_CACHE.
+_PQ_PARAM_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _corpus_pq_params(cat: Catalog) -> tuple[int, int]:
+    p = _PQ_PARAM_CACHE.get(cat.sf_dir)
+    if p is None:
+        n = _corpus_n(cat)
+        p = (_pq_k(n), _pq_rerank(n))
+        _PQ_PARAM_CACHE[cat.sf_dir] = p
+    return p
+
+
+#: Trained sub-codebooks keyed by sf_dir, shape (_PQ_M, k_pq, D/_PQ_M).
 _PQ_CACHE: dict[str, np.ndarray] = {}
 
 
 def _train_pq_codebooks(cat: Catalog) -> np.ndarray | None:
     """Per-subspace k-means codebooks (Jégou/Douze/Schmid, "Product
-    quantization for nearest neighbor search", TPAMI 2011) on the same
-    bounded deterministic sample the IVF trainer uses — O(sample)
-    driver-side work at ANY corpus size, cached per sf_dir."""
+    quantization for nearest neighbor search", TPAMI 2011) on a bounded
+    deterministic sample — O(sample) driver-side work at ANY corpus
+    size, cached per sf_dir.  The sample grows with the derived
+    codebook (16 points per centroid, floor _IVF_SAMPLE) so a 256-
+    centroid book never trains on fewer points than centroids; at the
+    fixture sizes the derived K is _PQ_K_MIN and the sample, seed, and
+    codebooks are bit-identical to the fixed-constant era."""
     cached = _PQ_CACHE.get(cat.sf_dir)
     if cached is not None:
         return cached
+    k_pq, _ = _corpus_pq_params(cat)
     sample = (
         cat.embeddings.orderBy("vec_id")
-        .limit(_IVF_SAMPLE)
+        .limit(max(_IVF_SAMPLE, 16 * k_pq))
         .select(F.col("embedding").cast("array<double>").alias("v"))
         .toPandas()["v"]  # bounded: limit() right above caps the rows
         .tolist()
@@ -810,16 +880,17 @@ def _train_pq_codebooks(cat: Catalog) -> np.ndarray | None:
     if not sample:  # empty corpus: nothing to encode (callers emit empty)
         return None
     x = np.asarray(sample, dtype=np.float64)
+    k_pq = min(k_pq, len(x))  # k-means needs centroids <= points
     d = x.shape[1] // _PQ_M
     sub = x.reshape(len(x), _PQ_M, d)
     rng = np.random.RandomState(11)
-    books = np.empty((_PQ_M, _PQ_K, d))
+    books = np.empty((_PQ_M, k_pq, d))
     for m in range(_PQ_M):
         xs = sub[:, m, :]
-        cents = xs[rng.choice(len(xs), _PQ_K, replace=False)]
+        cents = xs[rng.choice(len(xs), k_pq, replace=False)]
         for _ in range(_IVF_ITERS):
             assign = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
-            for k in range(_PQ_K):
+            for k in range(k_pq):
                 if (assign == k).any():
                     cents[k] = xs[assign == k].mean(0)
         books[m] = cents
@@ -830,10 +901,18 @@ def _train_pq_codebooks(cat: Catalog) -> np.ndarray | None:
 def _pq_codes_nrm(v: np.ndarray, books: np.ndarray):
     """Encode a batch of float vectors: per-subspace nearest-centroid
     codes plus the stored L2 norm.  Shared by the per-query encoder in
-    ``sim_ann_pq`` and the write-time encoder in ``build_ann_index``."""
-    m_, _, d_ = books.shape
-    sub = v.reshape(len(v), m_, d_)
-    codes = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+    ``sim_ann_pq`` and the write-time encoder in ``build_ann_index``.
+    Rows are chunked so the (rows, M, K, d) distance scratch stays
+    ~64 MB — at the 256-centroid derived codebook an unchunked Arrow
+    batch would materialize gigabytes."""
+    m_, k_, d_ = books.shape
+    chunk = max(1, (64 << 20) // (m_ * k_ * d_ * 8))
+    codes = np.empty((len(v), m_), dtype=np.int64)
+    for s in range(0, len(v), chunk):
+        sub = v[s : s + chunk].reshape(-1, m_, d_)
+        codes[s : s + chunk] = (
+            ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1).argmin(-1)
+        )
     return (
         [c.astype("int32").tolist() for c in codes],
         np.sqrt((v**2).sum(1)),
@@ -842,7 +921,7 @@ def _pq_codes_nrm(v: np.ndarray, books: np.ndarray):
 
 def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray):
     """Approximate-cosine column from PQ codes via asymmetric distance
-    computation: the driver inlines the (_PQ_M x _PQ_K) table of
+    computation: the driver inlines the (_PQ_M x k_pq) table of
     probe-subvector . centroid inner products as a literal nested
     array, and every row scores sum(table[m][code[m]]) / (nrm * |p|) —
     a map-only JVM lookup-sum over ``codes``/``nrm`` columns."""
@@ -868,25 +947,26 @@ def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray):
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: the billion-vector MEMORY lever beyond
     int8 (embedding_quantize_int8's 4x) — each 64-dim float vector
-    compresses to 8 sub-codebook codes of 5 bits (+ one stored norm), a
-    ~50x reduction, and queries never touch the original vectors until
-    the final constant-size re-rank.
+    compresses to 8 sub-codebook codes of 5-8 bits (+ one stored
+    norm), a ~25-50x reduction, and queries never touch the original
+    vectors until the final bounded re-rank.
 
     Query path (asymmetric distance computation, ADC):
 
-    1. encode the corpus once: per subvector, nearest of the _PQ_K
-       (=32) sub-codebook centroids — Arrow-batched numpy (write-time
-       work in production, like build_ann_index);
-    2. driver computes the (_PQ_M x _PQ_K) = 8x32 table of
-       probe-subvector . centroid inner products (microseconds — this
-       is the query PARAMETER, like the IVF nprobe list) and inlines it
-       as a literal nested array;
+    1. encode the corpus once: per subvector, nearest of the k_pq
+       (derived from corpus size, 32 on the fixtures) sub-codebook
+       centroids — Arrow-batched numpy (write-time work in production,
+       like build_ann_index);
+    2. driver computes the (_PQ_M x k_pq) table of probe-subvector .
+       centroid inner products (microseconds — this is the query
+       PARAMETER, like the IVF nprobe list) and inlines it as a
+       literal nested array (Catalyst constant-folds it);
     3. every encoded row scores approx_dot = sum over m of
        table[m][code[m]] — a map-only JVM lookup-sum, no Python, no
        shuffle, 8 element_at calls per vector;
-    4. top _PQ_RERANK by approximate cosine re-rank EXACTLY against the
-       true vectors (a tiny broadcast semi-join back to the corpus),
-       top-10 out.
+    4. top-(derived re-rank depth) by approximate cosine re-rank
+       EXACTLY against the true vectors (a tiny broadcast semi-join
+       back to the corpus, capped at _PQ_RERANK_MAX ids), top-10 out.
 
     rows-only: the sketch is engine-specific; recall@10 vs exact brute
     force is pinned in tests/test_llm_ops.py.
@@ -937,7 +1017,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_adc_cosine(probe_vec, books).alias("approx_cos"),
         )
         .orderBy(F.col("approx_cos").desc(), "vec_id")
-        .limit(_PQ_RERANK)
+        .limit(_corpus_pq_params(cat)[1])
     )
     exact = cat.embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -970,12 +1050,13 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
        table — map-only JVM, and column pruning means the float
        vectors are NOT read in this stage (the scan's ReadSchema
        carries codes+nrm, not v — asserted in tests/test_plans.py);
-    3. RE-RANK: top _PQ_RERANK candidates re-ranked EXACTLY against
-       the true vectors of the probed partitions only (broadcast
-       semi-join on vec_id), top-10 out.
+    3. RE-RANK: the top candidates (derived re-rank depth, capped at
+       _PQ_RERANK_MAX) re-ranked EXACTLY against the true vectors of
+       the probed partitions only (broadcast semi-join on vec_id),
+       top-10 out.
 
-    At scale this reads nprobe/K of the corpus as ~50x-compressed
-    codes plus _PQ_RERANK float vectors — neither a full-corpus scan
+    At scale this reads nprobe/K of the corpus as compressed codes
+    plus a bounded set of float vectors — neither a full-corpus scan
     nor a full-corpus float read anywhere.  rows-only: recall@10 vs
     exact brute force is pinned in tests/test_llm_ops.py.
     """
@@ -1001,7 +1082,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         probed.select("vec_id", _pq_adc_cosine(probe_vec, books).alias("approx_cos"))
         .orderBy(F.col("approx_cos").desc(), "vec_id")
-        .limit(_PQ_RERANK)
+        .limit(_corpus_pq_params(cat)[1])
     )
     return (
         probed.select("vec_id", "label", "v")

@@ -71,22 +71,38 @@ def main() -> int:
     summary: dict[str, dict] = {}
 
     for n in (2000, 20_000, 100_000):
+        sf_dir = os.path.join(tempfile.gettempdir(), f"ann_scale_{n}")
         if n == 2000:
-            sf_dir = "/root/testdata/sf0.1"
+            # bench the real sf0.1 corpus from a COPY: the on-disk ANN
+            # index is keyed by basename(sf_dir), so benching sf0.1 in
+            # place would leave a fixed16-pinned index artifact behind
+            # for later sf0.1 sessions if the script aborts between
+            # modes (ADVICE r11) — the copy gets its own index tag
+            os.makedirs(sf_dir, exist_ok=True)
+            shutil.copy(
+                "/root/testdata/sf0.1/embeddings.parquet",
+                os.path.join(sf_dir, "embeddings.parquet"),
+            )
         else:
-            sf_dir = os.path.join(tempfile.gettempdir(), f"ann_scale_{n}")
             _write_corpus(n, sf_dir)
 
         for mode in ("fixed16", "derived"):
-            # reset per-corpus state: K cache, trained quantizers, and
-            # the on-disk index (its path is keyed by sf_dir, so the
-            # two modes would otherwise read each other's artifact)
+            # reset per-corpus state: N/K/PQ caches, trained
+            # quantizers, and the on-disk index (its path is keyed by
+            # sf_dir, so the two modes would otherwise read each
+            # other's artifact)
+            S._N_CACHE.pop(sf_dir, None)
             S._IVF_K_CACHE.pop(sf_dir, None)
+            S._PQ_PARAM_CACHE.pop(sf_dir, None)
+            S._PQ_CACHE.pop(sf_dir, None)
             S._CENTROID_CACHE.pop(sf_dir, None)
             S._CENTROID_CACHE_DIST.pop(sf_dir, None)
             shutil.rmtree(S._ann_index_path(sf_dir), True)
             if mode == "fixed16":
-                S._IVF_K_CACHE[sf_dir] = 16  # pin the pruning-lever premise
+                # pin the pruning-lever premise: the pre-derivation
+                # constants (IVF K=16, PQ 32 centroids / 100 re-rank)
+                S._IVF_K_CACHE[sf_dir] = 16
+                S._PQ_PARAM_CACHE[sf_dir] = (32, 100)
 
             t0 = time.perf_counter()
             assert build_ann_index(spark, sf_dir) is not None  # non-empty corpora
@@ -113,8 +129,14 @@ def main() -> int:
     print(json.dumps({"metric": "ann wall vs corpus size "
                       "(fixed16 = pruning lever, derived = K \u221d N)",
                       "sizes": summary}))
-    for n in (20_000, 100_000):
+    for n in (2000, 20_000, 100_000):
         shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ann_scale_{n}"), True)
+        shutil.rmtree(
+            S._ann_index_path(os.path.join(tempfile.gettempdir(), f"ann_scale_{n}")),
+            True,
+        )
+        for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE, S._PQ_CACHE):
+            cache.pop(os.path.join(tempfile.gettempdir(), f"ann_scale_{n}"), None)
     spark.stop()
     return 0
 

@@ -147,12 +147,28 @@ def test_streamed_fold_on_verify_path(spark, tree, capsys):
     assert "MISMATCH" in capsys.readouterr().out
 
 
-def test_streamed_fold_rejected_with_manifest(spark, tree, capsys):
-    """--streamed-fold + --manifest is an error (the incremental path
-    uses its own merge fold; silently ignoring flags misleads)."""
-    import pytest
+def test_streamed_fold_with_manifest_incremental(spark, tree, tmp_path, capsys):
+    """--streamed-fold + --manifest runs the streamed incremental path
+    (r12: the loud flag error became a real route once the incremental
+    fold went cluster-side) — same hash-only stdout contract, same
+    stderr reuse stats, byte-identical output to the plain incremental
+    run."""
+    from dirhash_spark.dirhash.incremental import build_chunk_manifest
 
-    with pytest.raises(SystemExit) as exc:
-        main([tree, "--manifest", "/tmp/nope", "--streamed-fold"], spark=spark)
-    assert exc.value.code == 2
-    assert "cannot be combined" in capsys.readouterr().err
+    man_path = str(tmp_path / "manifest")
+    build_chunk_manifest(spark, tree, "sha256", "1k").write.mode(
+        "overwrite"
+    ).parquet(man_path)
+
+    assert main([tree, "--block-size", "1k", "--manifest", man_path], spark=spark) == 0
+    plain = capsys.readouterr()
+    assert (
+        main(
+            [tree, "--block-size", "1k", "--manifest", man_path, "--streamed-fold"],
+            spark=spark,
+        )
+        == 0
+    )
+    streamed = capsys.readouterr()
+    assert streamed.out == plain.out
+    assert "reused" in streamed.err

@@ -335,6 +335,77 @@ def test_incremental_rehash_splices_exactly(spark, tmp_path):
     shutil.rmtree(root)
 
 
+def test_incremental_streamed_cluster_route_bit_identical(
+    spark, tmp_path, monkeypatch
+):
+    """streamed=True with the serial-walk budget forced to 0 takes the
+    fully cluster-side incremental path (stat-diff join + digest-union
+    splice + streamed fold — no O(files) driver structure anywhere,
+    r11 verdict item 4): hash string, reuse stats, AND the refreshed
+    manifest must all equal the driver route's on a mutated tree."""
+    import time
+
+    import dirhash_spark.dirhash.listing as L
+    from dirhash_spark.dirhash import incremental as I
+    from dirhash_spark.dirhash.incremental import (
+        build_chunk_manifest,
+        hash_directory_incremental,
+    )
+
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.bin").write_bytes(bytes(range(256)) * 40)
+    (root / "sub" / "b.bin").write_bytes(b"spark" * 1000)
+    (root / "empty.txt").write_bytes(b"")
+    man = build_chunk_manifest(spark, str(root), "sha256", "1k").localCheckpoint()
+
+    # churn: append, add, delete — the interesting diff shapes at once
+    time.sleep(0.01)
+    with open(root / "sub" / "b.bin", "ab") as f:
+        f.write(b"tail")
+    (root / "new.txt").write_bytes(b"fresh")
+    (root / "empty.txt").unlink()
+
+    want_h, want_st, want_man = hash_directory_incremental(
+        spark, str(root), man, "sha256", "1k", with_manifest=True
+    )
+
+    # serial route on a driver-sized tree: streamed=True must NOT take
+    # the cluster path when the budget passes (fixed metadata jobs
+    # would only slow a small tree, same routing as the raw fold)
+    def _boom(*a, **k):
+        raise AssertionError("cluster route taken on a driver-sized tree")
+
+    monkeypatch.setattr(I, "_incremental_cluster", _boom)
+    got_h, got_st = hash_directory_incremental(
+        spark, str(root), man, "sha256", "1k", streamed=True
+    )
+    assert (got_h, got_st) == (want_h, want_st)
+    monkeypatch.undo()
+
+    # forced cluster route: budget 0 → listing, diff, splice, and fold
+    # all cluster-side; bit-identical results
+    monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0)
+    got_h, got_st, got_man = hash_directory_incremental(
+        spark, str(root), man, "sha256", "1k", streamed=True, with_manifest=True
+    )
+    assert (got_h, got_st) == (want_h, want_st)
+    key = lambda r: (  # noqa: E731
+        r["path"],
+        r["size"],
+        r["mtime_ns"],
+        r["block_num"],
+        None if r["digest"] is None else bytes(r["digest"]),
+    )
+    assert sorted(map(key, got_man.collect())) == sorted(map(key, want_man.collect()))
+
+    # and the refreshed cluster-route manifest restores full reuse
+    h2, st2 = hash_directory_incremental(
+        spark, str(root), got_man.localCheckpoint(), "sha256", "1k", streamed=True
+    )
+    assert h2 == want_h and st2["n_rehashed_files"] == 0
+
+
 def test_incremental_rejects_mismatched_manifest_parameters(spark, tmp_path):
     """A manifest records the (hash_algorithm, blocksize) its digests
     were computed under; hash_directory_incremental must refuse to
@@ -444,6 +515,47 @@ def test_parallel_listing_symlink_parity(spark, tmp_path):
     assert as_set(parallel_list_entries(spark, str(root))) == expected
     df_rows = list_entries_df(spark, str(root), serial_budget_s=0).collect()
     assert {(r["relative_path"], r["is_dir"], r["size"]) for r in df_rows} == expected
+
+
+def test_file_scheme_symlink_parity_streamed_vs_collect(spark, tmp_path):
+    """ADVICE r11 (medium): a ``file://`` root must list with the SAME
+    symlink semantics as the bare path in EVERY form.  Hadoop's
+    LocalFileSystem reports a symlinked dir as a directory and walks
+    INTO it, so routing file:// through the JVM-gateway walk made the
+    collect fold descend where the streamed/parallel walks (os.walk
+    semantics: dirlink listed, not descended) did not — a false
+    MISMATCH under ``--check --streamed-fold``, and
+    hash("file:///t") != hash("/t") on the same tree."""
+    from dirhash_spark.dirhash.hashdir import (
+        hash_directory_raw,
+        hash_directory_raw_streamed,
+    )
+    from dirhash_spark.dirhash.listing import list_entries
+
+    root = tmp_path / "ftree"
+    (root / "real").mkdir(parents=True)
+    (root / "real" / "inner.txt").write_bytes(b"inner-bytes" * 7)
+    (root / "plain.bin").write_bytes(b"y" * 123)
+    (root / "dirlink").symlink_to(root / "real", target_is_directory=True)
+
+    uri = f"file://{root}"
+    plain_set = {
+        (e.relative_path, e.is_dir, e.size) for e in list_entries(str(root))
+    }
+    uri_set = {
+        (e.relative_path, e.is_dir, e.size) for e in list_entries(uri, spark)
+    }
+    assert uri_set == plain_set
+    # the divergence witness: the dirlink's contents must be absent
+    assert ("dirlink/", True, 0) in uri_set
+    assert not any(
+        p.startswith("dirlink/") and p != "dirlink/" for p, _, _ in uri_set
+    )
+
+    expected = hash_directory_raw(spark, str(root), "sha256", 64)
+    assert hash_directory_raw(spark, uri, "sha256", 64) == expected
+    assert hash_directory_raw_streamed(spark, uri, "sha256", 64) == expected
+    assert hash_directory_raw_streamed(spark, str(root), "sha256", 64) == expected
 
 
 def test_listing_df_cluster_route_matches_serial(spark, tree, tmp_path):

@@ -136,7 +136,7 @@ def test_ann_recall_floors_all_variants(spark):
 def test_pq_recall_floor_and_code_shape(spark):
     """Product-quantization ANN: fixed recall@10 floors (deterministic
     codebooks, fixed seed) and the compression contract — every corpus
-    vector encodes to exactly _PQ_M codes in [0, _PQ_K)."""
+    vector encodes to exactly _PQ_M codes in [0, k_pq)."""
     from dirhash_spark.operators import similarity as S
 
     floors = {"/root/testdata/sf0.001": 0.9, "/root/testdata/sf0.01": 1.0}
@@ -149,7 +149,17 @@ def test_pq_recall_floor_and_code_shape(spark):
     from dirhash_spark.catalog import Catalog
 
     books = S._train_pq_codebooks(Catalog(spark, "/root/testdata/sf0.01"))
-    assert books.shape == (S._PQ_M, S._PQ_K, 64 // S._PQ_M)
+    # the fixture corpora derive the original fixed 32-centroid book
+    # (500/2000 vectors, ceil(N/64) clamps to _PQ_K_MIN) — the recall
+    # floors above pin exactly the pre-derivation behavior
+    assert S._pq_k(500) == S._pq_k(2000) == S._PQ_K_MIN == 32
+    assert books.shape == (S._PQ_M, 32, 64 // S._PQ_M)
+    # and the derivation rule itself: 20k -> 256-centroid books,
+    # re-rank depth grows with N under the hard cap
+    assert S._pq_k(20_000) == S._PQ_K_MAX == 256
+    assert S._pq_rerank(2000) == S._PQ_RERANK_MIN
+    assert S._pq_rerank(20_000) == 313
+    assert S._pq_rerank(10**9) == S._PQ_RERANK_MAX
 
 
 def test_ivf_distributed_trainer_recall_parity(spark, sf_dir):
