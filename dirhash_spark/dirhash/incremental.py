@@ -12,7 +12,8 @@ and run the fused read+hash stage over the changed set only:
   1. LIST      the full tree (metadata-only, as always);
   2. DIFF      against the manifest's file-level (path, size, mtime_ns)
                keys — a driver-side set comparison on the same scale as
-               the listing itself;
+               the listing itself (or, with ``streamed=True``, a
+               cluster-side left join with no O(files) driver state);
   3. READ+HASH only the changed/new files (the expensive stage now
                costs the churn, not the corpus);
   4. SPLICE    manifest digests for unchanged files ∪ fresh digests;
