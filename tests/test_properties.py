@@ -710,6 +710,108 @@ def test_streamed_fold_equals_collect_fold_on_random_trees(
     assert hash_directory_raw(spark, root, "sha256", blocksize) == expected
 
 
+# --- incremental re-hash: randomized-churn equivalence (r12) --------------
+
+
+@settings(
+    max_examples=5,  # each example runs a manifest build + 4 folds
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    files=st.dictionaries(
+        st.tuples(
+            st.sampled_from(["", "d1", "d1/d2"]),
+            st.text(_FNAME_ALPHABET, min_size=1, max_size=8).filter(
+                lambda s: s not in (".", "..") and not s.startswith(".")
+                and s == s.strip()
+            ),
+        ),
+        st.binary(min_size=0, max_size=200),
+        min_size=1,
+        max_size=5,
+    ),
+    mutated=st.dictionaries(
+        st.tuples(
+            st.sampled_from(["", "d1", "d1/d2"]),
+            st.text(_FNAME_ALPHABET, min_size=1, max_size=8).filter(
+                lambda s: s not in (".", "..") and not s.startswith(".")
+                and s == s.strip()
+            ),
+        ),
+        st.binary(min_size=0, max_size=200),
+        min_size=0,
+        max_size=3,
+    ),
+    do_delete=st.booleans(),
+    blocksize=st.sampled_from(["1", "64"]),
+)
+def test_incremental_routes_equal_full_rehash_on_random_churn(
+    spark, tmp_path_factory, files, mutated, do_delete, blocksize
+):
+    """For ANY initial tree and ANY churn (upserts of new/changed/
+    same-content files, a deletion), the driver-side incremental
+    splice, the streamed serial route, AND the forced cluster route
+    (stat-diff join + digest-union splice) must all equal the full
+    re-hash byte-for-byte — and the reuse stats must equal the churn
+    computed independently from the (path, size, mtime_ns) contract.
+    mtimes are SET explicitly so the expected-churn set is exact (a
+    same-content, same-size rewrite with a new mtime counts as
+    re-hashed — the rsync quick-check contract)."""
+    import os as _os
+
+    import dirhash_spark.dirhash.listing as L
+    from dirhash_spark.dirhash.hashdir import hash_directory
+    from dirhash_spark.dirhash.incremental import (
+        build_chunk_manifest,
+        hash_directory_incremental,
+    )
+
+    root = str(tmp_path_factory.mktemp("churn_tree"))
+
+    def write(rels: dict, mtime_ns: int):
+        for (d, name), content in rels.items():
+            rel = f"{d}/{name}" if d else name
+            p = _os.path.join(root, rel)
+            _os.makedirs(_os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(content)
+            _os.utime(p, ns=(mtime_ns, mtime_ns))
+
+    write(files, 1_000_000_000)
+    man = build_chunk_manifest(spark, root, "sha256", blocksize).localCheckpoint()
+
+    write(mutated, 2_000_000_000)  # new mtime on every churned file
+    deleted = None
+    if do_delete:
+        survivors = sorted(set(files) - set(mutated))
+        if survivors:
+            deleted = survivors[0]
+            d, name = deleted
+            _os.remove(_os.path.join(root, f"{d}/{name}" if d else name))
+
+    n_files = len((set(files) | set(mutated)) - ({deleted} if deleted else set()))
+    n_rehashed = len(set(mutated))  # every churned file got a fresh mtime
+
+    expected = hash_directory(spark, root, "sha256", blocksize)
+    for route in ("driver", "serial", "cluster"):
+        old_budget = L.SERIAL_WALK_BUDGET_S
+        L.SERIAL_WALK_BUDGET_S = 0 if route == "cluster" else old_budget
+        try:
+            h, stats = hash_directory_incremental(
+                spark, root, man, "sha256", blocksize,
+                streamed=route != "driver",
+            )
+        finally:
+            L.SERIAL_WALK_BUDGET_S = old_budget
+        assert h == expected, route
+        assert stats == {
+            "n_files": n_files,
+            "n_reused_files": n_files - n_rehashed,
+            "n_rehashed_files": n_rehashed,
+        }, route
+
+
 # --- listing routes: randomized-tree equivalence (r11) --------------------
 
 
