@@ -1130,6 +1130,44 @@ def test_ivf_arrow_assignment_route_parity(spark, monkeypatch):
     assert codegen == arrow
 
 
+def test_nprobe_routes_bit_identical_on_near_ties(spark, monkeypatch):
+    """ADVICE r11: the Arrow route now accumulates squared distances
+    per DIMENSION in dimension order — the same left-to-right IEEE
+    addition chain as the codegen F.aggregate fold — so the two routes
+    are BIT-identical, including on near-tie and exact-tie rankings
+    that numpy's reassociating .sum() could flip.  Adversarial data:
+    random vectors against centroids containing exact duplicates (tie
+    broken by centroid id on both routes) and tight jitter clusters
+    (distances differing near the last ulp)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((12, 16))
+    cents = np.vstack([
+        base,
+        base[:6],                      # exact duplicates: forced ties
+        base[6:] + 1e-15,              # sub-ulp jitter: near ties
+    ])  # K = 30
+    vecs = np.vstack([base + rng.standard_normal((12, 16)) * 0.3,
+                      base[:5]])       # some probes exactly ON a centroid
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, v array<double>",
+    )
+
+    def lists(force_arrow):
+        monkeypatch.setattr(S, "_IVF_CODEGEN_MAX_K", 0 if force_arrow else 64)
+        out = df.select(
+            "vec_id", S._nprobe_clusters(F.col("v"), cents, 8).alias("l")
+        ).collect()
+        return {r["vec_id"]: tuple(r["l"]) for r in out}
+
+    assert lists(False) == lists(True)
+
+
 def test_ivf_arrow_route_chunked_scratch(spark):
     """The Arrow argmin bounds its (chunk, K, dim) scratch at ~64 MB by
     row-chunking each batch; with a K large enough to force chunk=1-3
