@@ -129,7 +129,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 from .incremental import build_chunk_manifest
 
                 new_manifest = build_chunk_manifest(
-                    spark, args.directory, args.hash_algorithm, args.block_size
+                    spark,
+                    args.directory,
+                    args.hash_algorithm,
+                    args.block_size,
+                    streamed=args.streamed_fold,
                 )
             new_manifest.write.mode("overwrite").parquet(args.write_manifest)
             print(f"manifest: {args.write_manifest}", file=sys.stderr)

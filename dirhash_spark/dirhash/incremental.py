@@ -67,6 +67,7 @@ def build_chunk_manifest(
     directory: str,
     hash_algorithm: str = "sha256",
     blocksize: str = DEFAULT_BLOCK_SIZE,
+    streamed: bool = False,
 ) -> DataFrame:
     """One full read+hash pass → the reusable manifest:
     (path, size, mtime_ns, block_num, digest).  Persist this with any
@@ -76,10 +77,44 @@ def build_chunk_manifest(
     were computed under: a digest is only reusable under the SAME
     parameters, and without the stamp an incremental run with different
     ones would splice old-parameter digests with fresh ones and print a
-    plausible-looking but wrong v1 hash."""
+    plausible-looking but wrong v1 hash.
+
+    ``streamed=True`` builds the manifest without any O(files) driver
+    structure (the build-side twin of the streamed incremental fold):
+    budget-routed listing, executor-side stats, cluster-derived chunk
+    plan — the manifest relation never passes through the driver.  A
+    tree whose serial walk finishes inside the budget keeps the
+    driver-side build (same rows, pinned in tests)."""
     directory = strip_trailing_slash(directory)
     bs = parse_blocksize(blocksize)
-    entries = [e for e in list_entries(directory, spark) if not e.is_dir]
+    if streamed:
+        dir_entries, entries_df = listing_for_fold(spark, directory)
+        if dir_entries is None:
+            files = _stat_mtime_ns(
+                entries_df.where(~F.col("is_dir"))
+                # consumed by the stat side AND the chunk plan —
+                # checkpoint so the stat stage runs once
+            ).localCheckpoint()
+            return (
+                files.select(
+                    F.col("relative_path").alias("path"), "size", "mtime_ns"
+                )
+                # LEFT join: zero-chunk (empty) files keep their key,
+                # same contract as the driver-side build below
+                .join(digest_directory_df(spark, files, bs, hash_algorithm), "path", "left")
+                .select(
+                    "path",
+                    "size",
+                    "mtime_ns",
+                    "block_num",
+                    "digest",
+                    F.lit(hash_algorithm).alias("hash_algorithm"),
+                    F.lit(bs).cast("bigint").alias("blocksize_bytes"),
+                )
+            )
+        entries = [e for e in dir_entries if not e.is_dir]
+    else:
+        entries = [e for e in list_entries(directory, spark) if not e.is_dir]
     stats = {
         e.relative_path: (e.size, _entry_mtime_ns(e, spark)) for e in entries
     }

@@ -405,6 +405,22 @@ def test_incremental_streamed_cluster_route_bit_identical(
     )
     assert h2 == want_h and st2["n_rehashed_files"] == 0
 
+    # the BUILD side has the same two routes: the forced-cluster
+    # manifest build (no O(files) driver structure) must produce
+    # row-identical output to the driver-side build, and feed full
+    # reuse back into the incremental fold
+    built_driver = build_chunk_manifest(spark, str(root), "sha256", "1k")
+    built_cluster = build_chunk_manifest(
+        spark, str(root), "sha256", "1k", streamed=True
+    ).localCheckpoint()
+    assert sorted(map(key, built_cluster.collect())) == sorted(
+        map(key, built_driver.collect())
+    )
+    h3, st3 = hash_directory_incremental(
+        spark, str(root), built_cluster, "sha256", "1k", streamed=True
+    )
+    assert h3 == want_h and st3["n_rehashed_files"] == 0
+
 
 def test_incremental_rejects_mismatched_manifest_parameters(spark, tmp_path):
     """A manifest records the (hash_algorithm, blocksize) its digests
