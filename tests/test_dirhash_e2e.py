@@ -562,6 +562,12 @@ def test_file_scheme_symlink_parity_streamed_vs_collect(spark, tmp_path):
         (e.relative_path, e.is_dir, e.size) for e in list_entries(uri, spark)
     }
     assert uri_set == plain_set
+    # and the sessionless form accepts file:// too (it used to raise
+    # FileNotFoundError on the unstripped scheme prefix)
+    no_spark_set = {
+        (e.relative_path, e.is_dir, e.size) for e in list_entries(uri)
+    }
+    assert no_spark_set == plain_set
     # the divergence witness: the dirlink's contents must be absent
     assert ("dirlink/", True, 0) in uri_set
     assert not any(

@@ -1168,6 +1168,26 @@ def test_nprobe_routes_bit_identical_on_near_ties(spark, monkeypatch):
     assert lists(False) == lists(True)
 
 
+def test_pq_encode_chunk_stitch_transparent():
+    """_pq_codes_nrm bounds its (rows, M, K, d) scratch by row-chunking
+    (needed once the derived codebook reaches 256 centroids); the
+    multi-chunk stitch must return exactly the codes an unchunked
+    argmin computes, and codes must stay in [0, K)."""
+    import numpy as np
+
+    from dirhash_spark.operators.similarity import _pq_codes_nrm
+
+    rng = np.random.RandomState(3)
+    books = rng.standard_normal((8, 256, 8))  # chunk = 512 rows at 64 MB
+    v = rng.standard_normal((1200, 64))  # 3 chunks, last one partial
+    codes, nrm = _pq_codes_nrm(v, books)
+    sub = v.reshape(len(v), 8, 8)
+    want = ((sub[:, :, None, :] - books[None]) ** 2).sum(-1).argmin(-1)
+    assert np.array_equal(np.asarray(codes), want)
+    assert all(0 <= c < 256 for row in codes for c in row)
+    assert np.allclose(nrm, np.sqrt((v**2).sum(1)))
+
+
 def test_ivf_arrow_route_chunked_scratch(spark):
     """The Arrow argmin bounds its (chunk, K, dim) scratch at ~64 MB by
     row-chunking each batch; with a K large enough to force chunk=1-3
