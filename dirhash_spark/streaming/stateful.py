@@ -749,7 +749,10 @@ def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_session_flush(
-    spark: SparkSession, sf_dir: str, query_name: str = "dirhash_session_native"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "dirhash_session_native",
+    state_partitions: int = 8,
 ) -> tuple[DataFrame, list]:
     """Stream-NATIVE gap sessionization with watermark finalization —
     the state-store lifecycle the batch twin (``stream_session``)
@@ -776,6 +779,21 @@ def run_session_flush(
     the answer came out right.  Scale shape: state is O(open sessions),
     keyed by user; the shuffle is the session-window exchange per
     micro-batch — identical topology at any corpus size.
+
+    ``state_partitions`` is the stateful query's OWN shuffle width —
+    the one sizing decision Structured Streaming makes per query, not
+    per session: the partition count is baked into the checkpoint at
+    batch 0 and every micro-batch afterwards pays one state-store
+    commit (snapshot/delta file) PER PARTITION, so the right width
+    tracks open-session cardinality and per-batch volume, not the
+    batch-analytics ``spark.sql.shuffle.partitions`` of the session.
+    Inheriting the session's 32 billed 32 store commits per batch to
+    micro-batches carrying a few thousand open sessions — measured
+    2.0x the whole streaming wall vs 8 (BASELINE.md r12, identical
+    results and state metrics; a production deployment with millions
+    of open sessions raises it at first start the same way).  The
+    session conf is scoped with try/finally and restored after the
+    query terminates.
     """
     import shutil
 
@@ -813,29 +831,46 @@ def run_session_flush(
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        session_counts(stream)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("session flush stream still running after 300 s")
-        progress = [
-            p["stateOperators"]
-            for p in (json.loads(pr.json) for pr in q.recentProgress)
-            if p.get("stateOperators")
-        ]
+        q = (
+            session_counts(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("session flush stream still running after 300 s")
+            progress = [
+                p["stateOperators"]
+                for p in (json.loads(pr.json) for pr in q.recentProgress)
+                if p.get("stateOperators")
+            ]
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    out = spark.createDataFrame(
-        # bounded: memory-sink snapshot of finalized sessions (one row
-        # per closed session, never per event)
-        spark.table(query_name).where(F.col("user_id") >= 0).collect(),
-        "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT",
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # Snapshot the memory sink JVM-side: the sink table is already a
+    # bounded driver-resident buffer (one row per CLOSED session, never
+    # per event); localCheckpoint decouples the result from the sink's
+    # table name (a later run may reuse/drop it) without the Python
+    # round-trip a collect+createDataFrame rebuild paid (measured 2.9 s
+    # vs 0.6 s on the sf0.1 sink — same rows, same schema).  Same
+    # lineage-truncation fault-tolerance trade as hashdir.py:237.
+    out = (
+        spark.table(query_name)
+        .where(F.col("user_id") >= 0)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .localCheckpoint()
     )
     return out, progress
 
