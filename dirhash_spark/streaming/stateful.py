@@ -748,6 +748,51 @@ def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.localCheckpoint()
 
 
+def stage_session_replay(
+    spark: SparkSession, sf_dir: str, src: str, waves: tuple[int, ...] = (0, 1, 2)
+) -> None:
+    """Stage the session-replay source files under ``src``: the events
+    table split at its midpoint timestamp into two chronological waves
+    (0 and 1), plus a far-future sentinel wave (2) that pushes the
+    watermark past every real session end.  Each wave is one parquet
+    file with its mtime stamped 100 s apart so the file source's
+    oldest-first ordering replays them as separate, chronologically
+    faithful micro-batches (``maxFilesPerTrigger=1``).
+
+    ``waves`` selects which waves to stage — the restart-recovery test
+    stages wave 0, runs a query to completion, then stages waves 1-2
+    and RESTARTS from the same checkpoint, so arrival-while-stopped is
+    part of the replay.  Staging is incremental: existing files keep
+    their stamps.
+    """
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("ts", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()  # bounded: one row
+    mid = lo + (hi - lo) / 2
+
+    def add_file(df, order):
+        known = set()
+        if os.path.isdir(src):
+            known = {f for f in os.listdir(src) if not f.startswith("_")}
+        df.coalesce(1).write.mode("append").parquet(src)
+        # deterministic replay order: the file source processes oldest
+        # mtime first, so stamp each wave 100 s apart
+        for f in os.listdir(src):
+            if not f.startswith("_") and f not in known:
+                t = 1_600_000_000 + order * 100
+                os.utime(os.path.join(src, f), (t, t))
+
+    if 0 in waves:
+        add_file(ev.where(F.col("ts") < F.lit(mid)), 0)
+    if 1 in waves:
+        add_file(ev.where(F.col("ts") >= F.lit(mid)), 1)
+    if 2 in waves:
+        sentinel = spark.sql(
+            f"SELECT timestamp'{hi}' + INTERVAL 365 DAYS AS ts, CAST(-1 AS BIGINT) AS user_id"
+        )
+        add_file(sentinel, 2)
+
+
 def run_session_flush(
     spark: SparkSession,
     sf_dir: str,
@@ -799,32 +844,9 @@ def run_session_flush(
 
     from .ops import session_counts
 
-    cat = Catalog(spark, sf_dir)
     src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "session_native_src")
     shutil.rmtree(src, ignore_errors=True)
-
-    ev = cat.events.select("ts", "user_id")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()  # bounded: one row
-    mid = lo + (hi - lo) / 2
-
-    def add_file(df, order):
-        known = set()
-        if os.path.isdir(src):
-            known = {f for f in os.listdir(src) if not f.startswith("_")}
-        df.coalesce(1).write.mode("append").parquet(src)
-        # deterministic replay order: the file source processes oldest
-        # mtime first, so stamp each wave 100 s apart
-        for f in os.listdir(src):
-            if not f.startswith("_") and f not in known:
-                t = 1_600_000_000 + order * 100
-                os.utime(os.path.join(src, f), (t, t))
-
-    add_file(ev.where(F.col("ts") < F.lit(mid)), 0)
-    add_file(ev.where(F.col("ts") >= F.lit(mid)), 1)
-    sentinel = spark.sql(
-        f"SELECT timestamp'{hi}' + INTERVAL 365 DAYS AS ts, CAST(-1 AS BIGINT) AS user_id"
-    )
-    add_file(sentinel, 2)
+    stage_session_replay(spark, sf_dir, src)
 
     stream = (
         spark.readStream.schema("ts TIMESTAMP, user_id BIGINT")

@@ -200,3 +200,90 @@ def test_session_native_state_store_lifecycle(spark, sf_dir):
     got = sorted(map(tuple, out.collect()))
     expected = sorted(map(tuple, batch.collect()))
     assert got == expected and len(got) > 0
+
+
+def test_session_flush_restart_recovery(spark, sf_dir, tmp_path):
+    """Checkpoint recovery is exactly-once: run the session-window
+    query over wave 0 only, let it STOP (availableNow), stage the
+    remaining waves, and restart from the SAME checkpoint into the
+    SAME transactional file sink.  The restarted query must reload the
+    open-session state store and the committed watermark (sessions
+    straddling the wave boundary merge across the restart, nothing is
+    re-emitted), so the final sink equals the batch gaps-and-islands
+    aggregation row-for-row — the recovery path run_session_flush's
+    single uninterrupted run never exercises."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.streaming.ops import session_counts
+    from dirhash_spark.streaming.stateful import stage_session_replay
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+
+    def start():
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, user_id BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            session_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    stage_session_replay(spark, sf_dir, src, waves=(0,))
+    q1 = start()
+    assert q1.awaitTermination(120)
+    run1_batches = {json.loads(p.json)["batchId"] for p in q1.recentProgress}
+    assert run1_batches, "first run processed nothing"
+
+    stage_session_replay(spark, sf_dir, src, waves=(1, 2))
+    q2 = start()
+    assert q2.awaitTermination(120)
+    run2_batches = {json.loads(p.json)["batchId"] for p in q2.recentProgress}
+    # the restart resumed AFTER run 1's last committed batch — no
+    # offset replay, no batch-id overlap — and actually did new work
+    assert run2_batches and min(run2_batches) > max(run1_batches)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(sink).where(F.col("user_id") >= 0).collect())
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert got == expected and len(got) > 0
+
+
+def test_session_flush_restores_shuffle_conf_on_failure(spark, sf_dir, monkeypatch):
+    """run_session_flush scopes spark.sql.shuffle.partitions to its
+    state width; a failure while the scoped conf is live must restore
+    the session value (a leaked width would silently re-plan every
+    subsequent batch query in the session)."""
+    import dirhash_spark.streaming.stateful as S
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def boom(_stream):
+        raise RuntimeError("injected stream construction failure")
+
+    import dirhash_spark.streaming.ops as ops_mod
+
+    monkeypatch.setattr(ops_mod, "session_counts", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        S.run_session_flush(spark, sf_dir, query_name="t_conf_restore")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
