@@ -29,9 +29,42 @@ returns to the driver.
 from __future__ import annotations
 
 import os
+import re
 import time
 from collections.abc import Iterator
 from dataclasses import dataclass
+
+#: A URI scheme with an authority marker ("scheme://...").  Plain local
+#: paths — including pathological names containing ':' — never match.
+_SCHEME_RE = re.compile(r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<rest>.*)$", re.S)
+
+
+def local_root(root: str) -> str | None:
+    """The local filesystem path for ``root`` when it IS local: a bare
+    path, or a ``file://`` URI (scheme matched case-insensitively, per
+    RFC 3986) with an empty or ``localhost`` authority.  Returns None
+    for any other scheme — the caller routes those to the JVM-gateway
+    walk.  A ``file://`` URI with a REAL authority is refused loudly:
+    neither a local walk nor Hadoop's LocalFileSystem (which silently
+    ignores the authority) can honour "that other host's filesystem",
+    and a silently wrong route here means a silently wrong digest.
+
+    Every listing form routes through this ONE helper so the serial,
+    parallel, fold-router, and DataFrame walks can never desynchronize
+    on scheme handling (they share one symlink semantics by design).
+    """
+    m = _SCHEME_RE.match(root)
+    if not m:
+        return root
+    if m.group("scheme").lower() != "file":
+        return None
+    authority, sep, path = m.group("rest").partition("/")
+    if authority and authority.lower() != "localhost":
+        raise ValueError(
+            f"unsupported file:// authority {authority!r} in {root!r}: "
+            "file URIs must address this host (empty or 'localhost')"
+        )
+    return sep + path if sep else "/"
 
 
 @dataclass(frozen=True)
@@ -69,22 +102,24 @@ def list_entries(
     ``spark=None`` always walks serially with no budget.
     """
     root = strip_trailing_slash(root)
-    if spark is not None and "://" in root and not root.startswith("file://"):
-        return _list_hadoop(spark, root)
     # file:// is walked LOCALLY, same as a bare path: every listing form
     # (serial, parallel, DataFrame) must share one symlink semantics —
     # Hadoop's LocalFileSystem reports a symlinked dir as a directory
     # and walks INTO it, so routing file:// through _list_hadoop made
     # the collect and streamed folds diverge on symlink trees (and made
     # hash("file:///t") != hash("/t") on the same tree).
-    local_root = root[len("file://") :] if root.startswith("file://") else root
+    local = local_root(root)
+    if local is None:
+        if spark is None:
+            raise FileNotFoundError(f"not a directory: {root}")
+        return _list_hadoop(spark, root)
     if spark is None:
-        return _list_local(local_root)
+        return _list_local(local)
     if serial_budget_s is None:
         serial_budget_s = SERIAL_WALK_BUDGET_S
-    entries = _list_local(local_root, budget_s=serial_budget_s)
+    entries = _list_local(local, budget_s=serial_budget_s)
     if entries is None:  # budget tripped → latency/size-bound tree
-        entries = parallel_list_entries(spark, local_root)
+        entries = parallel_list_entries(spark, local)
     return entries
 
 
@@ -240,18 +275,18 @@ def parallel_list_entries(
     rather than silently producing an empty listing.
     """
     root = strip_trailing_slash(root)
-    if "://" in root and not root.startswith("file://"):
+    local = local_root(root)
+    if local is None:
         return list_entries(root, spark)  # serial fallback (see doc)
-    local_root = root[len("file://") :] if root.startswith("file://") else root
-    if not os.path.isdir(local_root):
-        raise FileNotFoundError(f"not a directory: {local_root}")
+    if not os.path.isdir(local):
+        raise FileNotFoundError(f"not a directory: {local}")
 
     entries: list[Entry] = []
-    for level in _level_frontier_walk(spark, local_root, level_partitions):
+    for level in _level_frontier_walk(spark, local, level_partitions):
         for r in level.collect():
             # bounded: one tree LEVEL of (path, is_dir, size) metadata
             # triples — the same rows a serial walk would hold anyway
-            rel = os.path.relpath(r["path"], local_root).replace(os.sep, "/")
+            rel = os.path.relpath(r["path"], local).replace(os.sep, "/")
             if r["is_dir"]:
                 entries.append(Entry(rel + "/", True, 0, r["path"]))
             else:
@@ -273,15 +308,15 @@ def listing_for_fold(
     materializes on the driver at all.  Scheme paths use the serial
     JVM-gateway walk (same reason as :func:`parallel_list_entries`)."""
     root = strip_trailing_slash(root)
-    if "://" in root and not root.startswith("file://"):
+    local = local_root(root)
+    if local is None:
         return list_entries(root, spark), None
-    local_root = root[len("file://") :] if root.startswith("file://") else root
-    if not os.path.isdir(local_root):
-        raise FileNotFoundError(f"not a directory: {local_root}")
+    if not os.path.isdir(local):
+        raise FileNotFoundError(f"not a directory: {local}")
     if serial_budget_s is None:
         serial_budget_s = SERIAL_WALK_BUDGET_S
     if serial_budget_s > 0:
-        entries = _list_local(local_root, budget_s=serial_budget_s)
+        entries = _list_local(local, budget_s=serial_budget_s)
         if entries is not None:
             return entries, None
     return None, list_entries_df(spark, root, serial_budget_s=0)
@@ -308,19 +343,19 @@ def list_entries_df(
     JVM-gateway walk (same reason as :func:`parallel_list_entries`).
     """
     root = strip_trailing_slash(root)
-    if "://" in root and not root.startswith("file://"):
+    local = local_root(root)
+    if local is None:
         entries = list_entries(root, spark)
         return spark.createDataFrame(
             [(e.relative_path, e.is_dir, e.size, e.full_path) for e in entries],
             ENTRY_DF_SCHEMA,
         )
-    local_root = root[len("file://") :] if root.startswith("file://") else root
-    if not os.path.isdir(local_root):
-        raise FileNotFoundError(f"not a directory: {local_root}")
+    if not os.path.isdir(local):
+        raise FileNotFoundError(f"not a directory: {local}")
     if serial_budget_s is None:
         serial_budget_s = SERIAL_WALK_BUDGET_S
     if serial_budget_s > 0:
-        entries = _list_local(local_root, budget_s=serial_budget_s)
+        entries = _list_local(local, budget_s=serial_budget_s)
         if entries is not None:
             return spark.createDataFrame(
                 [(e.relative_path, e.is_dir, e.size, e.full_path) for e in entries],
@@ -329,18 +364,18 @@ def list_entries_df(
 
     from pyspark.sql import functions as F
 
-    levels = list(_level_frontier_walk(spark, local_root, level_partitions))
+    levels = list(_level_frontier_walk(spark, local, level_partitions))
     df = levels[0]
     for lv in levels[1:]:
         df = df.union(lv)
     # Children paths are os.path.join(parent, name) descending from
-    # local_root, so the relative path is a fixed-length prefix strip
+    # the local root, so the relative path is a fixed-length prefix strip
     # (substring positions count the same code points Python len does).
-    # The joining '/' is only appended when local_root doesn't already
+    # The joining '/' is only appended when the local root doesn't already
     # end with one — computing the strip length from the rstrip'd root
-    # keeps local_root == '/' (children '/name') from silently losing
+    # keeps a '/' root (children '/name') from silently losing
     # the first character of every relative path.
-    rel = F.expr(f"substring(path, {len(local_root.rstrip('/')) + 2})")
+    rel = F.expr(f"substring(path, {len(local.rstrip('/')) + 2})")
     return df.select(
         F.when(F.col("is_dir"), F.concat(rel, F.lit("/"))).otherwise(rel).alias(
             "relative_path"

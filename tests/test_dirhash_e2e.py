@@ -697,3 +697,54 @@ def test_collect_fold_bit_identical_under_forced_parallel_listing(
     expected = spec_hash(root, files, bs)
     monkeypatch.setattr(L, "SERIAL_WALK_BUDGET_S", 0.0)
     assert hash_directory_raw(spark, root, "sha256", bs) == expected
+
+
+def test_file_uri_authority_and_scheme_case(spark, tmp_path):
+    """file:// URI edge forms route through ONE helper (local_root) in
+    every listing form: a 'localhost' authority addresses this host
+    (RFC 8089), the scheme matches case-insensitively (RFC 3986), and
+    a REAL remote authority is refused loudly in every route — neither
+    a local walk nor Hadoop's LocalFileSystem (which silently ignores
+    the authority) can honour another host's filesystem, and a silently
+    wrong route is a silently wrong digest."""
+    import pytest as _pytest
+
+    from dirhash_spark.dirhash.hashdir import hash_directory_raw
+    from dirhash_spark.dirhash.listing import (
+        list_entries,
+        list_entries_df,
+        listing_for_fold,
+        local_root,
+        parallel_list_entries,
+    )
+
+    root = tmp_path / "utree"
+    (root / "sub").mkdir(parents=True)
+    (root / "sub" / "a.bin").write_bytes(b"z" * 97)
+    (root / "top.txt").write_bytes(b"q" * 11)
+    plain = {(e.relative_path, e.is_dir, e.size) for e in list_entries(str(root))}
+
+    for uri in (f"file://localhost{root}", f"FILE://{root}", f"File://localhost{root}"):
+        got = {(e.relative_path, e.is_dir, e.size) for e in list_entries(uri, spark)}
+        assert got == plain, uri
+        assert hash_directory_raw(spark, uri, "sha256", 64) == hash_directory_raw(
+            spark, str(root), "sha256", 64
+        )
+
+    bad = f"file://otherhost{root}"
+    for call in (
+        lambda: list_entries(bad, spark),
+        lambda: list_entries(bad),
+        lambda: parallel_list_entries(spark, bad),
+        lambda: list_entries_df(spark, bad),
+        lambda: listing_for_fold(spark, bad),
+    ):
+        with _pytest.raises(ValueError, match="authority"):
+            call()
+
+    # bare paths (including ':' in a component) are never URI-parsed
+    weird = tmp_path / "odd:name"
+    weird.mkdir()
+    (weird / "f").write_bytes(b"1")
+    assert local_root(str(weird)) == str(weird)
+    assert {e.relative_path for e in list_entries(str(weird))} == {"f"}
