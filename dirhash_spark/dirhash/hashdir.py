@@ -160,6 +160,49 @@ def digest_directory_df(
     )
 
 
+def fold_header_streamed(h, entries_df: DataFrame) -> None:
+    """Stream the v1 fold HEADER from a cluster-side listing into
+    hasher ``h``: entry count, NUL, the NUL-separated relative paths in
+    cluster sort order (Spark's UTF8String binary order == code-point
+    order, matching Python's str sort — parity pinned in
+    tests/test_properties.py), trailing NUL — byte-identical to the
+    driver-side header :func:`..codec.fold_digest` builds.  One sorted
+    partition of path strings is driver-resident at a time, never the
+    listing.  THE single definition of the streamed header framing:
+    the full-hash fold and the incremental splice both call it, so the
+    framing cannot drift between them."""
+    h.update(str(entries_df.count()).encode("ascii"))
+    h.update(b"\x00")
+    paths = (
+        entries_df.orderBy("relative_path")
+        .select("relative_path")
+        .toLocalIterator()  # bounded: one sorted partition of path
+        # strings resident at a time — never the full listing
+    )
+    for i, row in enumerate(paths):
+        if i:
+            h.update(b"\x00")
+        h.update(row["relative_path"].encode("utf-8"))
+    h.update(b"\x00")
+
+
+def fold_digests_streamed(h, digests: DataFrame) -> None:
+    """Drain (path, block_num)-sorted chunk digests into hasher ``h``
+    — the v1 fold's payload section, cluster-sorted; one sorted
+    partition of 32-byte digests driver-resident at a time.  Shared by
+    the full-hash streamed fold and the incremental splice (callers
+    localCheckpoint ``digests`` first so the orderBy's range-exchange
+    sampling never re-runs the read+hash stage)."""
+    it = (
+        digests.orderBy("path", "block_num")
+        .select("digest")
+        .toLocalIterator()  # bounded: one sorted partition of 32-byte
+        # digests resident at a time — never the full set
+    )
+    for row in it:
+        h.update(bytes(row["digest"]))
+
+
 def hash_directory_raw(
     spark: SparkSession,
     directory: str,
@@ -274,19 +317,7 @@ def hash_directory_raw_streamed(
             else None
         )
     else:
-        h.update(str(entries_df.count()).encode("ascii"))
-        h.update(b"\x00")
-        paths = (
-            entries_df.orderBy("relative_path")
-            .select("relative_path")
-            .toLocalIterator()  # bounded: one sorted partition of path
-            # strings resident at a time — never the full listing
-        )
-        for i, row in enumerate(paths):
-            if i:
-                h.update(b"\x00")
-            h.update(row["relative_path"].encode("utf-8"))
-        h.update(b"\x00")
+        fold_header_streamed(h, entries_df)
         has_bytes = (
             entries_df.where((~F.col("is_dir")) & (F.col("size") > 0)).limit(1).count()
             > 0
@@ -298,15 +329,7 @@ def hash_directory_raw_streamed(
         )
 
     if digests is not None:
-        digests = digests.localCheckpoint()
-        it = (
-            digests.orderBy("path", "block_num")
-            .select("digest")
-            .toLocalIterator()  # bounded: one sorted partition of
-            # 32-byte digests resident at a time — never the full set
-        )
-        for row in it:
-            h.update(bytes(row["digest"]))
+        fold_digests_streamed(h, digests.localCheckpoint())
     return h.hexdigest()
 
 

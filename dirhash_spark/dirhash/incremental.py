@@ -45,7 +45,12 @@ from .codec import (
     get_hash_func,
     parse_blocksize,
 )
-from .hashdir import digest_directory, digest_directory_df
+from .hashdir import (
+    digest_directory,
+    digest_directory_df,
+    fold_digests_streamed,
+    fold_header_streamed,
+)
 from .listing import Entry, list_entries, listing_for_fold, strip_trailing_slash
 
 
@@ -88,13 +93,12 @@ def build_chunk_manifest(
     directory = strip_trailing_slash(directory)
     bs = parse_blocksize(blocksize)
     if streamed:
-        dir_entries, entries_df = listing_for_fold(spark, directory)
+        dir_entries, entries_df = listing_for_fold(spark, directory, with_mtime=True)
         if dir_entries is None:
-            files = _stat_mtime_ns(
-                entries_df.where(~F.col("is_dir"))
-                # consumed by the stat side AND the chunk plan —
-                # checkpoint so the stat stage runs once
-            ).localCheckpoint()
+            # mtime_ns rides the walk's own scandir stat (one metadata
+            # pass); checkpoint so the manifest's stat side and the
+            # chunk plan re-read materialized rows
+            files = entries_df.where(~F.col("is_dir")).localCheckpoint()
             return (
                 files.select(
                     F.col("relative_path").alias("path"), "size", "mtime_ns"
@@ -207,7 +211,7 @@ def hash_directory_incremental(
     bs = parse_blocksize(blocksize)
     _check_manifest_parameters(manifest, hash_algorithm, bs)
     if streamed:
-        entries, entries_df = listing_for_fold(spark, directory)
+        entries, entries_df = listing_for_fold(spark, directory, with_mtime=True)
         if entries is None:
             return _incremental_cluster(
                 spark, entries_df, manifest, hash_algorithm, bs, blocksize,
@@ -280,29 +284,6 @@ def hash_directory_incremental(
     return hash_string, stats, new_manifest
 
 
-def _stat_mtime_ns(files_df: DataFrame) -> DataFrame:
-    """Append ``mtime_ns`` to listing rows by stat-ing each file on the
-    executors — the cluster twin of :func:`_entry_mtime_ns` (the
-    cluster walk only ever carries local/shared-filesystem paths, see
-    ``listing_for_fold``, so ``os.stat`` is the right call on every
-    row, exactly like the walk's own ``scandir`` stats)."""
-    import pandas as pd
-
-    def stat_batches(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["mtime_ns"] = pd.array(
-                [os.stat(p).st_mtime_ns for p in pdf["full_path"]], dtype="int64"
-            )
-            yield pdf
-
-    return files_df.mapInPandas(
-        stat_batches,
-        "relative_path string, is_dir boolean, size long, full_path string, "
-        "mtime_ns long",
-    )
-
-
 def _incremental_cluster(
     spark: SparkSession,
     entries_df: DataFrame,
@@ -320,7 +301,9 @@ def _incremental_cluster(
     partition of paths/digests plus one walk frontier, never the file
     set (r11 verdict item 4: this was the last O(files) driver
     structure in the dirhash scale paths)."""
-    files = _stat_mtime_ns(entries_df.where(~F.col("is_dir")))
+    files = entries_df.where(~F.col("is_dir"))  # mtime_ns rides the
+    # walk's own scandir stat — no second metadata pass (each file's
+    # size and mtime come from the SAME stat call)
     keys = manifest.select(
         F.col("path").alias("relative_path"), "size", "mtime_ns"
     ).distinct()
@@ -356,27 +339,8 @@ def _incremental_cluster(
     # re-run the read+hash stage
 
     h = get_hash_func(hash_algorithm)()
-    h.update(str(entries_df.count()).encode("ascii"))
-    h.update(b"\x00")
-    paths = (
-        entries_df.orderBy("relative_path")
-        .select("relative_path")
-        .toLocalIterator()  # bounded: one sorted partition of path
-        # strings resident at a time — never the full listing
-    )
-    for i, row in enumerate(paths):
-        if i:
-            h.update(b"\x00")
-        h.update(row["relative_path"].encode("utf-8"))
-    h.update(b"\x00")
-    it = (
-        digests.orderBy("path", "block_num")
-        .select("digest")
-        .toLocalIterator()  # bounded: one sorted partition of 32-byte
-        # digests resident at a time — never the full set
-    )
-    for row in it:
-        h.update(bytes(row["digest"]))
+    fold_header_streamed(h, entries_df)
+    fold_digests_streamed(h, digests)
     hash_string = build_hash_string(hash_algorithm, blocksize, h.hexdigest())
     if not with_manifest:
         return hash_string, stats

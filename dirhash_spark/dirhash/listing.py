@@ -77,6 +77,8 @@ class Entry:
 
 #: Schema of the DataFrame listing (list_entries_df).
 ENTRY_DF_SCHEMA = "relative_path string, is_dir boolean, size long, full_path string"
+#: The same listing with the stat's mtime (list_entries_df(with_mtime=True)).
+ENTRY_MTIME_DF_SCHEMA = ENTRY_DF_SCHEMA + ", mtime_ns long"
 
 #: Serial-walk budget before list_entries restarts as the parallel
 #: cluster walk (seconds).  Local filesystems list ~1M entries/s, so
@@ -204,18 +206,31 @@ def _scan_level(batches) -> Iterator:
                     is_dir = de.is_dir()
                 except OSError:  # os.walk treats an unstatable entry as a file
                     is_dir = False
+                # one stat per file entry serves size AND mtime_ns: the
+                # incremental diff consumes mtime from the SAME stat
+                # that sized the file (a second stat pass both doubled
+                # the metadata round-trips on the latency-bound trees
+                # this route exists for, and could observe a different
+                # version of a concurrently-rewritten file than the
+                # size did)
+                st = None if is_dir else de.stat()
                 rows.append(
                     (
                         de.path,
                         is_dir,
-                        0 if is_dir else de.stat().st_size,
+                        0 if is_dir else st.st_size,
                         is_dir and not de.is_symlink(),
+                        0 if is_dir else st.st_mtime_ns,
                     )
                 )
-        yield pd.DataFrame(rows, columns=["path", "is_dir", "size", "walk_into"])
+        yield pd.DataFrame(
+            rows, columns=["path", "is_dir", "size", "walk_into", "mtime_ns"]
+        )
 
 
-_SCAN_LEVEL_SCHEMA = "path string, is_dir boolean, size long, walk_into boolean"
+_SCAN_LEVEL_SCHEMA = (
+    "path string, is_dir boolean, size long, walk_into boolean, mtime_ns long"
+)
 
 
 def _level_frontier_walk(spark, local_root: str, level_partitions: int):
@@ -295,7 +310,10 @@ def parallel_list_entries(
 
 
 def listing_for_fold(
-    spark, root: str, serial_budget_s: float | None = None
+    spark,
+    root: str,
+    serial_budget_s: float | None = None,
+    with_mtime: bool = False,
 ) -> tuple[list[Entry] | None, "object"]:
     """Serial-budget router for the streamed fold: returns
     ``(entries, None)`` when the serial walk finishes inside the budget
@@ -319,7 +337,9 @@ def listing_for_fold(
         entries = _list_local(local, budget_s=serial_budget_s)
         if entries is not None:
             return entries, None
-    return None, list_entries_df(spark, root, serial_budget_s=0)
+    return None, list_entries_df(
+        spark, root, serial_budget_s=0, with_mtime=with_mtime
+    )
 
 
 def list_entries_df(
@@ -327,6 +347,7 @@ def list_entries_df(
     root: str,
     level_partitions: int = 32,
     serial_budget_s: float | None = None,
+    with_mtime: bool = False,
 ):
     """DataFrame twin of :func:`list_entries` (schema
     :data:`ENTRY_DF_SCHEMA`) for folds that stream the listing
@@ -341,10 +362,24 @@ def list_entries_df(
     overhead.  ``serial_budget_s=0`` forces the cluster-side walk
     (tests pin route equality).  Scheme paths go through the serial
     JVM-gateway walk (same reason as :func:`parallel_list_entries`).
+
+    ``with_mtime=True`` appends an ``mtime_ns`` column (0 for dirs) for
+    consumers that diff listings against a manifest — on the cluster
+    route it rides the SAME ``scandir`` stat that sized the entry (no
+    second metadata pass over a latency-bound tree, and size/mtime are
+    a consistent snapshot under concurrent rewrites); on the serial
+    short-circuit the budget already proved the tree driver-sized, so
+    the driver stats it.  Local roots only (a non-local scheme with
+    ``with_mtime`` raises — no caller needs it, better loud than a
+    silent schema change).
     """
     root = strip_trailing_slash(root)
     local = local_root(root)
     if local is None:
+        if with_mtime:
+            raise ValueError(
+                f"with_mtime requires a locally-walkable root, got {root!r}"
+            )
         entries = list_entries(root, spark)
         return spark.createDataFrame(
             [(e.relative_path, e.is_dir, e.size, e.full_path) for e in entries],
@@ -357,6 +392,20 @@ def list_entries_df(
     if serial_budget_s > 0:
         entries = _list_local(local, budget_s=serial_budget_s)
         if entries is not None:
+            if with_mtime:
+                return spark.createDataFrame(
+                    [
+                        (
+                            e.relative_path,
+                            e.is_dir,
+                            e.size,
+                            e.full_path,
+                            0 if e.is_dir else os.stat(e.full_path).st_mtime_ns,
+                        )
+                        for e in entries
+                    ],
+                    ENTRY_MTIME_DF_SCHEMA,
+                )
             return spark.createDataFrame(
                 [(e.relative_path, e.is_dir, e.size, e.full_path) for e in entries],
                 ENTRY_DF_SCHEMA,
@@ -376,11 +425,14 @@ def list_entries_df(
     # keeps a '/' root (children '/name') from silently losing
     # the first character of every relative path.
     rel = F.expr(f"substring(path, {len(local.rstrip('/')) + 2})")
-    return df.select(
+    cols = [
         F.when(F.col("is_dir"), F.concat(rel, F.lit("/"))).otherwise(rel).alias(
             "relative_path"
         ),
-        "is_dir",
+        F.col("is_dir"),
         F.col("size").cast("long").alias("size"),
         F.col("path").alias("full_path"),
-    )
+    ]
+    if with_mtime:
+        cols.append(F.col("mtime_ns").cast("long").alias("mtime_ns"))
+    return df.select(*cols)

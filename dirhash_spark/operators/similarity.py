@@ -365,9 +365,12 @@ def _nprobe_clusters_arrow(vec_col, cents: np.ndarray, nprobe: int):
 
     c = np.ascontiguousarray(cents, dtype=np.float64)
     take = int(nprobe)
-    # chunk rows so the (chunk, K) scratch (a handful of live copies)
-    # stays ~64 MB
-    chunk = max(1, (64 << 20) // (c.shape[0] * 8))
+    # chunk rows so PEAK live scratch stays ~64 MB: each dimension step
+    # holds three (chunk, K) float64 arrays at once — the accumulator
+    # `d`, the difference `t`, and the `t*t` temporary — so the budget
+    # divides by 3, not 1 (sizing only the accumulator understated peak
+    # residency 3x per concurrent Python worker).
+    chunk = max(1, (64 << 20) // (3 * c.shape[0] * 8))
 
     @pandas_udf("array<int>")
     def nearest_lists(v: pd.Series) -> pd.Series:
