@@ -766,7 +766,15 @@ def stage_session_replay(
     their stamps.
     """
     cat = Catalog(spark, sf_dir)
-    ev = cat.events.select("ts", "user_id")
+    stage_replay_from(spark, cat.events.select("ts", "user_id"), src, waves)
+
+
+def stage_replay_from(
+    spark: SparkSession, ev: DataFrame, src: str, waves: tuple[int, ...] = (0, 1, 2)
+) -> None:
+    """:func:`stage_session_replay` from an arbitrary ``(ts, user_id)``
+    DataFrame — the randomized-equivalence property test feeds
+    adversarial corpora through the same staging the fixture uses."""
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()  # bounded: one row
     mid = lo + (hi - lo) / 2
 

@@ -287,3 +287,80 @@ def test_session_flush_restores_shuffle_conf_on_failure(spark, sf_dir, monkeypat
     with pytest.raises(RuntimeError, match="injected"):
         S.run_session_flush(spark, sf_dir, query_name="t_conf_restore")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_session_replay_randomized_equivalence(spark, tmp_path):
+    """Watermarked session replay == batch gaps-and-islands on
+    RANDOMIZED corpora, not just the fixture table: seeded event sets
+    built to hit the adversarial shapes — duplicate timestamps, gaps
+    exactly AT the 10-minute session boundary (half-open window: an
+    event at start+gap opens a NEW session), single-event sessions,
+    users wholly inside one wave, and sessions straddling the
+    chronological split (must merge in state across micro-batches).
+    The streamed result must equal the batch session aggregation
+    row-for-row for every seed."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.streaming.ops import session_counts
+    from dirhash_spark.streaming.stateful import stage_replay_from
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        base = datetime(2024, 1, 1)
+        rows = []
+        for u in range(rng.randint(3, 8)):
+            t = base + timedelta(minutes=rng.randint(0, 120))
+            rows.append((t, u))
+            for _ in range(rng.randint(0, 39)):
+                # steps straddle the 10-minute gap: 0 = duplicate ts,
+                # 10 = exactly the boundary (new session), 9/11 = just
+                # inside/outside, 30 = clear break
+                t = t + timedelta(minutes=rng.choice([0, 1, 5, 9, 10, 11, 30]))
+                rows.append((t, u))
+        ev = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+
+        src = str(tmp_path / f"src_{seed}")
+        stage_replay_from(spark, ev, src)
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, user_id BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"t_rand_sessions_{seed}"
+        q = (
+            session_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+        got = sorted(
+            map(tuple, spark.table(name).where(F.col("user_id") >= 0).collect())
+        )
+        expected = sorted(map(tuple, session_counts_batch(ev).collect()))
+        assert got == expected and len(got) > 0, f"seed {seed}"
+
+
+def session_counts_batch(ev):
+    """Batch twin of streaming session_counts (same session_window
+    aggregation, no watermark) — the oracle for the replay tests."""
+    from pyspark.sql import functions as F
+
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
