@@ -415,7 +415,7 @@ def test_containment_df_cap_bounds_boilerplate_blowup(spark, tmp_path):
     assert kept_max <= 2  # kept pair expansion is O(1), not O(300^2)
 
 
-def test_bigstar_cc_matches_minlabel_and_round_counts(spark, tmp_path):
+def test_bigstar_cc_matches_minlabel_and_round_counts(spark, tmp_path, monkeypatch):
     """The large-star/small-star CC twin must compute the identical
     component labeling as min-label propagation on (a) a diameter-63
     chain plus a 20-clique, (b) fixed-seed random graphs, and (c) the
@@ -426,10 +426,15 @@ def test_bigstar_cc_matches_minlabel_and_round_counts(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
+    import dirhash_spark.operators.dedup as dedup_mod
     from dirhash_spark.operators.dedup import (
         _cc_large_small_star,
         _connected_components,
     )
+
+    # this test compares ROUND COUNTS of the two distributed
+    # algorithms — force past the driver union-find fast path
+    monkeypatch.setattr(dedup_mod, "_CC_DRIVER_EDGE_BOUND", -1)
 
     def both(pairs_list):
         pairs = spark.createDataFrame(pairs_list, "doc_a long, doc_b long")
@@ -1213,3 +1218,44 @@ def test_ivf_arrow_route_chunked_scratch(spark):
     d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
     want = {i: list(np.argsort(d2[i], kind="stable")[:4]) for i in range(len(vecs))}
     assert got == want
+
+
+def test_cc_driver_fastpath_matches_distributed(spark, monkeypatch):
+    """The CC router's driver union-find must label every graph
+    identically to the forced distributed min-label propagation —
+    including singletons (present in nodes, absent from edges: they
+    must keep their own label, proving corpus-sized nodes never enter
+    the driver mapping), chains, cliques, and fixed-seed random graphs
+    — and the router must actually take each route (last_iters == 0 on
+    the fast path, > 0 when forced distributed)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import dirhash_spark.operators.dedup as dedup_mod
+    from dirhash_spark.operators.dedup import _connected_components
+
+    def run(pairs_list, n_nodes):
+        pairs = spark.createDataFrame(pairs_list, "doc_a long, doc_b long")
+        edges = pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        nodes = spark.range(n_nodes).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("label")
+        )
+        fast = dict(map(tuple, _connected_components(nodes, edges).collect()))
+        assert dedup_mod._connected_components.last_iters == 0, "fast path not taken"
+        monkeypatch.setattr(dedup_mod, "_CC_DRIVER_EDGE_BOUND", -1)
+        slow = dict(map(tuple, _connected_components(nodes, edges).collect()))
+        assert dedup_mod._connected_components.last_iters > 0, "force-route failed"
+        monkeypatch.setattr(dedup_mod, "_CC_DRIVER_EDGE_BOUND", 1 << 16)
+        assert fast == slow and len(fast) == n_nodes
+
+    rng = random.Random(13)
+    chain = [(i, i + 1) for i in range(40)]
+    clique = [(60 + i, 60 + j) for i in range(12) for j in range(i + 1, 12)]
+    run(chain + clique, 100)  # ids 80-99 are singletons
+    rand = list({(min(a, b), max(a, b))
+                 for a, b in ((rng.randrange(150), rng.randrange(150)) for _ in range(120))
+                 if a != b})
+    run(rand, 180)
