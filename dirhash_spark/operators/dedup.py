@@ -514,12 +514,25 @@ _CC_DRIVER_EDGE_BOUND = 1 << 16
 
 def _cc_driver_unionfind(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Driver fast path of :func:`_connected_components`: union-find
-    (path compression + union-by-min, so every root IS its component's
-    minimum label) over an edge list the router just counted at
+    (path compression) over an edge list the router just counted at
     <= :data:`_CC_DRIVER_EDGE_BOUND` rows.  Only edge ENDPOINTS enter
-    the mapping (bounded by 2x the edge count); ``nodes`` — corpus-
-    sized, every singleton — never leaves the cluster: the mapping
-    broadcasts back and singletons keep their own label via coalesce.
+    the driver (bounded by 2x the edge count, both the pair list and
+    the one broadcast-semi-join collect of their INITIAL labels);
+    ``nodes`` — corpus-sized, every singleton — never leaves the
+    cluster: the mapping broadcasts back and singletons keep their own
+    label via coalesce.
+
+    Route parity is exact, not approximate: each component labels as
+    the MIN of its members' initial labels (what min-label propagation
+    converges to even when a caller seeds labels != doc_id), and an
+    edge endpoint absent from ``nodes`` raises loudly rather than
+    silently diverging from what propagation would emit for it (no
+    in-repo caller constructs that; the error keeps the routes
+    answer-identical by construction).  The result is a LAZY plan —
+    one broadcast join over nodes — unlike the distributed route,
+    whose per-iteration localCheckpoints materialize as a side effect;
+    re-execution here is one cheap map-side join, so callers need no
+    checkpoint.
     """
     rows = edges.select("u", "v").collect()  # bounded: router-counted
     parent: dict = {}
@@ -535,13 +548,32 @@ def _cc_driver_unionfind(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     for e in rows:
         ru, rv = find(e["u"]), find(e["v"])
         if ru != rv:
-            if rv < ru:
-                ru, rv = rv, ru
-            parent[rv] = ru  # larger root under smaller: root == min
+            parent[max(ru, rv)] = min(ru, rv)
     endpoints = {e["u"] for e in rows} | {e["v"] for e in rows}
-    mapping = [(x, find(x)) for x in endpoints]
     t = dict(nodes.dtypes)["doc_id"]
-    map_df = nodes.sparkSession.createDataFrame(mapping, f"doc_id {t}, cc_label {t}")
+    spark = nodes.sparkSession
+    ep_df = spark.createDataFrame([(x,) for x in endpoints], f"doc_id {t}")
+    init = {
+        r["doc_id"]: r["label"]
+        # bounded: one initial-label row per edge ENDPOINT (<= 2x the
+        # router-counted edge bound), fetched with a broadcast semi-join
+        for r in nodes.join(F.broadcast(ep_df), "doc_id").collect()
+    }
+    missing = endpoints - init.keys()
+    if missing:
+        raise ValueError(
+            f"_connected_components: {len(missing)} edge endpoint(s) absent "
+            f"from nodes (e.g. {next(iter(missing))!r}) — callers must list "
+            "every endpoint in nodes"
+        )
+    comp_min: dict = {}
+    for x in endpoints:
+        r = find(x)
+        m = comp_min.get(r)
+        comp_min[r] = init[x] if m is None or init[x] < m else m
+    mapping = [(x, comp_min[find(x)]) for x in endpoints]
+    lt = dict(nodes.dtypes)["label"]
+    map_df = spark.createDataFrame(mapping, f"doc_id {t}, cc_label {lt}")
     return nodes.join(F.broadcast(map_df), "doc_id", "left").select(
         "doc_id", F.coalesce("cc_label", "label").alias("label")
     )

@@ -1259,3 +1259,41 @@ def test_cc_driver_fastpath_matches_distributed(spark, monkeypatch):
                  for a, b in ((rng.randrange(150), rng.randrange(150)) for _ in range(120))
                  if a != b})
     run(rand, 180)
+
+
+def test_cc_fastpath_seeded_labels_and_missing_endpoint(spark, monkeypatch):
+    """The route contract is exact, not approximate: with SEEDED initial
+    labels (label != doc_id) the fast path must still produce what
+    min-label propagation converges to — per component, the minimum
+    INITIAL label — and an edge endpoint absent from nodes must raise
+    loudly instead of silently diverging between routes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import dirhash_spark.operators.dedup as dedup_mod
+    from dirhash_spark.operators.dedup import _connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    # seeded: node i carries label 100 - i, so component minima are the
+    # labels of the HIGHEST doc_ids (98 for {0,1,2}, 94 for {5,6}, and
+    # singletons 3/4 keep their own seeds 97/96)
+    nodes = spark.range(7).select(
+        F.col("id").alias("doc_id"), (F.lit(100) - F.col("id")).alias("label")
+    )
+    fast = dict(map(tuple, _connected_components(nodes, edges).collect()))
+    assert dedup_mod._connected_components.last_iters == 0
+    monkeypatch.setattr(dedup_mod, "_CC_DRIVER_EDGE_BOUND", -1)
+    slow = dict(map(tuple, _connected_components(nodes, edges).collect()))
+    monkeypatch.setattr(dedup_mod, "_CC_DRIVER_EDGE_BOUND", 1 << 16)
+    assert fast == slow == {0: 98, 1: 98, 2: 98, 3: 97, 4: 96, 5: 94, 6: 94}
+
+    incomplete = spark.range(6).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("label")
+    )  # node 6 missing
+    with _pytest.raises(ValueError, match="absent"):
+        _connected_components(incomplete, edges)

@@ -186,17 +186,7 @@ def test_session_native_state_store_lifecycle(spark, sf_dir):
     assert any(op["numRowsUpdated"] > 0 and op["numRowsRemoved"] > 0 for op in ops)
     assert ops[-1]["numRowsTotal"] <= 1, "store should hold only the sentinel"
 
-    batch = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
-    )
+    batch = session_counts_batch(load_table(spark, sf_dir, "events"))
     got = sorted(map(tuple, out.collect()))
     expected = sorted(map(tuple, batch.collect()))
     assert got == expected and len(got) > 0
@@ -254,18 +244,9 @@ def test_session_flush_restart_recovery(spark, sf_dir, tmp_path):
     got = sorted(
         map(tuple, spark.read.parquet(sink).where(F.col("user_id") >= 0).collect())
     )
-    batch = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
+    expected = sorted(
+        map(tuple, session_counts_batch(load_table(spark, sf_dir, "events")).collect())
     )
-    expected = sorted(map(tuple, batch.collect()))
     assert got == expected and len(got) > 0
 
 
