@@ -634,6 +634,50 @@ _CDC_MERGE_ORACLE = """
     """
 
 
+def cdc_apply_batch(spark: SparkSession, root: str):
+    """The foreachBatch MERGE body of ``stream_cdc_merge_upsert``,
+    factored out so the restart/replay tests can drive it directly:
+    version = batch_id + 1, and a REPLAYED batch recomputes ITS OWN
+    version dir from the predecessor snapshot (idempotent) — it never
+    double-applies onto its own output.  That per-batch-id versioning
+    is the entire exactly-once story for this sink (no state store),
+    so it is the thing the replay test exercises."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(os.path.join(root, f"v{batch_id}"))
+        changes = batch_df
+        merged = cur.join(
+            F.broadcast(changes.where(F.col("op") != "I")),
+            cur["c_custkey"] == F.col("k"),
+            "left",
+        ).where(F.col("op").isNull() | (F.col("op") == "U"))
+        survivors = merged.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+            F.when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.col("merge_action"))
+            .alias("merge_action"),
+        )
+        inserts = changes.where(F.col("op") == "I").select(
+            F.col("k").alias("c_custkey"),
+            F.concat(F.lit("Customer#new"), F.col("k").cast("string")).alias("c_name"),
+            (F.col("k") % 25).cast("int").alias("c_nationkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("AUTOMOBILE").alias("c_mktsegment"),
+            F.lit("inserted").alias("merge_action"),
+        )
+        survivors.unionByName(inserts).write.mode("overwrite").parquet(
+            os.path.join(root, f"v{batch_id + 1}")
+        )
+
+    return apply_batch
+
+
 @query(
     "stream_cdc_merge_upsert",
     # The change classes partition the key space (U: key%10=3, D:
@@ -690,40 +734,10 @@ def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("kept").alias("merge_action"),
     ).write.mode("overwrite").parquet(os.path.join(root, "v0"))
 
+    inner = cdc_apply_batch(spark, root)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # version = batch_id + 1: a replayed batch recomputes ITS OWN
-        # version dir from the predecessor snapshot (idempotent), never
-        # double-applies onto its own output
-        cur = spark.read.parquet(os.path.join(root, f"v{batch_id}"))
-        changes = batch_df
-        merged = cur.join(
-            F.broadcast(changes.where(F.col("op") != "I")),
-            cur["c_custkey"] == F.col("k"),
-            "left",
-        ).where(F.col("op").isNull() | (F.col("op") == "U"))
-        survivors = merged.select(
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            F.when(F.col("op") == "U", F.col("new_bal"))
-            .otherwise(F.col("c_acctbal"))
-            .alias("c_acctbal"),
-            "c_mktsegment",
-            F.when(F.col("op") == "U", F.lit("updated"))
-            .otherwise(F.col("merge_action"))
-            .alias("merge_action"),
-        )
-        inserts = changes.where(F.col("op") == "I").select(
-            F.col("k").alias("c_custkey"),
-            F.concat(F.lit("Customer#new"), F.col("k").cast("string")).alias("c_name"),
-            (F.col("k") % 25).cast("int").alias("c_nationkey"),
-            F.lit(0.0).alias("c_acctbal"),
-            F.lit("AUTOMOBILE").alias("c_mktsegment"),
-            F.lit("inserted").alias("merge_action"),
-        )
-        survivors.unionByName(inserts).write.mode("overwrite").parquet(
-            os.path.join(root, f"v{batch_id + 1}")
-        )
+        inner(batch_df, batch_id)
         state["version"] = max(state["version"], batch_id + 1)
 
     stream = (

@@ -345,3 +345,85 @@ def session_counts_batch(ev):
             "n_events",
         )
     )
+
+
+def test_cdc_merge_restart_and_replay_idempotence(spark, sf_dir, tmp_path):
+    """The CDC sink's exactly-once story is the per-batch-id version
+    dir (no state store) — pin BOTH halves of it:
+
+    (a) restart: apply half the change files, let availableNow stop,
+        stage the rest, restart from the same checkpoint — the resumed
+        query continues at the next batch id on top of the existing
+        snapshots and the final table equals the one-shot batch MERGE;
+    (b) replay: re-running a batch's foreachBatch body (a crash after
+        the version dir landed but before the offset committed) must
+        recompute an identical version dir from its predecessor, never
+        double-apply onto its own output."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.catalog import Catalog
+    from dirhash_spark.operators.warehouse import _change_batch
+    from dirhash_spark.registry import all_queries
+    from dirhash_spark.streaming.stateful import cdc_apply_batch
+
+    cat = Catalog(spark, sf_dir)
+    root, src, ckpt = (str(tmp_path / d) for d in ("cdc", "cdc/src", "cdc/ckpt"))
+    os.makedirs(src)
+
+    # four deterministic, key-disjoint change files (k % 4 strata of the
+    # already key-disjoint U/D/I classes); mtime-stamped so file i IS
+    # micro-batch i, which is what lets (b) replay a KNOWN batch
+    changes = _change_batch(cat)
+    staged = []
+    for i in range(4):
+        part = str(tmp_path / f"part_{i}")
+        changes.where(F.col("k") % 4 == i).coalesce(1).write.mode("overwrite").parquet(part)
+        name = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        staged.append((os.path.join(part, name), f"c{i}.parquet", 1_600_000_000 + i * 100))
+
+    def stage(i):
+        f_src, f_name, mtime = staged[i]
+        dst = os.path.join(src, f_name)
+        shutil.copy(f_src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    cat.customer.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("kept").alias("merge_action"),
+    ).write.mode("overwrite").parquet(os.path.join(root, "v0"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("k BIGINT, op STRING, new_bal DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(cdc_apply_batch(spark, root))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+
+    stage(0), stage(1)
+    run()
+    assert sorted(d for d in os.listdir(root) if d.startswith("v"))[-1] == "v2"
+    stage(2), stage(3)
+    run()  # restart: same checkpoint, resumes at batch 2
+    versions = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert versions == ["v0", "v1", "v2", "v3", "v4"], versions
+
+    final = {tuple(r) for r in spark.read.parquet(os.path.join(root, "v4")).collect()}
+    batch = {tuple(r) for r in all_queries()["merge_upsert"].fn(spark, sf_dir).collect()}
+    assert final == batch
+
+    # (b) replay batch 3 (file 3 by mtime order): recompute v4 from v3
+    replayed = spark.read.parquet(os.path.join(src, "c3.parquet"))
+    cdc_apply_batch(spark, root)(replayed, 3)
+    again = {tuple(r) for r in spark.read.parquet(os.path.join(root, "v4")).collect()}
+    assert again == final
