@@ -957,7 +957,13 @@ def _score_list_pairs(
     ids, mat = ids[order], mat[order]
     if lists is not None:
         lists = lists[order]
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # zero-norm guard (same class as similarity._cosine): a zero vector
+    # divides to NaN here; NaN >= threshold happens to be False in
+    # numpy so such pairs were dropped by accident — make the exclusion
+    # explicit (norm 1 → cosine 0 against everything) instead of
+    # resting on NaN comparison semantics
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.where(nrm == 0.0, 1.0, nrm)
     n = len(ids)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []

@@ -44,7 +44,12 @@ def _cosine(v, p):
     dot = F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     np_ = F.sqrt(F.aggregate(p, F.lit(0.0), lambda a, x: a + x * x))
-    return dot / (nv * np_)
+    # A zero-norm vector has no direction: 0/0 is NaN, and Spark sorts
+    # NaN ABOVE every finite double, so one all-zeros embedding would
+    # rank as the #1 neighbor in every top-k.  nullif makes it NULL
+    # instead, which orderBy(desc) places last — degenerate vectors
+    # drop out of the ranking rather than hijacking it.
+    return dot / F.nullif(nv * np_, F.lit(0.0))
 
 
 @query(
@@ -221,18 +226,53 @@ def _corpus_ivf_k(cat: Catalog) -> int:
 _CENTROID_CACHE: dict[str, np.ndarray] = {}
 
 
+def _train_sample_order(df):
+    """Trainer-sample ordering: the first-N rows by ``xxhash64(vec_id)``
+    (vec_id tiebreak) — a deterministic PSEUDO-RANDOM total order, so
+    the bounded sample is ingestion-order independent.  Ordering by raw
+    vec_id took the id-PREFIX of the corpus: on a source-ordered ingest
+    (the normal case at scale — source 1 owns the low ids) every
+    centroid would train inside the first source's region of the
+    embedding space and every other source's vectors would pile into a
+    few nearest lists.  limit-after-orderBy stays a TakeOrdered (no
+    full sort materialization); fixtures keep bit-identical behavior
+    classes (same seed, same k-means), only the sample membership is
+    now unbiased."""
+    return df.orderBy(F.xxhash64("vec_id"), "vec_id")
+
+
+def _assign_chunked(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment with ROW-CHUNKED scratch: the naive
+    ``(x[:,None,:] - cents[None,:,:])`` broadcast materializes a
+    (rows, K, dim) float64 block — 274 GB at the sample/K caps — so
+    rows are processed in blocks sized to keep the block ~64 MB (the
+    same bounding discipline as the Arrow argmin and the PQ encoder)."""
+    block = max(1, (64 << 20) // (len(cents) * x.shape[1] * 8))
+    out = np.empty(len(x), dtype=np.int64)
+    for s in range(0, len(x), block):
+        xs = x[s : s + block]
+        out[s : s + block] = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    return out
+
+
 def _train_centroids(cat: Catalog) -> np.ndarray | None:
-    """Driver-side k-means on a bounded, deterministically-ordered sample
-    — the coarse-quantizer training step.  At 100 TB the sample stays
-    the same size (training cost is O(sample), not O(corpus)); only the
-    assignment pass scales with the data.  Cached per sf_dir: train
-    once, reuse for every query in the process."""
+    """Driver-side k-means on a bounded, deterministically-ordered
+    sample — the coarse-quantizer training step.  The sample SCALES
+    WITH K (32 points per derived centroid, floor ``_IVF_SAMPLE``): a
+    fixed 2048-row sample left 13 points per centroid at K=157 and
+    measurably mistrained the quantizer (IVFPQ recall@10 0.6 vs 0.9 at
+    32/centroid on the 20k gaussian worst case, BASELINE.md r12) — and
+    at the K cap it silently CLAMPED K to the sample size.  Training
+    cost is O(sample·K·dim·iters) on the driver, independent of corpus
+    size; the distributed trainer (``sim_ann_ivf_distfit``) is the
+    path when even that sample can't represent the corpus.  Cached per
+    sf_dir: train once, reuse for every query in the process."""
     cached = _CENTROID_CACHE.get(cat.sf_dir)
     if cached is not None:
         return cached
     sample = (
-        cat.embeddings.orderBy("vec_id")
-        .limit(_IVF_SAMPLE)
+        _train_sample_order(cat.embeddings)
+        .limit(max(_IVF_SAMPLE, 32 * _corpus_ivf_k(cat)))
         .select(F.col("embedding").cast("array<double>").alias("v"))
         .toPandas()["v"]  # bounded: limit() right above caps the rows
         .tolist()
@@ -244,7 +284,7 @@ def _train_centroids(cat: Catalog) -> np.ndarray | None:
     rng = np.random.RandomState(7)
     cents = x[rng.choice(len(x), n_k, replace=False)]
     for _ in range(_IVF_ITERS):
-        assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        assign = _assign_chunked(x, cents)
         for k in range(n_k):
             if (assign == k).any():
                 cents[k] = x[assign == k].mean(0)
@@ -282,7 +322,7 @@ def _train_centroids_distributed(cat: Catalog, iters: int = _IVF_ITERS) -> np.nd
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     init = (
-        emb.orderBy("vec_id")
+        _train_sample_order(emb)
         .limit(_corpus_ivf_k(cat))  # K derived from corpus size
         .select("v")
         .toPandas()["v"]  # bounded: limit() right above caps the rows
@@ -475,14 +515,44 @@ def sim_ann_ivf_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Bump when signature/centroid logic changes: the version is part of
 #: the index path, so a stale on-disk index from older code can never be
 #: read by newer query logic (it would silently return wrong neighbors).
-_ANN_INDEX_VERSION = 4  # v4: PQ codebook/re-rank derived from corpus size (r12)
+_ANN_INDEX_VERSION = 5  # v5: path-identity keying + hash-ordered trainer sample
+
+
+def _probe_nprobe_lists(cents: np.ndarray, probe_vec: np.ndarray) -> list[int]:
+    """Driver-side twin of :func:`_nprobe_clusters` for a single probe:
+    squared distances fold per DIMENSION in dimension order — the
+    identical IEEE addition chain as the codegen aggregate and the
+    Arrow route — so the indexed queries probe EXACTLY the lists the
+    unindexed form would.  numpy's pairwise ``.sum(-1)`` reassociates
+    and can flip near-tie centroid rankings (the r11 ADVICE class);
+    stable argsort keeps the smallest-id tie order."""
+    d = np.zeros(len(cents), dtype=np.float64)
+    for j in range(cents.shape[1]):
+        t = cents[:, j] - probe_vec[j]
+        d += t * t
+    return d.argsort(kind="stable")[: _nprobe_for(len(cents))].tolist()
 
 
 def _ann_index_path(sf_dir: str) -> str:
+    """On-disk home of the persisted ANN index for ``sf_dir``.
+
+    Keyed by the ABSOLUTE corpus path (hashed), not just its basename:
+    two corpora named ``.../runA/sf0.1`` and ``.../runB/sf0.1`` must
+    never reuse each other's index — a basename collision would
+    silently return corpus A's neighbors for corpus B's queries (the
+    readable basename stays in the key for humans; the hash carries
+    identity).  In-place DATA edits under the same path still require
+    dropping the index, exactly as for any ingest-time index; the
+    version prefix invalidates on CODE changes only.
+    """
+    import hashlib
     import os
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    resolved = os.path.abspath(sf_dir.rstrip("/") or "/")
+    tag = (os.path.basename(resolved) or "default") + "-" + hashlib.sha256(
+        resolved.encode("utf-8")
+    ).hexdigest()[:12]
     return os.path.join(
         tempfile.gettempdir(), "dirhash_spark_ann_index", f"v{_ANN_INDEX_VERSION}", tag
     )
@@ -576,9 +646,7 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["p"],
         dtype=np.float64,
     )
-    probe_lists = (
-        ((cents - probe_vec) ** 2).sum(-1).argsort(kind="stable")[: _nprobe_for(len(cents))].tolist()
-    )
+    probe_lists = _probe_nprobe_lists(cents, probe_vec)
 
     candidates = index.where(
         F.col("cluster_id").isin([int(c) for c in probe_lists]) & (F.col("vec_id") != 0)
@@ -867,14 +935,16 @@ def _train_pq_codebooks(cat: Catalog) -> np.ndarray | None:
     size, cached per sf_dir.  The sample grows with the derived
     codebook (16 points per centroid, floor _IVF_SAMPLE) so a 256-
     centroid book never trains on fewer points than centroids; at the
-    fixture sizes the derived K is _PQ_K_MIN and the sample, seed, and
-    codebooks are bit-identical to the fixed-constant era."""
+    fixture sizes the derived K is _PQ_K_MIN and the sample covers the
+    whole corpus (membership identical to the fixed-constant era; the
+    hash-ordered sampling changes only row ORDER, and the pinned
+    recall floors hold on the retrained books)."""
     cached = _PQ_CACHE.get(cat.sf_dir)
     if cached is not None:
         return cached
     k_pq, _ = _corpus_pq_params(cat)
     sample = (
-        cat.embeddings.orderBy("vec_id")
+        _train_sample_order(cat.embeddings)
         .limit(max(_IVF_SAMPLE, 16 * k_pq))
         .select(F.col("embedding").cast("array<double>").alias("v"))
         .toPandas()["v"]  # bounded: limit() right above caps the rows
@@ -943,7 +1013,9 @@ def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return approx_dot / (F.col("nrm") * F.lit(p_nrm))
+    # same zero-norm guard as _cosine: a zero vector (stored nrm 0)
+    # must not surface as NaN and outrank every real candidate
+    return approx_dot / F.nullif(F.col("nrm") * F.lit(p_nrm), F.lit(0.0))
 
 
 @query("sim_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
@@ -1076,9 +1148,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["p"],
         dtype=np.float64,
     )
-    probe_lists = (
-        ((cents - probe_vec) ** 2).sum(-1).argsort(kind="stable")[: _nprobe_for(len(cents))].tolist()
-    )
+    probe_lists = _probe_nprobe_lists(cents, probe_vec)
     probed = index.where(
         F.col("cluster_id").isin([int(c) for c in probe_lists]) & (F.col("vec_id") != 0)
     )

@@ -1297,3 +1297,61 @@ def test_cc_fastpath_seeded_labels_and_missing_endpoint(spark, monkeypatch):
     )  # node 6 missing
     with _pytest.raises(ValueError, match="absent"):
         _connected_components(incomplete, edges)
+
+
+def test_ann_index_keyed_by_path_identity(tmp_path):
+    """Two corpora whose directories share a BASENAME must never share
+    a persisted index home — a basename-keyed path silently served
+    corpus A's neighbors to corpus B's queries."""
+    from dirhash_spark.operators.similarity import _ann_index_path
+
+    a = tmp_path / "runA" / "sf0.1"
+    b = tmp_path / "runB" / "sf0.1"
+    assert _ann_index_path(str(a)) != _ann_index_path(str(b))
+    # stable for the same corpus, trailing slash irrelevant
+    assert _ann_index_path(str(a)) == _ann_index_path(str(a) + "/")
+
+
+def test_zero_norm_embedding_never_ranks(spark, tmp_path):
+    """A zero (norm-0) embedding has no direction: 0/0 is NaN and Spark
+    sorts NaN above every finite double, so without the nullif guard an
+    all-zeros row ranks as the #1 neighbor of every probe.  Plant one
+    in a copy of the fixture corpus and require every ANN/exact variant
+    to keep it out of the top-k and emit only finite cosines."""
+    import math
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dirhash_spark.operators import similarity as S
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(src)
+    zero_id = 999_999
+    extra = pa.table(
+        {
+            "vec_id": pa.array([zero_id], t.schema.field("vec_id").type),
+            "embedding": pa.array(
+                [np.zeros(64).tolist()], t.schema.field("embedding").type
+            ),
+            "label": pa.array([0], t.schema.field("label").type),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(pa.concat_tables([t, extra]), str(tmp_path / "embeddings.parquet"))
+    try:
+        for fn in (S.sim_topk_cosine, S.sim_ann_lsh, S.sim_ann_ivf, S.sim_ann_pq,
+                   S.sim_ann_ivfpq):
+            rows = fn(spark, sf).collect()
+            assert rows, fn.__name__
+            assert all(r["vec_id"] != zero_id for r in rows), fn.__name__
+            assert all(
+                r["cosine"] is not None and math.isfinite(r["cosine"]) for r in rows
+            ), fn.__name__
+    finally:
+        shutil.rmtree(S._ann_index_path(sf), True)
+        for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
+                      S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+            cache.pop(sf, None)
