@@ -117,6 +117,27 @@ _SIG_SCHEMA = StructType(
 )
 
 
+def _axb_mod_p(x: np.ndarray) -> np.ndarray:
+    """``(a_i * x_j + b_i) mod p`` over the 61-bit Mersenne prime,
+    computed EXACTLY in int64 — the naive ``(_MH_A[:,None] * x) % p``
+    silently wrapped mod 2^64 first (a up to 2^61, crc32 x up to 2^32:
+    products up to ~2^93), so the permutations were NOT the documented
+    universal family and the MinHash estimator's pairwise-independence
+    guarantee did not actually hold.  Overflow-free schedule: split
+    a = a_hi·2^31 + a_lo (a_hi < 2^30, a_lo < 2^31) so both partial
+    products stay < 2^63, and reduce the high half's 2^31 shift with
+    the Mersenne identity 2^61 ≡ 1 (mod p): for t < p,
+    t·2^31 ≡ (t >> 30) + ((t & (2^30-1)) << 31) (mod p).  Every
+    intermediate is < 2^63; property-checked against Python bigint
+    arithmetic in tests/test_llm_ops.py."""
+    a_hi = (_MH_A >> 31)[:, None]  # < 2^30
+    a_lo = (_MH_A & ((1 << 31) - 1))[:, None]  # < 2^31
+    hi = (a_hi * x[None, :]) % _MERSENNE  # products < 2^62: no wrap
+    hi_shift = ((hi >> 30) + ((hi & ((1 << 30) - 1)) << 31)) % _MERSENNE
+    lo = (a_lo * x[None, :]) % _MERSENNE  # products < 2^63: no wrap
+    return (hi_shift + lo + _MH_B[:, None]) % _MERSENNE  # < 3·2^61 < 2^63
+
+
 def _minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """text → (doc_id, band_id, band_hash) rows.  numpy-vectorized over
     the shingle axis; deterministic (crc32 shingle hashing, fixed seed
@@ -135,7 +156,7 @@ def _minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 count=len(shingles),
             )
             # sig[i] = min over shingles of (a_i*x + b_i) mod p
-            sig = ((_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % _MERSENNE).min(axis=1)
+            sig = _axb_mod_p(x).min(axis=1)
             for band in range(_N_BANDS):
                 chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
                 band_hash = int(zlib.crc32(chunk.tobytes()))

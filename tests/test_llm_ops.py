@@ -1355,3 +1355,23 @@ def test_zero_norm_embedding_never_ranks(spark, tmp_path):
         for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
                       S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
             cache.pop(sf, None)
+
+
+def test_minhash_modmul_exact_vs_bigint():
+    """The overflow-free (a*x + b) mod p schedule must equal Python
+    bigint arithmetic for every permutation over adversarial inputs —
+    the naive int64 form wrapped mod 2^64 before the Mersenne
+    reduction, silently breaking the universal-hash family."""
+    import numpy as np
+
+    from dirhash_spark.operators.dedup import _MERSENNE, _MH_A, _MH_B, _axb_mod_p
+
+    xs = np.array(
+        [0, 1, 2, 0xFFFFFFFF, 0x80000000, 0x7FFFFFFF, 12345678, 3141592653],
+        dtype=np.int64,
+    )
+    got = _axb_mod_p(xs)
+    for i in range(len(_MH_A)):
+        for j, x in enumerate(xs):
+            want = (int(_MH_A[i]) * int(x) + int(_MH_B[i])) % _MERSENNE
+            assert int(got[i, j]) == want, (i, int(x))
