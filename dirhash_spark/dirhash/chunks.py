@@ -143,4 +143,6 @@ def read_chunks(spark: SparkSession, entries: list[Entry], blocksize: int) -> Da
     # this shuffle costs nothing, while the read stage parallelism stops
     # depending on how createDataFrame happened to slice the file list.
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    return plan.repartition(n_parts, "path", "block_num").mapInPandas(_read_ranges, CHUNK_SCHEMA)
+    return plan.repartition(n_parts, "path", "block_num").sortWithinPartitions(
+        "path", "block_num"
+    ).mapInPandas(_read_ranges, CHUNK_SCHEMA)
