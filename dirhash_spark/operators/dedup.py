@@ -103,6 +103,12 @@ _N_BANDS = 16  # 16 bands × 4 rows
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _SHINGLE_K = 5
 _MERSENNE = (1 << 61) - 1
+#: Bucket size above which the LSH/simhash pair expansions switch from
+#: all-pairs to star topology (see the guard comments at the two
+#: expansion sites): 512 keeps the worst single-row array at ~131k
+#: structs while every realistic near-dup group stays on the exact
+#: all-pairs form.
+_BUCKET_FULL_EXPAND_CAP = 512
 
 _rng = np.random.RandomState(42)
 _MH_A = _rng.randint(1, _MERSENNE, size=_N_HASHES, dtype=np.int64)
@@ -196,17 +202,35 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    # Hot-bucket guard: a bucket of b docs expands b(b-1)/2 pair
+    # structs INSIDE ONE ROW before the explode — fine for real
+    # near-dup groups (the skew fixture's 300-doc clique builds ~45k
+    # structs), a task-killer on degenerate corpora (1M identical docs
+    # → 5·10^11 structs in one array value).  Above the cap a bucket
+    # degrades to STAR topology — every member pairs with the bucket's
+    # minimum doc_id only, O(b) structs — which preserves exactly the
+    # property the downstream near-dup pipelines consume (candidates
+    # are verified then connected-component'd, and a star spans the
+    # same component), at the documented cost that n_shared_bands
+    # between two NON-min members of a degenerate bucket undercounts.
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(F.col("ids"), 2, F.size("ids")),
+        lambda y: F.struct(
+            F.element_at(F.col("ids"), 1).alias("doc_a"), y.alias("doc_b")
+        ),
+    )
     pairs = buckets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
-            )
+            F.when(F.size("ids") <= _BUCKET_FULL_EXPAND_CAP, all_pairs).otherwise(star)
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
     return pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
@@ -325,23 +349,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle left is the bucket groupBy).
     x = F.col("p.x")
     quarter = lambda i: F.shiftright(x, 16 * i).bitwiseAND(F.lit(0xFFFF))
+    _pair = lambda a, b: F.struct(
+        a["doc_id"].alias("doc_a"),
+        b["doc_id"].alias("doc_b"),
+        a["fp"].bitwiseXOR(b["fp"]).alias("x"),
+    )
+    # Hot-bucket guard (same trade as dedup_minhash's, see
+    # _BUCKET_FULL_EXPAND_CAP): above the cap a quarter bucket emits
+    # star pairs against its minimum doc only.  Note the interaction
+    # with the first-shared-band dedup below: a non-min pair whose
+    # FIRST shared quarter was a capped bucket is suppressed in later
+    # small buckets too — component connectivity survives via the two
+    # star edges to the bucket min, which is what the e2e pipelines
+    # consume; the per-pair hamming row for such degenerate pairs is
+    # the documented recall trade.
+    _full = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda b: _pair(a, b),
+            ),
+        )
+    )
+    _star = F.transform(
+        F.slice(F.col("docs"), 2, F.size("docs")),
+        lambda b: _pair(F.element_at(F.col("docs"), 1), b),
+    )
     pairs = (
         buckets.select(
             "band_id",
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("docs"),
-                        lambda a, i: F.transform(
-                            F.slice(F.col("docs"), i + 2, F.size("docs")),
-                            lambda b: F.struct(
-                                a["doc_id"].alias("doc_a"),
-                                b["doc_id"].alias("doc_b"),
-                                a["fp"].bitwiseXOR(b["fp"]).alias("x"),
-                            ),
-                        ),
-                    )
-                )
+                F.when(F.size("docs") <= _BUCKET_FULL_EXPAND_CAP, _full).otherwise(_star)
             ).alias("p"),
         )
         .where(

@@ -1375,3 +1375,45 @@ def test_minhash_modmul_exact_vs_bigint():
         for j, x in enumerate(xs):
             want = (int(_MH_A[i]) * int(x) + int(_MH_B[i])) % _MERSENNE
             assert int(got[i, j]) == want, (i, int(x))
+
+
+def test_hot_bucket_star_expansion_bounded(spark, tmp_path, monkeypatch):
+    """A degenerate corpus (every doc identical → ONE bucket per band
+    holding the whole corpus) must not build an O(n^2) pair array
+    inside a single row: above _BUCKET_FULL_EXPAND_CAP the expansion
+    degrades to star topology — O(n) pairs against the bucket minimum,
+    which spans the same connected component the e2e pipelines
+    consume.  Below the cap the exact all-pairs form is unchanged
+    (pinned by the existing clique tests)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dirhash_spark.operators.dedup as dedup_mod
+
+    n = 60
+    monkeypatch.setattr(dedup_mod, "_BUCKET_FULL_EXPAND_CAP", 40)  # < n
+    text = "identical boilerplate license text repeated verbatim in every document"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([text] * n),
+                "lang": pa.array(["en"] * n),
+                "n_chars": pa.array([len(text)] * n, pa.int32()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    mh = QUERIES["dedup_minhash"].fn(spark, sf).collect()
+    # star: every band contributes (0, x) pairs only → n-1 distinct
+    # pairs, not n(n-1)/2
+    assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(0, i) for i in range(1, n)}
+    assert all(r["n_shared_bands"] == 16 for r in mh)
+
+    sh = QUERIES["dedup_simhash"].fn(spark, sf).collect()
+    # identical docs → identical fingerprints → hamming 0; star emits
+    # each (0, x) exactly once (first-shared-band on quarter 0)
+    assert {(r["doc_a"], r["doc_b"]) for r in sh} == {(0, i) for i in range(1, n)}
+    assert all(r["hamming"] == 0 for r in sh)
