@@ -64,82 +64,84 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: r9 driver-red ``ts_seasonal_decompose`` (confirmed green), the 3 r9
 #: registrations, and the first 12 r6 rows; round 11 drained the 38
 #: remaining r6 rows, the 2 r10 registrations, and the first 10
-#: r7-code rows (alphabetical).  Round 12 (per the r11 plan): (a) the
-#: 40 remaining r7-code rows — they hit MUST age 5 the moment
-#: CORRECTNESS_r12 lands (r11 registered NO new queries, so there is
-#: no never-checked tier this round); (b) 10 slack slots on the oldest
-#: r8-code rows, MAY-front tier (age >= 3 at r12 close), taken
-#: alphabetically (first 10 of 50).  Exactly 50 names.
+#: r7-code rows (alphabetical); round 12 drained the 40 remaining
+#: r7-code rows plus the first 10 r8-code rows (alphabetical).  Round
+#: 13 (per the r12 plan): (a) the 40 remaining r8-code rows — they hit
+#: MUST age 5 the moment CORRECTNESS_r13 lands (r12 registered NO new
+#: queries, so there is no never-checked tier this round); (b) 10
+#: slack slots on the oldest r9-code rows, MAY-front tier (age >= 3 at
+#: r13 close), taken alphabetically (first 10 of 49).  Exactly 50
+#: names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 40 remaining r7-code rows — MUST tier at r12 close
-    "csv_corrupt_records",
-    "decontaminate_ngram_overlap",
-    "dedup_bloom_manifest",
-    "dedup_bloom_probe",
-    "dedup_cluster_canonical",
-    "dedup_incremental",
-    "dedup_levenshtein",
-    "dedup_url_canonical",
-    "dedup_verbatim_runs",
-    "dirhash_tree_fold",
-    "fn_aes_roundtrip",
-    "fn_surrogate_key",
-    "funnel_time_to_convert",
-    "graph_triangle_count",
-    "join_asof_tolerance",
-    "join_dynamic_partition_prune",
-    "pipeline_neardup_e2e",
-    "pipeline_training_export",
-    "sample_balanced_classes",
-    "scan_csv_multiline",
-    "scan_nested_pruning",
-    "sessionize_pattern_match",
-    "set_except_all",
-    "set_intersect_all",
-    "sink_csv_roundtrip",
-    "snapshot_diff",
-    "sql_exchange_reuse",
-    "stream_bloom_ingest_gate",
-    "stream_stream_left_outer",
-    "text_chunk_sliding",
-    "text_rarity_score",
-    "text_surprisal_bits",
-    "text_winnow_fingerprints",
-    "ts_autocorr",
-    "ts_changepoint_cusum",
-    "ts_event_transitions",
-    "ts_ewma_fixed_point",
-    "ts_rolling_distinct",
-    "udf_python_arrow",
-    "vocab_bpe_merges",
-    # (b) slack → pre-emptive rotation of the oldest r8-code rows
-    # (age 3 at r12 close = MAY-front tier; first 10 of 50
+    # (a) the 40 remaining r8-code rows — MUST tier at r13 close
+    "flagship_revenue_by_nation",
+    "fn_collation",
+    "fn_datetime",
+    "fn_higher_order",
+    "fn_try_arith",
+    "fn_url_parse",
+    "fn_variant",
+    "fn_xml_parse",
+    "funnel_stages",
+    "hash_string_codec",
+    "join_asof",
+    "join_asof_pairwise",
+    "join_event_window",
+    "join_null_safe",
+    "join_range_binned",
+    "maintenance_compact",
+    "mm_feature_extract",
+    "pipeline_neardup_e2e_lsh_union",
+    "profile_columns",
+    "sample_stratified",
+    "scan_csv_dropmalformed",
+    "scan_csv_permissive",
+    "scan_parquet_schema_evolution",
+    "scan_python_datasource",
+    "scan_xml",
+    "sim_ann_ivf_indexed",
+    "sim_ann_lsh_indexed",
+    "sim_ann_pq",
+    "sink_upsert_parquet",
+    "sql_lateral_topk",
+    "sql_recursive_cte",
+    "stream_cdc_merge_upsert",
+    "text_common_ngrams",
+    "text_gopher_quality_rules",
+    "text_pii_mask",
+    "text_tfidf",
+    "ts_gap_fill",
+    "ts_resample_ohlc",
+    "udtf_map_in_arrow",
+    "vocab_bpe_encode",
+    # (b) slack → pre-emptive rotation of the oldest r9-code rows
+    # (age 4 at r13 close = MAY-front tier; first 10 of 49
     # alphabetically)
-    "agg_approx_percentile",
-    "agg_basic",
-    "agg_histogram",
-    "blocksize_codec",
-    "corpus_mixture_weights",
-    "dedup_cluster_canonical_bigstar",
-    "dirhash_incremental_rehash",
-    "dirhash_verify",
-    "embedding_quantize_int8",
-    "filter_pred",
+    "agg_approx_distinct",
+    "agg_collect_sorted",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
+    "corpus_quality_filter_funnel",
 )
-# r13 rotation backlog: after r12's window lands, the oldest driver rows
-# are the 40 remaining r8-code queries (the 50 r8 rows minus the 10
-# fronted above; alphabetically they run filter_range_pushdown ...
-# through the rest of the r8 cohort) — they hit MUST age 5 when
-# CORRECTNESS_r13 lands — with remaining slack on the oldest r9 rows
-# and any queries registered during r12.
-# Backlog arithmetic after r12's window: 239 registered = 40 (r7
-# remainder, this window) + 10 (r8, this window) + 40 (r8 remainder,
-# r13 MUST) + 49 (r9) + 50 (r10) + 50 (r11) — every query has either
+# r14 rotation backlog: after r13's window lands, the oldest driver rows
+# are the 39 remaining r9-code queries (the 49 r9 rows minus the 10
+# fronted above; alphabetically they run corpus_temperature_sampling ...
+# through the rest of the r9 cohort) — they hit MUST age 5 when
+# CORRECTNESS_r14 lands — with remaining slack on the oldest r10 rows
+# and any queries registered during r13.
+# Backlog arithmetic after r13's window: 239 registered = 40 (r8
+# remainder, this window) + 10 (r9, this window) + 39 (r9 remainder,
+# r14 MUST) + 50 (r10) + 50 (r11) + 50 (r12) — every query has either
 # a driver row or a dated slot here.
 
 
