@@ -64,7 +64,17 @@ def local_root(root: str) -> str | None:
             f"unsupported file:// authority {authority!r} in {root!r}: "
             "file URIs must address this host (empty or 'localhost')"
         )
-    return sep + path if sep else "/"
+    if not sep:
+        # 'file://' / 'file://localhost' (no path component at all) is a
+        # truncated URI, not a spelling of '/': mapping it to the
+        # filesystem root would serially walk and hash THE WHOLE HOST
+        # where the caller almost certainly meant a specific tree.
+        # 'file:///' stays valid — its path component IS '/'.
+        raise ValueError(
+            f"malformed file:// URI {root!r}: missing path component "
+            "(use 'file:///' to address the filesystem root explicitly)"
+        )
+    return sep + path
 
 
 @dataclass(frozen=True)

@@ -179,6 +179,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band_id, band_hash) → distinct candidate pairs with the number
     of agreeing bands (more bands ⇒ higher Jaccard estimate).
 
+    ``n_shared_bands`` contract: EXACT for pairs all of whose shared
+    buckets are at or below ``_BUCKET_FULL_EXPAND_CAP``.  For a pair
+    touching any capped bucket it is a LOWER BOUND — capped buckets
+    emit only star pairs against the bucket minimum, so a non-min
+    pair's count reflects just the buckets where it was actually
+    emitted (possibly zero, in which case the pair appears only via
+    its two star edges).  Downstream thresholds on n_shared_bands
+    therefore behave differently above the cap; the e2e pipelines
+    consume candidate CONNECTIVITY (star spans the same component),
+    which is exact.  Unlike simhash's 16-bit quarters, band_hash is a
+    32-bit crc over the band chunk, so buckets only reach the cap on
+    genuinely duplicate-heavy corpora (birthday pileup would need
+    ≳ cap·2^32 docs), where the bucket min IS a duplicate of every
+    member and the star loses no real candidates.
+
     rows-only check: DuckDB can't replay the permutation sketch; the
     estimator itself is validated in tests against exact Jaccard.
     """
@@ -304,6 +319,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-volume cost this pipeline does not need (the e2e dedup
     path verifies via exact n-gram containment, not simhash).
 
+    Hot-bucket contract: buckets above ``_BUCKET_FULL_EXPAND_CAP``
+    degrade by FINGERPRINT IDENTITY, not raw size — identical fps
+    chain (hamming-0 edges, connectivity exact), distinct-fp
+    representatives keep exact all-pairs.  Recall only degrades when
+    one quarter collects > cap genuinely distinct fingerprints, a
+    pure 16-bit birthday event at corpora ≳ cap·2^16 ≈ 34M docs; at
+    that scale pairs whose ONLY shared quarter is such a bucket may
+    be missed (the representatives fall back to a fp-sorted chain).
+    Per-pair rows between non-representative hot-bucket members
+    undercount; component connectivity is what the e2e consumers use.
+
     rows-only: the fingerprint construction is engine-specific.
     """
     cat = Catalog(spark, sf_dir)
@@ -349,38 +375,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle left is the bucket groupBy).
     x = F.col("p.x")
     quarter = lambda i: F.shiftright(x, 16 * i).bitwiseAND(F.lit(0xFFFF))
-    _pair = lambda a, b: F.struct(
-        a["doc_id"].alias("doc_a"),
-        b["doc_id"].alias("doc_b"),
+    # Hot-bucket guard, keyed on DUPLICATE-NESS rather than raw bucket
+    # size (the r12 form starred every member against the bucket min,
+    # which broke connectivity for non-duplicate hot buckets: band_val
+    # is 16 bits, so above ~cap·2^16 ≈ 34M docs every quarter bucket
+    # exceeds the cap by birthday collision alone, and a genuine
+    # near-dup pair far from the bucket min lost both its star edges
+    # to the hamming<=12 filter).  Above the cap a bucket now:
+    #   (a) CHAINS identical fingerprints — members are re-sorted by
+    #       (fp, doc_id) so equal fps are adjacent; each adjacent
+    #       equal-fp pair emits a hamming-0 edge, O(b) structs, and
+    #       the chain spans exactly the same connected component a
+    #       star would (duplicate cliques, the case that motivated
+    #       the cap, degrade in volume but never in connectivity);
+    #   (b) runs the exact ALL-PAIRS expansion over the DISTINCT-
+    #       fingerprint representatives (first doc of each equal-fp
+    #       run) — duplicates no longer inflate the quadratic term,
+    #       so a bucket that is hot *because of duplicates* keeps
+    #       exact cross-group pairs.
+    # Only when the bucket holds > cap genuinely DISTINCT fingerprints
+    # (pure 16-bit birthday pileup, ≳ 34M-doc corpora) do the
+    # representatives themselves degrade to a fp-sorted chain; a
+    # near-dup pair whose only shared quarter is such a bucket can
+    # then be missed when no chain edge passes hamming<=12 — that
+    # residual cliff is the documented trade, and the upgrade path
+    # (Manku permuted band tables) is referenced above.  Per-pair
+    # rows between non-representative members of a hot bucket
+    # undercount either way (see the first-shared-band note): exact
+    # row-level parity holds below the cap, component-level parity
+    # holds up to the distinct-fp cliff.
+    _opair = lambda a, b: F.struct(
+        F.least(a["doc_id"], b["doc_id"]).alias("doc_a"),
+        F.greatest(a["doc_id"], b["doc_id"]).alias("doc_b"),
         a["fp"].bitwiseXOR(b["fp"]).alias("x"),
     )
-    # Hot-bucket guard (same trade as dedup_minhash's, see
-    # _BUCKET_FULL_EXPAND_CAP): above the cap a quarter bucket emits
-    # star pairs against its minimum doc only.  Note the interaction
-    # with the first-shared-band dedup below: a non-min pair whose
-    # FIRST shared quarter was a capped bucket is suppressed in later
-    # small buckets too — component connectivity survives via the two
-    # star edges to the bucket min, which is what the e2e pipelines
-    # consume; the per-pair hamming row for such degenerate pairs is
-    # the documented recall trade.
-    _full = F.flatten(
+    _all_pairs = lambda arr: F.flatten(
         F.transform(
-            F.col("docs"),
+            arr,
             lambda a, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size("docs")),
-                lambda b: _pair(a, b),
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda b: _opair(a, b),
             ),
         )
     )
-    _star = F.transform(
-        F.slice(F.col("docs"), 2, F.size("docs")),
-        lambda b: _pair(F.element_at(F.col("docs"), 1), b),
+    _chain = lambda arr: F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        _opair,
     )
+    by_fp_expr = F.array_sort(
+        F.col("docs"),
+        lambda l, r: F.when(l["fp"] < r["fp"], -1)
+        .when(l["fp"] > r["fp"], 1)
+        .when(l["doc_id"] < r["doc_id"], -1)
+        .when(l["doc_id"] > r["doc_id"], 1)
+        .otherwise(0),
+    )
+    hot = F.size("docs") > _BUCKET_FULL_EXPAND_CAP
+    buckets = buckets.withColumn(
+        "by_fp", F.when(hot, by_fp_expr)  # sort only pays on hot buckets
+    ).withColumn(
+        "reps",
+        F.when(
+            hot,
+            F.filter(
+                F.col("by_fp"),
+                # keep the first element of each equal-fp run; greatest()
+                # avoids element_at(…, 0) on the first element (ANSI)
+                lambda e, i: (i == 0)
+                | (
+                    e["fp"]
+                    != F.element_at(F.col("by_fp"), F.greatest(i, F.lit(1)))["fp"]
+                ),
+            ),
+        ),
+    )
+    _dup_chain = F.filter(
+        F.zip_with(
+            F.slice(F.col("by_fp"), 1, F.size("by_fp") - 1),
+            F.slice(F.col("by_fp"), 2, F.size("by_fp") - 1),
+            lambda a, b: F.when(a["fp"] == b["fp"], _opair(a, b)),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    _rep_pairs = F.when(
+        F.size("reps") <= _BUCKET_FULL_EXPAND_CAP, _all_pairs(F.col("reps"))
+    ).otherwise(_chain(F.col("reps")))
     pairs = (
         buckets.select(
             "band_id",
             F.explode(
-                F.when(F.size("docs") <= _BUCKET_FULL_EXPAND_CAP, _full).otherwise(_star)
+                F.when(~hot, _all_pairs(F.col("docs"))).otherwise(
+                    F.concat(_dup_chain, _rep_pairs)
+                )
             ).alias("p"),
         )
         .where(
@@ -582,13 +669,18 @@ def _cc_driver_unionfind(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     cluster: the mapping broadcasts back and singletons keep their own
     label via coalesce.
 
-    Route parity is exact, not approximate: each component labels as
-    the MIN of its members' initial labels (what min-label propagation
-    converges to even when a caller seeds labels != doc_id), and an
-    edge endpoint absent from ``nodes`` raises loudly rather than
-    silently diverging from what propagation would emit for it (no
-    in-repo caller constructs that; the error keeps the routes
-    answer-identical by construction).  The result is a LAZY plan —
+    Route parity is exact UNDER THE CALLER CONTRACT (labels
+    initialized to doc_id — what every in-repo caller does — or more
+    generally seeds that never collide with a doc_id in another
+    component): each component labels as the MIN of its members'
+    initial labels.  Under adversarial seeding OUTSIDE that contract
+    the routes can diverge — the distributed route's pointer-jump step
+    joins label VALUES against doc_ids, so a seeded label equal to a
+    foreign component's doc_id can adopt that component's label, which
+    this route never does.  An edge endpoint absent from ``nodes``
+    raises loudly rather than silently diverging from what propagation
+    would emit for it (no in-repo caller constructs that; the error
+    keeps the routes answer-identical by construction).  The result is a LAZY plan —
     one broadcast join over nodes — unlike the distributed route,
     whose per-iteration localCheckpoints materialize as a side effect;
     re-execution here is one cheap map-side join, so callers need no

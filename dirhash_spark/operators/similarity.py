@@ -309,8 +309,10 @@ def _train_centroids_distributed(cat: Catalog, iters: int = _IVF_ITERS) -> np.nd
     K centroids (a few KiB) return to the driver between iterations —
     the kmeans‖ execution shape: O(corpus) work per pass, O(K·dim)
     driver state, never a corpus collect.  Init is the first K vectors
-    by vec_id (deterministic, no RNG).  Empty clusters keep their
-    previous centroid, like the sampled trainer.
+    in deterministic xxhash64 order (:func:`_train_sample_order` — a
+    no-RNG pseudo-shuffle; first-K *by vec_id* was prefix-biased).
+    Empty clusters keep their previous centroid, like the sampled
+    trainer.
 
     tests/test_llm_ops.py asserts IVF recall with these centroids is
     within tolerance of the sampled trainer's.

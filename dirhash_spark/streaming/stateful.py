@@ -815,11 +815,56 @@ def stage_replay_from(
         add_file(sentinel, 2)
 
 
+#: Target state rows per state-store commit when deriving the session
+#: stream's shuffle width.  Each micro-batch pays one store commit
+#: (snapshot/delta file) per partition regardless of how few rows it
+#: holds, so fewer-but-fuller partitions win until a partition's state
+#: stops fitting comfortably in one task — 256 open sessions of a few
+#: dozen bytes each is far inside that, and derives the width the r12
+#: A/B measured optimal on the staged corpus (see run_session_flush).
+_STATE_ROWS_PER_PARTITION = 256
+
+#: sf_dir -> derived width (the estimate scan is one column-pruned
+#: pass over events; same per-corpus memoization as the IVF trainers).
+_STATE_WIDTH_CACHE: dict[str, int] = {}
+
+
+def _width_for_sessions(open_sessions: int) -> int:
+    """Power-of-two width for an open-session estimate: the smallest
+    2^k holding :data:`_STATE_ROWS_PER_PARTITION` rows per partition,
+    clamped to [2, 1024] — floor 2 keeps the stateful exchange
+    genuinely multi-partition even on tiny fixtures, the cap bounds
+    per-batch commit volume the same way the PQ codebook cap bounds
+    codebook training."""
+    import math
+
+    need = max(1, open_sessions) / _STATE_ROWS_PER_PARTITION
+    return max(2, min(1024, 1 << max(0, math.ceil(math.log2(max(need, 1.0))))))
+
+
+def _session_state_width(spark: SparkSession, sf_dir: str) -> int:
+    """Derive the session stream's state-store width from the corpus:
+    open-session cardinality ≈ distinct users, estimated with
+    ``approx_count_distinct`` (a sketch is plenty for a power-of-two
+    sizing decision), sized by :func:`_width_for_sessions`."""
+    cached = _STATE_WIDTH_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    users = (
+        Catalog(spark, sf_dir)
+        .events.agg(F.approx_count_distinct("user_id"))
+        .first()[0]
+    )
+    width = _width_for_sessions(users)
+    _STATE_WIDTH_CACHE[sf_dir] = width
+    return width
+
+
 def run_session_flush(
     spark: SparkSession,
     sf_dir: str,
     query_name: str = "dirhash_session_native",
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
 ) -> tuple[DataFrame, list]:
     """Stream-NATIVE gap sessionization with watermark finalization —
     the state-store lifecycle the batch twin (``stream_session``)
@@ -857,15 +902,25 @@ def run_session_flush(
     Inheriting the session's 32 billed 32 store commits per batch to
     micro-batches carrying a few thousand open sessions — measured
     2.0x the whole streaming wall vs 8 (BASELINE.md r12, identical
-    results and state metrics; a production deployment with millions
-    of open sessions raises it at first start the same way).  The
-    session conf is scoped with try/finally and restored after the
-    query terminates.
+    results and state metrics).  When None (the default) the width is
+    DERIVED from the corpus the same way IVF K and the PQ codebook
+    are (:func:`_session_state_width`): state cardinality ≈ open
+    sessions ≈ distinct users, estimated with one column-pruned
+    ``approx_count_distinct`` scan and sized to
+    ``_STATE_ROWS_PER_PARTITION`` state rows per store commit — the
+    staged sf0.1 corpus (≈1500 users) derives exactly the width the
+    r12 A/B measured optimal (8), and a production deployment with
+    millions of open sessions lands proportionally wider at first
+    start instead of relying on a hand-picked constant.  The session
+    conf is scoped with try/finally and restored after the query
+    terminates.
     """
     import shutil
 
     from .ops import session_counts
 
+    if state_partitions is None:
+        state_partitions = _session_state_width(spark, sf_dir)
     src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "session_native_src")
     shutil.rmtree(src, ignore_errors=True)
     stage_session_replay(spark, sf_dir, src)

@@ -23,8 +23,23 @@ records recall@10 vs brute force per size (near-uniform gaussian is
 the recall worst case — candidate share ~ nprobe/K) and the one-time
 index build wall (the ingest-side cost the query path amortizes).
 
-Usage: python scripts/ann_scale_bench.py
+Usage: python scripts/ann_scale_bench.py [--skew]
 Prints one JSON line per size plus a summary line.
+
+--skew runs the LIST-SIZE SKEW measurement instead (r12 verdict item
+5): the relational skew sweep covers hot JOIN/AGG keys, but a skewed
+EMBEDDING distribution concentrates vectors in few IVF lists — the
+ANN analog of the hot reducer.  Two adversarial 20k corpora:
+- "clustered": 30% of vectors in one tight gaussian blob (sigma 0.05)
+  — realistic semantic redundancy.  Hypothesis: k-means allocates
+  centroids ∝ sample mass, so the blob SPLITS across many lists and
+  the max-list share stays near the uniform target (bounded by
+  design).
+- "degenerate": 30% of vectors byte-identical — the worst case no
+  quantizer can split (identical points are indistinguishable to any
+  distance-based rule).
+Records the assignment histogram (max-list share, p99/target ratio)
+plus hot-probe vs cold-probe query wall and recall.
 """
 
 from __future__ import annotations
@@ -56,6 +71,104 @@ def _write_corpus(n: int, path: str) -> None:
     )
     os.makedirs(path, exist_ok=True)
     pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
+
+
+def _write_skew_corpus(n: int, path: str, kind: str, hot_probe: bool) -> None:
+    """30% of the corpus in one hot region: a tight gaussian blob
+    ("clustered") or byte-identical copies of one vector
+    ("degenerate").  vec_id 0 is the probe — placed inside the hot
+    region when ``hot_probe`` (the query that must read the hot list)
+    or in the spread mass otherwise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(777)
+    n_hot = int(n * 0.3)
+    center = rng.standard_normal(64)
+    rest = rng.standard_normal((n - n_hot, 64))
+    if kind == "clustered":
+        hot = center + 0.05 * rng.standard_normal((n_hot, 64))
+    else:
+        hot = np.tile(center, (n_hot, 1))
+    V = (np.vstack([hot, rest]) if hot_probe else np.vstack([rest, hot])).astype(
+        np.float32
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
+
+
+def skew_main() -> int:
+    """IVF list-size skew measurement (see module docstring)."""
+    from dirhash_spark.operators import similarity as S
+    from dirhash_spark.operators.similarity import build_ann_index
+    from dirhash_spark.registry import all_queries
+    from dirhash_spark.session import get_spark
+
+    spark = get_spark("ann_skew_bench")
+    qs = all_queries()
+    n = 20_000
+    out: dict[str, dict] = {}
+    for kind in ("clustered", "degenerate"):
+        for probe in ("hot", "cold"):
+            sf_dir = os.path.join(tempfile.gettempdir(), f"ann_skew_{kind}_{probe}")
+            shutil.rmtree(sf_dir, True)
+            _write_skew_corpus(n, sf_dir, kind, hot_probe=(probe == "hot"))
+            for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
+                          S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+                cache.pop(sf_dir, None)
+            shutil.rmtree(S._ann_index_path(sf_dir), True)
+
+            t0 = time.perf_counter()
+            idx = build_ann_index(spark, sf_dir)
+            build_s = round(time.perf_counter() - t0, 2)
+            k = len(S._CENTROID_CACHE[sf_dir])
+
+            sizes = sorted(
+                r["count"]
+                for r in spark.read.parquet(idx).groupBy("cluster_id").count().collect()
+            )
+            shares = np.asarray(sizes, dtype=float) / n
+            target = 1.0 / k
+            row = {
+                "K": k,
+                "build_s": build_s,
+                "lists_used": len(sizes),
+                "max_list_share": round(float(shares[-1]), 4),
+                "max_over_target": round(float(shares[-1] / target), 1),
+                "p99_over_target": round(
+                    float(np.percentile(shares, 99) / target), 1
+                ),
+            }
+            exact = {r["vec_id"] for r in qs["sim_topk_cosine"].fn(spark, sf_dir).collect()}
+            for name in ("sim_ann_ivf_indexed", "sim_ann_ivfpq"):
+                qs[name].fn(spark, sf_dir).collect()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = qs[name].fn(spark, sf_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                row[f"{name}_s"] = round(best, 3)
+                row[f"recall_{name}"] = round(
+                    len(exact & {r["vec_id"] for r in rows}) / len(exact), 2
+                )
+            out[f"{kind}/{probe}"] = row
+            print(f"# {kind}/{probe}: {row}", file=sys.stderr)
+            shutil.rmtree(S._ann_index_path(sf_dir), True)
+            shutil.rmtree(sf_dir, True)
+            for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
+                          S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+                cache.pop(sf_dir, None)
+    print(json.dumps({"metric": "IVF list-size skew (30% hot mass, 20k vectors)",
+                      "corpora": out}))
+    spark.stop()
+    return 0
 
 
 def main() -> int:
@@ -142,4 +255,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(skew_main() if "--skew" in sys.argv else main())

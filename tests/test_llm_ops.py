@@ -1380,11 +1380,13 @@ def test_minhash_modmul_exact_vs_bigint():
 def test_hot_bucket_star_expansion_bounded(spark, tmp_path, monkeypatch):
     """A degenerate corpus (every doc identical → ONE bucket per band
     holding the whole corpus) must not build an O(n^2) pair array
-    inside a single row: above _BUCKET_FULL_EXPAND_CAP the expansion
-    degrades to star topology — O(n) pairs against the bucket minimum,
-    which spans the same connected component the e2e pipelines
-    consume.  Below the cap the exact all-pairs form is unchanged
-    (pinned by the existing clique tests)."""
+    inside a single row: above _BUCKET_FULL_EXPAND_CAP minhash
+    degrades to star topology (O(n) pairs against the bucket minimum)
+    and simhash to an identical-fingerprint CHAIN (O(n) hamming-0
+    edges between fp-adjacent members) — both span the same connected
+    component the e2e pipelines consume.  Below the cap the exact
+    all-pairs form is unchanged (pinned by the existing clique
+    tests)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1413,7 +1415,58 @@ def test_hot_bucket_star_expansion_bounded(spark, tmp_path, monkeypatch):
     assert all(r["n_shared_bands"] == 16 for r in mh)
 
     sh = QUERIES["dedup_simhash"].fn(spark, sf).collect()
-    # identical docs → identical fingerprints → hamming 0; star emits
-    # each (0, x) exactly once (first-shared-band on quarter 0)
-    assert {(r["doc_a"], r["doc_b"]) for r in sh} == {(0, i) for i in range(1, n)}
+    # identical docs → identical fingerprints → ONE equal-fp run →
+    # chain edges (i-1, i), each emitted exactly once (first-shared-
+    # band on quarter 0); the single distinct-fp representative yields
+    # no rep pairs
+    assert {(r["doc_a"], r["doc_b"]) for r in sh} == {(i - 1, i) for i in range(1, n)}
     assert all(r["hamming"] == 0 for r in sh)
+
+
+def test_simhash_hot_bucket_keeps_nonduplicate_near_dup_pair(
+    spark, tmp_path, monkeypatch
+):
+    """The hot-bucket guard must key on DUPLICATE-NESS, not raw bucket
+    size: a quarter bucket inflated past the cap by a duplicate clique
+    still has to emit the exact pair between two genuinely-distinct
+    near-dup members (the r12 star-to-bucket-min form lost that pair
+    whenever both its star edges to the min exceeded hamming 12).
+    Fingerprints are planted via the fp-stage seam so the scenario is
+    exact: 60 docs with fp=0 (the clique) plus docs 100/101 whose fps
+    share quarter 0 with the clique, sit hamming 13 from it (past the
+    <=12 verify filter), and hamming 2 from each other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dirhash_spark.operators.dedup as dedup_mod
+
+    n = 60
+    fp_100 = 0x1FFF << 16  # 13 bits in quarter 1
+    fp_101 = 0x3FFE << 16  # 13 bits, shifted by one: xor has 2 bits
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["placeholder"]),
+                "lang": pa.array(["en"]),
+                "n_chars": pa.array([11], pa.int32()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    planted = spark.createDataFrame(
+        [(i, 0) for i in range(n)] + [(100, fp_100), (101, fp_101)],
+        "doc_id long, fp long",
+    )
+    monkeypatch.setattr(dedup_mod, "_BUCKET_FULL_EXPAND_CAP", 40)  # < 62
+    monkeypatch.setattr(dedup_mod, "_simhash_fingerprints", lambda cat: planted)
+    rows = QUERIES["dedup_simhash"].fn(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    # the clique chains (band-0 bucket holds all 62 docs: hot)
+    for i in range(1, n):
+        assert got[(i - 1, i)] == 0
+    # clique↔100/101 rep pairs are hamming 13: correctly filtered
+    assert (0, 100) not in got and (0, 101) not in got
+    # THE pair the old star topology dropped, exactly once, hamming 2
+    assert got[(100, 101)] == 2
+    assert len(got) == n  # 59 chain edges + the rep pair

@@ -951,3 +951,13 @@ def test_local_root_property():
         assert local_root(f"s3a://bucket/{p}") is None
 
     uri()
+
+    # truncated file URIs (no path component) must error, NOT resolve
+    # to '/' — that would serially walk and hash the whole host; the
+    # explicit root spelling 'file:///' stays valid
+    import pytest as _pytest
+
+    for truncated in ("file://", "FILE://", "file://localhost", "file://LOCALHOST"):
+        with _pytest.raises(ValueError, match="missing path"):
+            local_root(truncated)
+    assert local_root("file:///") == "/"

@@ -270,6 +270,40 @@ def test_session_flush_restores_shuffle_conf_on_failure(spark, sf_dir, monkeypat
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_session_state_width_derived_from_corpus(spark, sf_dir):
+    """The session stream's state-store width is DERIVED from the
+    corpus's open-session estimate (distinct users), not hand-picked:
+    pin the sizing rule at its anchors — the staged sf0.1 corpus
+    (~1500 users) must derive exactly the width the r12 A/B measured
+    optimal (8), tiny fixtures floor at 2 (the exchange stays
+    multi-partition), and the cap bounds per-batch commit volume —
+    and the corpus-facing wrapper must agree with the rule applied to
+    the exact distinct-user count (the sketch's error is far below a
+    power-of-two boundary here)."""
+    from pyspark.sql import functions as F
+
+    import dirhash_spark.streaming.stateful as S
+    from dirhash_spark.catalog import load_table
+
+    assert S._width_for_sessions(1) == 2
+    assert S._width_for_sessions(150) == 2  # sf0.01-scale corpus
+    assert S._width_for_sessions(1500) == 8  # sf0.1: the r12-measured width
+    assert S._width_for_sessions(100_000) == 512
+    assert S._width_for_sessions(10**9) == 1024  # capped
+    # rule is monotone in the estimate (a bigger corpus never derives
+    # a narrower store)
+    widths = [S._width_for_sessions(n) for n in (1, 10, 10**3, 10**5, 10**7)]
+    assert widths == sorted(widths)
+
+    users = load_table(spark, sf_dir, "events").select(
+        F.countDistinct("user_id")
+    ).first()[0]
+    S._STATE_WIDTH_CACHE.pop(sf_dir, None)
+    assert S._session_state_width(spark, sf_dir) == S._width_for_sessions(users)
+    # memoized: second call answers from the cache
+    assert sf_dir in S._STATE_WIDTH_CACHE
+
+
 def test_session_replay_randomized_equivalence(spark, tmp_path):
     """Watermarked session replay == batch gaps-and-islands on
     RANDOMIZED corpora, not just the fixture table: seeded event sets
