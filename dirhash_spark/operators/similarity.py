@@ -517,7 +517,7 @@ def sim_ann_ivf_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Bump when signature/centroid logic changes: the version is part of
 #: the index path, so a stale on-disk index from older code can never be
 #: read by newer query logic (it would silently return wrong neighbors).
-_ANN_INDEX_VERSION = 5  # v5: path-identity keying + hash-ordered trainer sample
+_ANN_INDEX_VERSION = 6  # v6: duplicate-grouped rows (one per DISTINCT embedding)
 
 
 def _probe_nprobe_lists(cents: np.ndarray, probe_vec: np.ndarray) -> list[int]:
@@ -561,10 +561,10 @@ def _ann_index_path(sf_dir: str) -> str:
 
 
 def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
-    """Write-time ANN index: every embedding with its precomputed LSH
-    signature, its IVF list id, AND its PQ codes (+ norm), stored as
-    parquet **partitioned by cluster_id** (one directory per inverted
-    list).
+    """Write-time ANN index: ONE row per **distinct embedding** with
+    its precomputed LSH signature, its IVF list id, AND its PQ codes
+    (+ norm), stored as parquet **partitioned by cluster_id** (one
+    directory per inverted list).
 
     This is the artifact a 100 TB deployment maintains at ingest: the
     expensive per-vector work (signature bits, centroid assignment, PQ
@@ -573,11 +573,32 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
     K index directories are listed/read), signature filtering reuses the
     stored sig column, and IVFPQ's ADC stage reads only the ~50x-
     compressed codes column instead of the float vectors.
+
+    Duplicate grouping (v6): byte-identical vectors are the ONE skew
+    no quantizer can split — the r13 skew measurement
+    (``ann_scale_bench.py --skew``, BASELINE.md) shows a 30%-identical
+    corpus piling its whole mass into a single list (47x the uniform
+    target) while a dense-but-nonzero-variance blob stays within 3.4x
+    (k-means allocates centroids mass-proportionally).  So the index
+    keys its rows on the exact vector: the representative (min vec_id)
+    carries ``member_ids``/``member_labels`` — the _TOP_K+1 smallest
+    members, all a top-k query can ever surface from a group whose
+    distances are identical and whose ties break by vec_id — plus the
+    full ``group_n`` count.  Per-query distance work is then bounded
+    by DISTINCT embeddings per list (the same duplicate-keyed
+    degradation rule as the LSH/simhash bucket caps), and query paths
+    expand members only after scoring (:func:`_expand_members`).
+    Grouping is EXACT float equality (post NaN/-0.0 normalization) —
+    near-duplicates are semantic-dedup's job, not the index's.  The
+    group rollup is a window over the vector key; a degenerate group
+    is one sort partition (spill-backed, ingest-time one-off) and
+    never materializes a group-sized array.
     Idempotent: returns the existing index if already built.
     """
     import os
 
     import pandas as pd
+    from pyspark.sql.window import Window
 
     out = _ann_index_path(sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -587,7 +608,28 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
         if cents is None or books is None:  # empty corpus: no index
             return None
         v = F.col("embedding").cast("array<double>")
-        sig = _lsh_signature(v)
+        sig = _lsh_signature(F.col("v"))
+
+        wv = Window.partitionBy("v")
+        grouped = (
+            cat.embeddings.select("vec_id", "label", v.alias("v"))
+            .select(
+                "vec_id",
+                "label",
+                "v",
+                F.row_number().over(wv.orderBy("vec_id")).alias("rn"),
+                F.count(F.lit(1)).over(wv).alias("group_n"),
+            )
+            .where(F.col("rn") <= _TOP_K + 1)  # bounded BEFORE any collect
+            .groupBy("v")
+            .agg(
+                F.min("vec_id").alias("vec_id"),
+                F.sort_array(
+                    F.collect_list(F.struct("vec_id", "label"))
+                ).alias("m"),
+                F.min("group_n").alias("group_n"),  # identical across members
+            )
+        )
 
         def encode(batches):
             for pdf in batches:
@@ -602,24 +644,63 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
                 yield pdf.assign(codes=codes, nrm=nrm)
 
         (
-            cat.embeddings.select(
+            grouped.select(
                 "vec_id",
-                "label",
-                v.alias("v"),
+                F.element_at("m", 1)["label"].alias("label"),
+                "v",
                 sig.alias("sig"),
-                _nearest_centroid(v, cents).alias("cluster_id"),
+                _nearest_centroid(F.col("v"), cents).alias("cluster_id"),
+                # primitive parallel arrays (not array<struct>): they
+                # round-trip the Arrow mapInPandas boundary untouched
+                F.transform("m", lambda s: s["vec_id"]).alias("member_ids"),
+                F.transform("m", lambda s: s["label"]).alias("member_labels"),
+                "group_n",
             )
             .repartition("cluster_id")
             .mapInPandas(
                 encode,
                 "vec_id bigint, label int, v array<double>, sig bigint, "
-                "cluster_id int, codes array<int>, nrm double",
+                "cluster_id int, member_ids array<bigint>, "
+                "member_labels array<int>, group_n bigint, "
+                "codes array<int>, nrm double",
             )
             .write.mode("overwrite")
             .partitionBy("cluster_id")
             .parquet(out)
         )
     return out
+
+
+def _expand_members(scored: DataFrame, top_k: int = None) -> DataFrame:
+    """Representative rows → member rows, AFTER scoring: every stored
+    duplicate-group member inherits its group's cosine (identical
+    vectors, identical distance), the probe itself (vec_id 0) is
+    dropped at the member level — its group's rep row must stay in the
+    candidate set so the probe's own duplicates can rank — and the
+    final (cos desc, vec_id) top-k runs over the expanded rows,
+    reproducing the ungrouped ordering exactly: a group's members
+    occupy consecutive rank positions in ascending vec_id order, and
+    the stored _TOP_K+1 smallest ids are sufficient because no top-k
+    can reach deeper than k members into one group (+1 absorbs the
+    probe exclusion).
+
+    ``scored`` must carry member_ids, member_labels, and cos_raw.
+    """
+    out = (
+        scored.select(
+            F.explode(F.arrays_zip("member_ids", "member_labels")).alias("g"),
+            "cos_raw",
+        )
+        .select(
+            F.col("g.member_ids").alias("vec_id"),
+            F.col("g.member_labels").alias("label"),
+            "cos_raw",
+        )
+        .where(F.col("vec_id") != 0)
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(top_k if top_k is not None else _TOP_K)
+    )
+    return out.select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
 
 
 @query("sim_ann_ivf_indexed", oracle=None, tags=("similarity", "ann", "ivf", "index"))
@@ -634,7 +715,10 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the K cached centroids), and expressing it as literals is exactly what
     lets Catalyst turn ``cluster_id IN (...)`` into PartitionFilters, so
     only nprobe of the K index directories are ever listed or read
-    (asserted in tests/test_plans.py).
+    (asserted in tests/test_plans.py).  Cosines are computed once per
+    DISTINCT embedding (the v6 duplicate-grouped rows) and the stored
+    members expand only at the final top-k (:func:`_expand_members`),
+    so a duplicate-heavy list costs its distinct count, not its size.
     """
     cat = Catalog(spark, sf_dir)
     cents = _train_centroids(cat)
@@ -650,16 +734,17 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_lists = _probe_nprobe_lists(cents, probe_vec)
 
+    # no vec_id filter here: the probe's own rep row must stay so its
+    # duplicates can rank (the probe is dropped member-level instead)
     candidates = index.where(
-        F.col("cluster_id").isin([int(c) for c in probe_lists]) & (F.col("vec_id") != 0)
+        F.col("cluster_id").isin([int(c) for c in probe_lists])
     )
-    return (
-        candidates.crossJoin(_probe(cat))
-        .select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(_TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    scored = candidates.crossJoin(_probe(cat)).select(
+        "member_ids",
+        "member_labels",
+        _cosine(F.col("v"), F.col("probe")).alias("cos_raw"),
     )
+    return _expand_members(scored)
 
 
 @query("sim_ann_lsh_indexed", oracle=None, tags=("similarity", "ann", "lsh", "index"))
@@ -668,7 +753,9 @@ def sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     results) to ``sim_ann_lsh``, but the 16-bit signatures are read from
     the index instead of being recomputed per scan — the write-time
     persistence of the signature work (16 hyperplane dot products per
-    vector ⇒ once at ingest, never per query)."""
+    vector ⇒ once at ingest, never per query).  Signature filter and
+    cosine run once per DISTINCT embedding (v6 duplicate-grouped rows);
+    members expand at the final top-k (:func:`_expand_members`)."""
     path = build_ann_index(spark, sf_dir)
     if path is None:
         return _empty_topk(spark)
@@ -678,15 +765,17 @@ def sim_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("probe"), F.col("sig").alias("probe_sig")
         )
     )
-    candidates = index.where(F.col("vec_id") != 0).crossJoin(probe).where(
+    # the probe's rep row stays a candidate (its duplicates must rank);
+    # vec_id 0 itself is dropped member-level in _expand_members
+    candidates = index.crossJoin(probe).where(
         F.bit_count(F.col("sig").bitwiseXOR(F.col("probe_sig"))) <= 6
     )
-    return (
-        candidates.select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(_TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    scored = candidates.select(
+        "member_ids",
+        "member_labels",
+        _cosine(F.col("v"), F.col("probe")).alias("cos_raw"),
     )
+    return _expand_members(scored)
 
 
 _KNN_K = 5
@@ -1151,23 +1240,27 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     probe_lists = _probe_nprobe_lists(cents, probe_vec)
-    probed = index.where(
-        F.col("cluster_id").isin([int(c) for c in probe_lists]) & (F.col("vec_id") != 0)
-    )
+    # rep rows only (v6): ADC scores each DISTINCT embedding once, so
+    # the re-rank depth counts distinct candidates — a duplicate clique
+    # occupies ONE slot instead of flooding the whole depth; the
+    # probe's rep row stays (vec_id 0 drops member-level)
+    probed = index.where(F.col("cluster_id").isin([int(c) for c in probe_lists]))
     cands = (
         probed.select("vec_id", _pq_adc_cosine(probe_vec, books).alias("approx_cos"))
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(_corpus_pq_params(cat)[1])
     )
-    return (
-        probed.select("vec_id", "label", "v")
+    scored = (
+        probed.select("vec_id", "v", "member_ids", "member_labels")
         .join(F.broadcast(cands), "vec_id")
         .crossJoin(_probe(cat))
-        .select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(_TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+        .select(
+            "member_ids",
+            "member_labels",
+            _cosine(F.col("v"), F.col("probe")).alias("cos_raw"),
+        )
     )
+    return _expand_members(scored)
 
 
 _PCA_K = 4  # projected dimensions

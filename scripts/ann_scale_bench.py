@@ -106,6 +106,8 @@ def _write_skew_corpus(n: int, path: str, kind: str, hot_probe: bool) -> None:
 
 def skew_main() -> int:
     """IVF list-size skew measurement (see module docstring)."""
+    from pyspark.sql import functions as F
+
     from dirhash_spark.operators import similarity as S
     from dirhash_spark.operators.similarity import build_ann_index
     from dirhash_spark.registry import all_queries
@@ -130,21 +132,27 @@ def skew_main() -> int:
             build_s = round(time.perf_counter() - t0, 2)
             k = len(S._CENTROID_CACHE[sf_dir])
 
-            sizes = sorted(
-                r["count"]
-                for r in spark.read.parquet(idx).groupBy("cluster_id").count().collect()
+            # v6 duplicate-grouped index: stored rows per list bound the
+            # per-query SCAN cost (one row per distinct embedding);
+            # represented rows (sum of group_n) are the logical mass
+            lists = (
+                spark.read.parquet(idx)
+                .groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("stored"), F.sum("group_n").alias("repr"))
+                .collect()
             )
-            shares = np.asarray(sizes, dtype=float) / n
+            stored = np.asarray(sorted(r["stored"] for r in lists), dtype=float) / n
+            repr_ = np.asarray(sorted(r["repr"] for r in lists), dtype=float) / n
             target = 1.0 / k
             row = {
                 "K": k,
                 "build_s": build_s,
-                "lists_used": len(sizes),
-                "max_list_share": round(float(shares[-1]), 4),
-                "max_over_target": round(float(shares[-1] / target), 1),
-                "p99_over_target": round(
-                    float(np.percentile(shares, 99) / target), 1
-                ),
+                "lists_used": len(lists),
+                "max_list_share": round(float(repr_[-1]), 4),
+                "max_over_target": round(float(repr_[-1] / target), 1),
+                "p99_over_target": round(float(np.percentile(repr_, 99) / target), 1),
+                "max_stored_share": round(float(stored[-1]), 4),
+                "max_stored_over_target": round(float(stored[-1] / target), 1),
             }
             exact = {r["vec_id"] for r in qs["sim_topk_cosine"].fn(spark, sf_dir).collect()}
             for name in ("sim_ann_ivf_indexed", "sim_ann_ivfpq"):

@@ -200,6 +200,73 @@ def test_indexed_ann_matches_unindexed(spark, sf_dir):
         assert a == b, f"{base} != {indexed}"
 
 
+def test_index_duplicate_grouping_bounded_and_exact(spark, tmp_path):
+    """The v6 index stores one row per DISTINCT embedding — the
+    duplicate-keyed answer to the r13 skew measurement, where a
+    30%-byte-identical corpus piled its whole mass into one IVF list
+    (47x the uniform target) that no quantizer can split.  On a corpus
+    whose hot mass is one duplicated vector:
+
+    (a) BOUNDED: the index holds exactly #distinct rows — the hot
+        list's stored size is its distinct count, and each group
+        carries at most _TOP_K+1 member ids;
+    (b) EXACT: every indexed variant returns bit-identical rows to the
+        exact brute-force top-k, INCLUDING the vec_id tie-break order
+        inside the duplicate group and the probe's own duplicates
+        ranking at cosine 1.0 (the probe sits inside the group; its
+        rep row must stay a candidate while vec_id 0 itself is
+        excluded member-level)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.operators import similarity as S
+
+    rng = np.random.RandomState(99)
+    n, n_hot = 600, 180
+    center = rng.standard_normal(64)
+    rest = rng.standard_normal((n - n_hot, 64))
+    V = np.vstack([np.tile(center, (n_hot, 1)), rest]).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+                "label": pa.array(np.arange(n, dtype=np.int32) % 3, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+    try:
+        idx = spark.read.parquet(S.build_ann_index(spark, sf))
+        n_distinct = n - n_hot + 1
+        assert idx.count() == n_distinct  # (a) one row per distinct vector
+        hot = idx.where(F.col("group_n") > 1).collect()
+        assert len(hot) == 1
+        assert hot[0]["group_n"] == n_hot
+        assert hot[0]["vec_id"] == 0 and len(hot[0]["member_ids"]) == S._TOP_K + 1
+        assert hot[0]["member_ids"] == list(range(S._TOP_K + 1))
+
+        exact = [tuple(r) for r in S.sim_topk_cosine(spark, sf).collect()]
+        # probe (vec_id 0) is IN the duplicate group: true top-k = its
+        # k smallest-id duplicates at cosine 1.0
+        assert [r[0] for r in exact] == list(range(1, S._TOP_K + 1))
+        assert all(r[2] == 1.0 for r in exact)
+        for fn in (S.sim_ann_ivf, S.sim_ann_ivf_indexed, S.sim_ann_lsh,
+                   S.sim_ann_lsh_indexed, S.sim_ann_ivfpq):
+            got = [tuple(r) for r in fn(spark, sf).collect()]
+            assert got == exact, fn.__name__  # (b) bit-identical, ties included
+    finally:
+        shutil.rmtree(S._ann_index_path(sf), True)
+        for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
+                      S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+            cache.pop(sf, None)
+
+
 def test_cluster_canonical_properties(spark, sf_dir):
     """Cluster invariants the oracle hash can't express directly:
     every doc labeled, cluster_id is a member of its own cluster (the
