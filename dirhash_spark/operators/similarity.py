@@ -517,7 +517,7 @@ def sim_ann_ivf_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Bump when signature/centroid logic changes: the version is part of
 #: the index path, so a stale on-disk index from older code can never be
 #: read by newer query logic (it would silently return wrong neighbors).
-_ANN_INDEX_VERSION = 6  # v6: duplicate-grouped rows (one per DISTINCT embedding)
+_ANN_INDEX_VERSION = 7  # v6: duplicate-grouped rows; v7: residual PQ codes
 
 
 def _probe_nprobe_lists(cents: np.ndarray, probe_vec: np.ndarray) -> list[int]:
@@ -604,8 +604,13 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         cat = Catalog(spark, sf_dir)
         cents = _train_centroids(cat)
-        books = _train_pq_codebooks(cat)
-        if cents is None or books is None:  # empty corpus: no index
+        if cents is None:  # empty corpus: no index
+            return None
+        # v7: the stored codes quantize the RESIDUAL v − centroid, so
+        # the books' resolution concentrates within each list (the
+        # dense-blob recall fix; sim_ann_pq keeps its raw-vector books)
+        books = _train_pq_residual_codebooks(cat, cents)
+        if books is None:
             return None
         v = F.col("embedding").cast("array<double>")
         sig = _lsh_signature(F.col("v"))
@@ -638,10 +643,12 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
                         codes=pd.Series(dtype=object), nrm=pd.Series(dtype=float)
                     )
                     continue
-                codes, nrm = _pq_codes_nrm(
-                    np.asarray(pdf["v"].tolist(), dtype=np.float64), books
-                )
-                yield pdf.assign(codes=codes, nrm=nrm)
+                vv = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                resid = vv - cents[pdf["cluster_id"].to_numpy()]
+                codes, _ = _pq_codes_nrm(resid, books)
+                # the stored norm stays ||v|| — it is the cosine
+                # denominator, not part of the quantized displacement
+                yield pdf.assign(codes=codes, nrm=np.sqrt((vv**2).sum(1)))
 
         (
             grouped.select(
@@ -986,6 +993,13 @@ _PQ_K_MAX = 256
 #: bounds the broadcast back-join at ~2k ids regardless of corpus size.
 _PQ_RERANK_MIN = 100
 _PQ_RERANK_MAX = 2048
+#: ADC saturation threshold for sim_ann_ivfpq: when the re-rank set's
+#: approx-cosine spread falls below this, the ADC ordering carries no
+#: signal (quantization error >= inter-candidate deltas) and the query
+#: re-ranks every probed representative exactly.  Measured margins:
+#: saturated hot-blob probes read 0.011-0.013, every healthy corpus
+#: reads >= 0.45 (BASELINE.md r13) — 4x/9x margins either side.
+_ADC_SATURATION_SPREAD = 0.05
 
 
 def _pq_k(n_vectors: int) -> int:
@@ -1043,7 +1057,15 @@ def _train_pq_codebooks(cat: Catalog) -> np.ndarray | None:
     )
     if not sample:  # empty corpus: nothing to encode (callers emit empty)
         return None
-    x = np.asarray(sample, dtype=np.float64)
+    books = _fit_pq_books(np.asarray(sample, dtype=np.float64), k_pq)
+    _PQ_CACHE[cat.sf_dir] = books
+    return books
+
+
+def _fit_pq_books(x: np.ndarray, k_pq: int) -> np.ndarray:
+    """Per-subspace k-means over a training matrix (raw vectors for
+    ``sim_ann_pq``, coarse-quantizer residuals for the v7 index) —
+    deterministic seed, shared by both trainers."""
     k_pq = min(k_pq, len(x))  # k-means needs centroids <= points
     d = x.shape[1] // _PQ_M
     sub = x.reshape(len(x), _PQ_M, d)
@@ -1058,7 +1080,43 @@ def _train_pq_codebooks(cat: Catalog) -> np.ndarray | None:
                 if (assign == k).any():
                     cents[k] = xs[assign == k].mean(0)
         books[m] = cents
-    _PQ_CACHE[cat.sf_dir] = books
+    return books
+
+
+#: Residual sub-codebooks for the v7 index (trained on v − nearest
+#: coarse centroid), keyed by sf_dir — sibling of _PQ_CACHE, which
+#: keeps the RAW-vector books ``sim_ann_pq`` (no coarse stage) uses.
+_PQR_CACHE: dict[str, np.ndarray] = {}
+
+
+def _train_pq_residual_codebooks(cat: Catalog, cents: np.ndarray) -> np.ndarray | None:
+    """Residual PQ codebooks (Jégou et al., TPAMI 2011 §IV-A — the
+    FAISS ``IVFx,PQy`` layout): quantize ``v − centroid(v)`` instead of
+    ``v``.  The r13 skew measurement found the raw-vector books' blind
+    spot — a probe INSIDE a dense blob read recall@10 0.0, because
+    global codebooks spread their resolution over the whole corpus
+    span while every candidate differed from the probe by less than
+    one quantization cell.  Residuals re-center every list at its
+    centroid, so the books spend all their resolution on the
+    within-list displacement, exactly the scale the blob case needs.
+    Same bounded deterministic sample and per-subspace k-means as the
+    raw trainer (:func:`_fit_pq_books`)."""
+    cached = _PQR_CACHE.get(cat.sf_dir)
+    if cached is not None:
+        return cached
+    k_pq, _ = _corpus_pq_params(cat)
+    sample = (
+        _train_sample_order(cat.embeddings)
+        .limit(max(_IVF_SAMPLE, 16 * k_pq))
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .toPandas()["v"]  # bounded: limit() right above caps the rows
+        .tolist()
+    )
+    if not sample:
+        return None
+    x = np.asarray(sample, dtype=np.float64)
+    books = _fit_pq_books(x - cents[_assign_chunked(x, cents)], k_pq)
+    _PQR_CACHE[cat.sf_dir] = books
     return books
 
 
@@ -1083,12 +1141,17 @@ def _pq_codes_nrm(v: np.ndarray, books: np.ndarray):
     )
 
 
-def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray):
+def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray, extra_dot=None):
     """Approximate-cosine column from PQ codes via asymmetric distance
     computation: the driver inlines the (_PQ_M x k_pq) table of
     probe-subvector . centroid inner products as a literal nested
     array, and every row scores sum(table[m][code[m]]) / (nrm * |p|) —
-    a map-only JVM lookup-sum over ``codes``/``nrm`` columns."""
+    a map-only JVM lookup-sum over ``codes``/``nrm`` columns.
+
+    ``extra_dot``: for RESIDUAL codes (the v7 index), the probe·v dot
+    decomposes as probe·centroid + probe·residual; the caller passes
+    the per-row probe·centroid Column (a literal map over the probed
+    lists) and the table lookup supplies the residual term."""
     m_ = books.shape[0]
     p_nrm = float(np.sqrt((probe_vec**2).sum()))
     table = np.einsum("md,mkd->mk", probe_vec.reshape(m_, -1), books)
@@ -1104,6 +1167,8 @@ def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if extra_dot is not None:
+        approx_dot = approx_dot + extra_dot
     # same zero-norm guard as _cosine: a zero vector (stored nrm 0)
     # must not surface as NaN and outrank every real candidate
     return approx_dot / F.nullif(F.col("nrm") * F.lit(p_nrm), F.lit(0.0))
@@ -1215,11 +1280,20 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
        stored PQ ``codes``/``nrm`` columns via the inlined lookup
        table — map-only JVM, and column pruning means the float
        vectors are NOT read in this stage (the scan's ReadSchema
-       carries codes+nrm, not v — asserted in tests/test_plans.py);
+       carries codes+nrm, not v — asserted in tests/test_plans.py).
+       The codes are RESIDUAL (v7, Jégou et al. §IV-A): probe·v =
+       probe·centroid (a literal map over the probed lists) +
+       probe·residual (the table lookup), so the books' resolution
+       concentrates within each list;
     3. RE-RANK: the top candidates (derived re-rank depth, capped at
        _PQ_RERANK_MAX) re-ranked EXACTLY against the true vectors of
        the probed partitions only (broadcast semi-join on vec_id),
-       top-10 out.
+       top-10 out.  If the candidate set's ADC spread reads below
+       :data:`_ADC_SATURATION_SPREAD` — the probe sits in a region
+       denser than the quantization resolution, where the ADC ordering
+       is provably noise (measured recall 0.0) — the query instead
+       re-ranks EVERY probed representative exactly, still partition-
+       pruned (measured recall 1.0 at the same pruned read).
 
     At scale this reads nprobe/K of the corpus as compressed codes
     plus a bounded set of float vectors — neither a full-corpus scan
@@ -1228,8 +1302,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     cents = _train_centroids(cat)
-    books = _train_pq_codebooks(cat)
-    if cents is None or books is None:
+    if cents is None:
+        return _empty_topk(spark)
+    books = _train_pq_residual_codebooks(cat, cents)
+    if books is None:
         return _empty_topk(spark)
     index = spark.read.parquet(build_ann_index(spark, sf_dir))
 
@@ -1245,11 +1321,52 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occupies ONE slot instead of flooding the whole depth; the
     # probe's rep row stays (vec_id 0 drops member-level)
     probed = index.where(F.col("cluster_id").isin([int(c) for c in probe_lists]))
+    # v7 residual ADC: probe·v = probe·centroid (a literal map keyed on
+    # the partition column — one entry per probed list) + probe·residual
+    # (the code-table lookup inside _pq_adc_cosine)
+    cent_dot = F.element_at(
+        F.create_map(
+            *[
+                lit
+                for c in probe_lists
+                for lit in (
+                    F.lit(int(c)),
+                    F.lit(float(probe_vec @ cents[int(c)])),
+                )
+            ]
+        ),
+        F.col("cluster_id"),
+    )
     cands = (
-        probed.select("vec_id", _pq_adc_cosine(probe_vec, books).alias("approx_cos"))
+        probed.select(
+            "vec_id", _pq_adc_cosine(probe_vec, books, cent_dot).alias("approx_cos")
+        )
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(_corpus_pq_params(cat)[1])
     )
+    # ADC saturation guard: when the probe sits inside a region denser
+    # than the quantization resolution, the re-rank set's approx-cosine
+    # spread collapses and its ORDERING is noise — measured 0.011-0.013
+    # on a hot-probed sigma-0.05 blob (recall@10 read 0.0 with raw AND
+    # residual books) vs >= 0.45 on every healthy corpus (BASELINE.md
+    # r13, 40x separation).  One bounded scalar aggregate over the
+    # compressed columns decides; on saturation the query re-ranks ALL
+    # probed representatives exactly — still partition-pruned to
+    # nprobe/K of the corpus, the same cost class as sim_ann_ivf_indexed
+    # (which reads recall 1.0 there).  The decision pass re-executes the
+    # ADC stage once (codes+nrm only, never floats).
+    spread = cands.agg(
+        (F.max("approx_cos") - F.min("approx_cos")).alias("s")
+    ).first()["s"]  # bounded: a single scalar row
+    if spread is None or spread < _ADC_SATURATION_SPREAD:
+        scored = probed.select("v", "member_ids", "member_labels").crossJoin(
+            _probe(cat)
+        ).select(
+            "member_ids",
+            "member_labels",
+            _cosine(F.col("v"), F.col("probe")).alias("cos_raw"),
+        )
+        return _expand_members(scored)
     scored = (
         probed.select("vec_id", "v", "member_ids", "member_labels")
         .join(F.broadcast(cands), "vec_id")

@@ -123,7 +123,7 @@ def skew_main() -> int:
             shutil.rmtree(sf_dir, True)
             _write_skew_corpus(n, sf_dir, kind, hot_probe=(probe == "hot"))
             for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
-                          S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+                          S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
                 cache.pop(sf_dir, None)
             shutil.rmtree(S._ann_index_path(sf_dir), True)
 
@@ -171,7 +171,7 @@ def skew_main() -> int:
             shutil.rmtree(S._ann_index_path(sf_dir), True)
             shutil.rmtree(sf_dir, True)
             for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
-                          S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+                          S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
                 cache.pop(sf_dir, None)
     print(json.dumps({"metric": "IVF list-size skew (30% hot mass, 20k vectors)",
                       "corpora": out}))
@@ -256,7 +256,7 @@ def main() -> int:
             S._ann_index_path(os.path.join(tempfile.gettempdir(), f"ann_scale_{n}")),
             True,
         )
-        for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE, S._PQ_CACHE):
+        for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE, S._PQ_CACHE, S._PQR_CACHE):
             cache.pop(os.path.join(tempfile.gettempdir(), f"ann_scale_{n}"), None)
     spark.stop()
     return 0

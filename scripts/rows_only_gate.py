@@ -153,7 +153,7 @@ def check_zero_norm(spark) -> bool:
     finally:
         shutil.rmtree(S._ann_index_path(tmp), True)
         for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
-                      S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+                      S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
             cache.pop(tmp, None)
         shutil.rmtree(tmp, True)
 

@@ -263,7 +263,7 @@ def test_index_duplicate_grouping_bounded_and_exact(spark, tmp_path):
     finally:
         shutil.rmtree(S._ann_index_path(sf), True)
         for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
-                      S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+                      S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
             cache.pop(sf, None)
 
 
@@ -746,6 +746,52 @@ def test_ivfpq_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"IVFPQ recall@10 = {recall}"
 
 
+def test_ivfpq_dense_blob_saturation_fallback(spark, tmp_path):
+    """A probe INSIDE a dense blob is PQ's blind spot: every candidate
+    differs from the probe by less than one quantization cell, the ADC
+    ordering is noise, and recall@10 measured 0.0 with raw AND residual
+    books (BASELINE.md r13).  The saturation guard must detect the
+    collapsed ADC spread (0.011-0.013 here vs >= 0.45 on every healthy
+    corpus) and re-rank all probed representatives exactly — recall
+    recovers to ~1.0 at the same partition-pruned read."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dirhash_spark.operators import similarity as S
+
+    rng = np.random.RandomState(777)
+    n, n_hot = 2000, 600
+    center = rng.standard_normal(64)
+    hot = center + 0.05 * rng.standard_normal((n_hot, 64))
+    rest = rng.standard_normal((n - n_hot, 64))
+    V = np.vstack([hot, rest]).astype(np.float32)  # vec_id 0 = hot probe
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+    try:
+        exact = {r["vec_id"] for r in S.sim_topk_cosine(spark, sf).collect()}
+        approx = {r["vec_id"] for r in S.sim_ann_ivfpq(spark, sf).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"saturation fallback recall@10 {recall} < 0.9"
+    finally:
+        shutil.rmtree(S._ann_index_path(sf), True)
+        for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
+                      S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE,
+                      S._CENTROID_CACHE_DIST):
+            cache.pop(sf, None)
+
+
 def test_embedding_ann_dedup_recall_and_exact_precision(spark):
     """dedup_embedding_ann (label-free semantic near-dup): brute-force
     ground truth over all pairs, then assert (a) precision is EXACT —
@@ -869,7 +915,7 @@ def test_pq_derived_codebook_recall_floor(spark, tmp_path):
     finally:
         shutil.rmtree(S._ann_index_path(sf), True)
         for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
-                      S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+                      S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
             cache.pop(sf, None)
 
 
@@ -1420,7 +1466,7 @@ def test_zero_norm_embedding_never_ranks(spark, tmp_path):
     finally:
         shutil.rmtree(S._ann_index_path(sf), True)
         for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
-                      S._PQ_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
+                      S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE, S._CENTROID_CACHE_DIST):
             cache.pop(sf, None)
 
 
