@@ -1104,11 +1104,58 @@ def _score_list_pairs(
     runs in ``_ANN_OWNERSHIP_CHUNK_PAIRS`` sub-chunks so its
     npairs x nprobe^2 scratch stays bounded when a dense cell makes
     nearly every pair survive (see the constant's doc).
+
+    Duplicate-keyed degrade (r13, same rule as the LSH/simhash bucket
+    caps and the v6 ANN index): a byte-identical vector group larger
+    than ``_BUCKET_FULL_EXPAND_CAP`` would make both the FLOPs and the
+    EMITTED pair set quadratic in the duplicate count (every internal
+    pair scores cosine 1.0 ≥ any threshold) — no blocking bounds an
+    output that is itself O(b²).  Such a group participates in the
+    matmul as its min-id REPRESENTATIVE only, plus an internal CHAIN of
+    adjacent-id pairs at the group's self-cosine: connectivity (what
+    the SemDeDup CC consumes) is exact — a member reaches anything its
+    group qualifies against via rep + chain — while per-pair rows
+    between non-adjacent members, and between non-rep members and
+    outside vectors, undercount (cos(member, x) == cos(rep, x), so no
+    distinct cosine information is lost).  Groups at or below the cap
+    keep the exact all-pairs form, so fixtures and real corpora are
+    byte-identical to the ungrouped code path.
     """
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     if lists is not None:
         lists = lists[order]
+    chain_a: list[np.ndarray] = []
+    chain_b: list[np.ndarray] = []
+    chain_c: list[np.ndarray] = []
+    if len(ids) > _BUCKET_FULL_EXPAND_CAP:  # a >cap group needs a >cap list
+        _, uniq_inv, counts = np.unique(
+            mat, axis=0, return_inverse=True, return_counts=True
+        )
+        uniq_inv = uniq_inv.reshape(-1)  # numpy 2.0 returns (n, 1) for axis=0
+        if counts.max() > _BUCKET_FULL_EXPAND_CAP:
+            keep = np.ones(len(ids), dtype=bool)
+            for g in np.nonzero(counts > _BUCKET_FULL_EXPAND_CAP)[0]:
+                members = np.nonzero(uniq_inv == g)[0]  # ascending ids
+                keep[members[1:]] = False  # rep = min-id member stays
+                gv = mat[members[0]]
+                gn = float(np.linalg.norm(gv))
+                # zero-norm duplicates have no direction: cosine 0 to
+                # everything incl. each other — no chain, same as the
+                # all-pairs form would (not) emit
+                self_cos = float(gv @ gv / (gn * gn)) if gn > 0 else 0.0
+                if self_cos >= threshold:
+                    if lists is None or int(lists[members[0]].min()) == owner_id:
+                        # exactly-once across the nprobe list copies:
+                        # the whole group shares one assignment array
+                        chain_a.append(ids[members[:-1]])
+                        chain_b.append(ids[members[1:]])
+                        chain_c.append(
+                            np.full(len(members) - 1, round(self_cos, 4))
+                        )
+            ids, mat = ids[keep], mat[keep]
+            if lists is not None:
+                lists = lists[keep]
     # zero-norm guard (same class as similarity._cosine): a zero vector
     # divides to NaN here; NaN >= threshold happens to be False in
     # numpy so such pairs were dropped by accident — make the exclusion
@@ -1146,6 +1193,7 @@ def _score_list_pairs(
             out_a.append(ids[start + rows])
             out_b.append(ids[start + cols])
             out_c.append(np.round(cos[rows, cols], 4))
+    out_a, out_b, out_c = out_a + chain_a, out_b + chain_b, out_c + chain_c
     if not out_a:
         return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
             {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}

@@ -678,7 +678,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str | None:
     return out
 
 
-def _expand_members(scored: DataFrame, top_k: int = None) -> DataFrame:
+def _expand_members(scored: DataFrame, top_k: int | None = None) -> DataFrame:
     """Representative rows → member rows, AFTER scoring: every stored
     duplicate-group member inherits its group's cosine (identical
     vectors, identical distance), the probe itself (vec_id 0) is

@@ -746,6 +746,69 @@ def test_ivfpq_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"IVFPQ recall@10 = {recall}"
 
 
+def test_embedding_ann_duplicate_group_chain_bounded(spark, tmp_path):
+    """dedup_embedding_ann's output contract (all pairs >= threshold)
+    is inherently O(b²) on a byte-identical group — no blocking bounds
+    an output that is itself quadratic.  Above _BUCKET_FULL_EXPAND_CAP
+    a group now participates as its min-id representative plus an
+    internal chain (the r13 duplicate-keyed rule): on a corpus with a
+    700-strong duplicate clique the emitted pair set stays O(n), the
+    chain spans the clique at cosine 1.0 exactly once across the
+    multi-assign list copies, and the SemDeDup capstone still marks
+    exactly one canonical in the clique's cluster."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dirhash_spark.operators import similarity as S
+
+    rng = np.random.RandomState(31)
+    n, n_dup = 800, 700  # clique > the 512 cap
+    center = rng.standard_normal(64)
+    V = np.vstack(
+        [np.tile(center, (n_dup, 1)), rng.standard_normal((n - n_dup, 64))]
+    ).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+    try:
+        rows = QUERIES["dedup_embedding_ann"].fn(spark, sf).collect()
+        pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+        chain = {(i, i + 1) for i in range(n_dup - 1)}
+        internal = {p for p in pairs if p[0] < n_dup and p[1] < n_dup}
+        assert internal == chain, (len(internal), len(chain))
+        assert all(pairs[p] == 1.0 for p in chain)
+        assert len(pairs) < 3 * n  # O(n), not the 244k of naive all-pairs
+        # non-rep clique members never pair outside the clique (their
+        # cosine info is the rep's); connectivity flows rep + chain
+        assert not {
+            p for p in pairs
+            if (0 < p[0] < n_dup) != (0 < p[1] < n_dup) and 0 not in p
+        }
+
+        keep = QUERIES["pipeline_semdedup_e2e"].fn(spark, sf).collect()
+        clique = [r for r in keep if r["vec_id"] < n_dup]
+        assert len(clique) == n_dup
+        assert len({r["cluster_id"] for r in clique}) == 1  # one component
+        assert sum(r["is_canonical"] for r in clique) == 1  # one keeper
+    finally:
+        import shutil
+
+        shutil.rmtree(S._ann_index_path(sf), True)
+        for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
+                      S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE,
+                      S._CENTROID_CACHE_DIST):
+            cache.pop(sf, None)
+
+
 def test_ivfpq_dense_blob_saturation_fallback(spark, tmp_path):
     """A probe INSIDE a dense blob is PQ's blind spot: every candidate
     differs from the probe by less than one quantization cell, the ADC

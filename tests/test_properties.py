@@ -961,3 +961,95 @@ def test_local_root_property():
         with _pytest.raises(ValueError, match="missing path"):
             local_root(truncated)
     assert local_root("file:///") == "/"
+
+
+def test_simhash_hot_bucket_invariants_random_fps(spark, tmp_path, monkeypatch):
+    """Randomized invariants of the duplicate-keyed simhash hot path
+    (r13): plant seeded random 64-bit fingerprints with duplicate
+    groups through the fp-stage seam, force the bucket cap low so the
+    chain/rep machinery engages, and assert what the degradation
+    CONTRACT guarantees regardless of the random draw:
+
+    (a) exactly-once — no (doc_a, doc_b) row is emitted twice across
+        the four quarter bands;
+    (b) every emitted row's hamming equals the true popcount of the
+        pair's fp xor and respects the <=12 filter;
+    (c) identical-fp groups are always fully connected in the emitted
+        pair graph (the chain guarantee — the exact property the e2e
+        consumers rely on);
+    (d) doc_a < doc_b on every row (the _opair ordering).
+    """
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dirhash_spark.operators.dedup as dedup_mod
+    from dirhash_spark.registry import all_queries
+
+    qs = all_queries()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["placeholder"]),
+                "lang": pa.array(["en"]),
+                "n_chars": pa.array([11], pa.int32()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    monkeypatch.setattr(dedup_mod, "_BUCKET_FULL_EXPAND_CAP", 8)
+
+    for seed in (3, 17, 51):
+        rng = random.Random(seed)
+        fps: list[tuple[int, int]] = []
+        doc = 0
+        # duplicate groups of random size over a SMALL fp pool so
+        # quarters collide constantly (hot buckets everywhere)
+        pool = [rng.getrandbits(62) for _ in range(12)]
+        # bias: make some pool members near-dups of each other
+        pool += [pool[0] ^ (1 << rng.randrange(64)) for _ in range(4)]
+        for fp in pool:
+            for _ in range(rng.randrange(1, 30)):
+                fps.append((doc, fp))
+                doc += 1
+        rng.shuffle(fps)
+        planted = spark.createDataFrame(fps, "doc_id long, fp long")
+        monkeypatch.setattr(dedup_mod, "_simhash_fingerprints", lambda cat: planted)
+        rows = qs["dedup_simhash"].fn(spark, str(tmp_path)).collect()
+
+        fp_of = dict(fps)
+        seen = set()
+        for r in rows:
+            key = (r["doc_a"], r["doc_b"])
+            assert key not in seen, f"pair emitted twice: {key} (seed {seed})"
+            seen.add(key)
+            assert r["doc_a"] < r["doc_b"]
+            x = fp_of[r["doc_a"]] ^ fp_of[r["doc_b"]]
+            assert r["hamming"] == bin(x).count("1")
+            assert r["hamming"] <= 12
+
+        # identical-fp groups fully connected in the emitted graph
+        parent: dict[int, int] = {}
+
+        def find(a):
+            while parent.get(a, a) != a:
+                parent[a] = parent.get(parent[a], parent[a])
+                a = parent[a]
+            return a
+
+        for a, b in seen:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups: dict[int, list[int]] = {}
+        for d, fp in fps:
+            groups.setdefault(fp, []).append(d)
+        for fp, members in groups.items():
+            if len(members) > 1:
+                roots = {find(d) for d in members}
+                assert len(roots) == 1, (
+                    f"identical-fp group (seed {seed}, fp {fp:#x}) split "
+                    f"into {len(roots)} components"
+                )
