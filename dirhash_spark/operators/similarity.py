@@ -1155,8 +1155,17 @@ def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray, extra_dot=None):
     m_ = books.shape[0]
     p_nrm = float(np.sqrt((probe_vec**2).sum()))
     table = np.einsum("md,mkd->mk", probe_vec.reshape(m_, -1), books)
-    lit_table = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in table]
+    # ONE expr-string parse instead of m×k F.lit Py4J round-trips: at
+    # the derived 256-centroid books that is 2048 gateway calls
+    # (measured 0.168 s at k=32, ~8x that at the cap) vs 0.9 ms for
+    # the string — repr() round-trips doubles exactly, D = DOUBLE
+    lit_table = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+            for row in table
+        )
+        + ")"
     )
     approx_dot = F.aggregate(
         F.zip_with(
@@ -1263,6 +1272,46 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_adc_candidates(
+    cat: Catalog,
+    index: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    probe_vec: np.ndarray,
+    probe_lists,
+) -> DataFrame:
+    """The LAZY rep-level ADC candidate frame for ``sim_ann_ivfpq``:
+    top-(derived re-rank depth) representatives by residual-ADC approx
+    cosine over the probed lists.  Reads ONLY the compressed
+    ``codes``/``nrm`` columns of the nprobe partitions (never the
+    float vectors — plan-pinned in tests/test_plans.py on this helper,
+    since the registered query collects the candidates eagerly and its
+    returned plan therefore contains only the re-rank scan).
+
+    v7 residual ADC: probe·v = probe·centroid (a literal map keyed on
+    the partition column — one entry per probed list) + probe·residual
+    (the code-table lookup inside :func:`_pq_adc_cosine`)."""
+    cent_dot = F.element_at(
+        F.expr(
+            "map("
+            + ",".join(
+                f"{int(c)}, {float(probe_vec @ cents[int(c)])!r}D"
+                for c in probe_lists
+            )
+            + ")"
+        ),
+        F.col("cluster_id"),
+    )
+    probed = index.where(F.col("cluster_id").isin([int(c) for c in probe_lists]))
+    return (
+        probed.select(
+            "vec_id", _pq_adc_cosine(probe_vec, books, cent_dot).alias("approx_cos")
+        )
+        .orderBy(F.col("approx_cos").desc(), "vec_id")
+        .limit(_corpus_pq_params(cat)[1])
+    )
+
+
 @query("sim_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq", "index"))
 def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed into the production billion-vector query shape
@@ -1321,44 +1370,21 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occupies ONE slot instead of flooding the whole depth; the
     # probe's rep row stays (vec_id 0 drops member-level)
     probed = index.where(F.col("cluster_id").isin([int(c) for c in probe_lists]))
-    # v7 residual ADC: probe·v = probe·centroid (a literal map keyed on
-    # the partition column — one entry per probed list) + probe·residual
-    # (the code-table lookup inside _pq_adc_cosine)
-    cent_dot = F.element_at(
-        F.create_map(
-            *[
-                lit
-                for c in probe_lists
-                for lit in (
-                    F.lit(int(c)),
-                    F.lit(float(probe_vec @ cents[int(c)])),
-                )
-            ]
-        ),
-        F.col("cluster_id"),
-    )
-    cands = (
-        probed.select(
-            "vec_id", _pq_adc_cosine(probe_vec, books, cent_dot).alias("approx_cos")
-        )
-        .orderBy(F.col("approx_cos").desc(), "vec_id")
-        .limit(_corpus_pq_params(cat)[1])
-    )
+    cand_rows = _ivfpq_adc_candidates(
+        cat, index, cents, books, probe_vec, probe_lists
+    ).collect()  # bounded: limit(_PQ_RERANK_MAX) inside the helper
+    scores = [r["approx_cos"] for r in cand_rows if r["approx_cos"] is not None]
     # ADC saturation guard: when the probe sits inside a region denser
-    # than the quantization resolution, the re-rank set's approx-cosine
-    # spread collapses and its ORDERING is noise — measured 0.011-0.013
-    # on a hot-probed sigma-0.05 blob (recall@10 read 0.0 with raw AND
-    # residual books) vs >= 0.45 on every healthy corpus (BASELINE.md
-    # r13, 40x separation).  One bounded scalar aggregate over the
-    # compressed columns decides; on saturation the query re-ranks ALL
-    # probed representatives exactly — still partition-pruned to
-    # nprobe/K of the corpus, the same cost class as sim_ann_ivf_indexed
-    # (which reads recall 1.0 there).  The decision pass re-executes the
-    # ADC stage once (codes+nrm only, never floats).
-    spread = cands.agg(
-        (F.max("approx_cos") - F.min("approx_cos")).alias("s")
-    ).first()["s"]  # bounded: a single scalar row
-    if spread is None or spread < _ADC_SATURATION_SPREAD:
+    # than the quantization resolution, the candidate set's approx-
+    # cosine spread collapses and its ORDERING is noise — measured
+    # 0.011-0.013 on a hot-probed sigma-0.05 blob (recall@10 read 0.0
+    # with raw AND residual books) vs >= 0.45 on every healthy corpus
+    # (BASELINE.md r13, 40x separation).  The collected candidate list
+    # decides; on saturation the query re-ranks ALL probed
+    # representatives exactly — still partition-pruned to nprobe/K of
+    # the corpus, the same cost class as sim_ann_ivf_indexed (which
+    # reads recall 1.0 there).
+    if not scores or (max(scores) - min(scores)) < _ADC_SATURATION_SPREAD:
         scored = probed.select("v", "member_ids", "member_labels").crossJoin(
             _probe(cat)
         ).select(
@@ -1367,9 +1393,12 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cosine(F.col("v"), F.col("probe")).alias("cos_raw"),
         )
         return _expand_members(scored)
+    cand_df = spark.createDataFrame(
+        [(int(r["vec_id"]),) for r in cand_rows], "vec_id bigint"
+    )
     scored = (
         probed.select("vec_id", "v", "member_ids", "member_labels")
-        .join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(cand_df), "vec_id")
         .crossJoin(_probe(cat))
         .select(
             "member_ids",

@@ -901,28 +901,61 @@ def test_bpe_encode_broadcasts_vocabulary(spark):
 
 
 def test_ivfpq_prunes_partitions_and_never_scans_floats_for_adc(spark):
-    """sim_ann_ivfpq's contract at 100 TB: (a) BOTH index scans carry
+    """sim_ann_ivfpq's contract at 100 TB: (a) every index scan carries
     the cluster_id IN (...) PartitionFilters (only nprobe of the K
-    directories are listed), and (b) the ADC scoring scan reads the
-    ~50x-compressed codes+nrm columns WITHOUT the float vectors —
-    the full-corpus float read is exactly what IVFPQ exists to avoid;
-    v is read only by the re-rank scan, itself partition-pruned and
-    reduced to _PQ_RERANK rows by the broadcast join."""
-    p = plan(spark, "sim_ann_ivfpq")
-    scans = re.findall(
-        r"Scan parquet[^(]*?PartitionFilters: \[([^\]]*)\].*?ReadSchema: struct<([^>]*)>",
-        p,
-        re.S,
+    directories are listed), (b) the ADC candidate stage — executed
+    eagerly by the query, so pinned on its exposed helper frame — reads
+    the ~50x-compressed codes+nrm columns WITHOUT the float vectors
+    (the full-corpus float read is exactly what IVFPQ exists to avoid),
+    and (c) the returned re-rank plan reads v but never codes, reduced
+    to the collected candidate ids by a broadcast join."""
+    import numpy as np
+
+    from dirhash_spark.catalog import Catalog
+    from dirhash_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    cat = Catalog(spark, sf)
+    cents = S._train_centroids(cat)
+    books = S._train_pq_residual_codebooks(cat, cents)
+    index = spark.read.parquet(S.build_ann_index(spark, sf))
+    pv = np.asarray(
+        cat.embeddings.where("vec_id = 0")
+        .selectExpr("cast(embedding as array<double>) p")
+        .first()["p"]
     )
-    index_scans = [(pf, rs) for pf, rs in scans if "cluster_id" in pf]
-    assert len(index_scans) == 2, p
-    schemas = [
-        {c.split(":")[0] for c in rs.split(",")} for _, rs in index_scans
-    ]
-    adc = [s for s in schemas if "codes" in s]
-    assert adc and all("v" not in s for s in adc), schemas
-    rerank = [s for s in schemas if "v" in s]
-    assert rerank and all("codes" not in s for s in rerank), schemas
+    lists = S._probe_nprobe_lists(cents, pv)
+    adc_plan = S._ivfpq_adc_candidates(
+        cat, index, cents, books, pv, lists
+    )._sc._jvm.PythonSQLUtils.explainString(
+        S._ivfpq_adc_candidates(cat, index, cents, books, pv, lists)
+        ._jdf.queryExecution(),
+        "formatted",
+    )
+
+    def scans(p):
+        found = re.findall(
+            r"Scan parquet[^(]*?PartitionFilters: \[([^\]]*)\].*?ReadSchema: struct<([^>]*)>",
+            p,
+            re.S,
+        )
+        return [
+            ({c.split(":")[0] for c in rs.split(",")}, pf)
+            for pf, rs in found
+            if "cluster_id" in pf
+        ]
+
+    adc_scans = scans(adc_plan)
+    assert adc_scans, adc_plan
+    for cols, pf in adc_scans:
+        assert "codes" in cols and "v" not in cols, cols
+        assert "isin" in pf or "IN" in pf.upper(), pf
+
+    p = plan(spark, "sim_ann_ivfpq")
+    rerank_scans = scans(p)
+    assert rerank_scans, p
+    for cols, _ in rerank_scans:
+        assert "v" in cols and "codes" not in cols, cols
     assert "BroadcastHashJoin" in p  # re-rank joins the tiny cand list
 
 

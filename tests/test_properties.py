@@ -1053,3 +1053,33 @@ def test_simhash_hot_bucket_invariants_random_fps(spark, tmp_path, monkeypatch):
                     f"identical-fp group (seed {seed}, fp {fp:#x}) split "
                     f"into {len(roots)} components"
                 )
+
+
+def test_expr_string_double_literals_bit_identical(spark):
+    """The ADC lookup table and the probe·centroid map are built as ONE
+    expr() string instead of m×k F.lit Py4J round-trips (measured
+    0.168 s of pure gateway traffic per query at k=32, ~8x at the
+    256-centroid cap).  That optimization is only sound if repr-printed
+    double literals parse back BIT-IDENTICAL on the JVM side — pinned
+    here over adversarial magnitudes (subnormals, ±0.0, max double,
+    random values across 600 decades)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.standard_normal(300) * 10.0 ** rng.randint(-300, 300, 300),
+            np.array(
+                [0.0, -0.0, 1e-310, -1e-310, 2**-1074,
+                 1.7976931348623157e308, -2.2250738585072014e-308]
+            ),
+        ]
+    )
+    lit_form = F.array(*[F.lit(float(x)) for x in vals])
+    expr_form = F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+    )
+    row = spark.range(1).select(lit_form.alias("a"), expr_form.alias("b")).first()
+    a, b = np.array(row["a"]), np.array(row["b"])
+    assert (a.view(np.int64) == b.view(np.int64)).all()
