@@ -34,6 +34,12 @@ Checks (each maps to the defect class that motivated it):
 - cc_route_equivalent    — driver union-find label map == forced
                            distributed min-label propagation on a
                            seeded random graph
+- recall_blob_hot_ivfpq  — the r13 saturation-fallback fix: a probe
+                           INSIDE a dense sigma-0.05 blob (where ADC
+                           ordering is structurally noise and recall
+                           measured 0.0 pre-fix) must keep recall@10
+                           at the frozen reading via the exact
+                           re-rank fallback
 
 Usage: python scripts/rows_only_gate.py [--freeze]
   --freeze  rewrite the baseline from the current readings (review the
@@ -222,6 +228,47 @@ def check_star_cap(spark) -> dict:
         shutil.rmtree(tmp, True)
 
 
+def check_blob_hot_recall(spark) -> float:
+    """IVFPQ recall@10 with the probe inside a dense blob — the ADC
+    saturation-fallback reading (deterministic corpus, same shape as
+    tests/test_llm_ops.py::test_ivfpq_dense_blob_saturation_fallback)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dirhash_spark.operators import similarity as S
+
+    rng = np.random.RandomState(777)
+    n, n_hot = 2000, 600
+    center = rng.standard_normal(64)
+    V = np.vstack(
+        [center + 0.05 * rng.standard_normal((n_hot, 64)),
+         rng.standard_normal((n - n_hot, 64))]
+    ).astype(np.float32)
+    tmp = tempfile.mkdtemp(prefix="rows_only_gate_blob_")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        ),
+        os.path.join(tmp, "embeddings.parquet"),
+    )
+    try:
+        exact = {r["vec_id"] for r in S.sim_topk_cosine(spark, tmp).collect()}
+        ids = {r["vec_id"] for r in S.sim_ann_ivfpq(spark, tmp).collect()}
+        return round(len(exact & ids) / len(exact), 2)
+    finally:
+        shutil.rmtree(S._ann_index_path(tmp), True)
+        for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
+                      S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE,
+                      S._CENTROID_CACHE_DIST):
+            cache.pop(tmp, None)
+        shutil.rmtree(tmp, True)
+
+
 def check_cc_routes(spark) -> bool:
     """Driver union-find == forced distributed propagation on a seeded
     random graph (route equivalence, not just both-converge)."""
@@ -280,6 +327,11 @@ def compare(current: dict, baseline: dict) -> list[str]:
     for key in ("zero_norm_guard", "cc_route_equivalent"):
         if current[key] is not True:
             bad.append(f"{key} = {current[key]}")
+    frozen_blob = baseline.get("recall_blob_hot_ivfpq")
+    if frozen_blob is not None:
+        got = current.get("recall_blob_hot_ivfpq")
+        if got is None or got < frozen_blob:
+            bad.append(f"recall_blob_hot_ivfpq: {got} < frozen {frozen_blob}")
     for k, v in baseline["star_cap"].items():
         if current["star_cap"].get(k) is not True or v is not True:
             bad.append(f"star_cap.{k}: {current['star_cap'].get(k)} (frozen {v})")
@@ -302,6 +354,7 @@ def main() -> int:
         "zero_norm_guard": check_zero_norm(spark),
         "star_cap": check_star_cap(spark),
         "cc_route_equivalent": check_cc_routes(spark),
+        "recall_blob_hot_ivfpq": check_blob_hot_recall(spark),
     }
     print(json.dumps(current, indent=1, sort_keys=True))
 
