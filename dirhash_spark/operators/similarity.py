@@ -1208,6 +1208,13 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
        EXACTLY against the true vectors (a tiny broadcast semi-join
        back to the corpus, capped at _PQ_RERANK_MAX ids), top-10 out.
 
+    Known limit of this pedagogical per-query form: it encodes RAW
+    vectors per row, so a large byte-identical clique floods the ADC
+    re-rank set with equal-scored members.  The production shape is
+    ``sim_ann_ivfpq`` over the persisted index, where v6 duplicate
+    grouping gives a clique ONE candidate slot and v7 residual codes +
+    the saturation fallback handle the dense-blob case.
+
     rows-only: the sketch is engine-specific; recall@10 vs exact brute
     force is pinned in tests/test_llm_ops.py.
     """
