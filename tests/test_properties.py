@@ -1083,3 +1083,58 @@ def test_expr_string_double_literals_bit_identical(spark):
     row = spark.range(1).select(lit_form.alias("a"), expr_form.alias("b")).first()
     a, b = np.array(row["a"]), np.array(row["b"])
     assert (a.view(np.int64) == b.view(np.int64)).all()
+
+
+def test_indexed_ann_parity_random_duplicate_layouts(spark, tmp_path):
+    """v6 duplicate grouping must be invisible to answers on ARBITRARY
+    duplicate layouts, not just the one the example test plants:
+    seeded corpora mix duplicate groups of random sizes (some spanning
+    the probe, some singletons) and the indexed IVF route must return
+    bit-identical rows to its scan-time twin — same ids, same ties,
+    same cosines — for every draw."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dirhash_spark.operators import similarity as S
+
+    for seed in (2, 11):
+        rng = np.random.RandomState(seed)
+        vecs = []
+        # ~40 distinct vectors, each duplicated 1..60 times (some
+        # groups straddle _TOP_K; probe's own group is random too)
+        for _ in range(40):
+            v = rng.standard_normal(64).astype(np.float32)
+            vecs.extend([v] * rng.randint(1, 60))
+        order = rng.permutation(len(vecs))
+        V = np.asarray(vecs)[order]
+        d = tmp_path / f"dup{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(len(V), dtype=np.int64), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+                    "label": pa.array(
+                        (np.arange(len(V)) % 5).astype(np.int32), pa.int32()
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        sf = str(d)
+        try:
+            a = [tuple(r) for r in S.sim_ann_ivf(spark, sf).collect()]
+            b = [tuple(r) for r in S.sim_ann_ivf_indexed(spark, sf).collect()]
+            assert a == b, (seed, a, b)
+            c = [tuple(r) for r in S.sim_ann_lsh(spark, sf).collect()]
+            e = [tuple(r) for r in S.sim_ann_lsh_indexed(spark, sf).collect()]
+            assert c == e, (seed, c, e)
+        finally:
+            shutil.rmtree(S._ann_index_path(sf), True)
+            for cache in (S._N_CACHE, S._IVF_K_CACHE, S._PQ_PARAM_CACHE,
+                          S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE,
+                          S._CENTROID_CACHE_DIST):
+                cache.pop(sf, None)
