@@ -65,83 +65,84 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: registrations, and the first 12 r6 rows; round 11 drained the 38
 #: remaining r6 rows, the 2 r10 registrations, and the first 10
 #: r7-code rows (alphabetical); round 12 drained the 40 remaining
-#: r7-code rows plus the first 10 r8-code rows (alphabetical).  Round
-#: 13 (per the r12 plan): (a) the 40 remaining r8-code rows — they hit
-#: MUST age 5 the moment CORRECTNESS_r13 lands (r12 registered NO new
-#: queries, so there is no never-checked tier this round); (b) 10
-#: slack slots on the oldest r9-code rows, MAY-front tier (age >= 3 at
-#: r13 close), taken alphabetically (first 10 of 49).  Exactly 50
-#: names.
+#: r7-code rows plus the first 10 r8-code rows (alphabetical); round
+#: 13 drained the 40 remaining r8-code rows plus the first 10 r9-code
+#: rows (alphabetical).  Round 14 (per the r13 plan): (a) the 39
+#: remaining r9-code rows — they hit MUST age 5 the moment
+#: CORRECTNESS_r14 lands (r13 registered NO new queries, so there is
+#: no never-checked tier this round); (b) 11 slack slots on the
+#: oldest r10-code rows, MAY-front tier (age >= 4 at r14 close),
+#: taken alphabetically (first 11 of 50).  Exactly 50 names.
 #: Names not listed keep registration (insertion) order after these.
 #: Every name listed here MUST exist in the registry — ``all_queries()``
 #: raises otherwise (a silently skipped name is how coverage gaps hide).
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 40 remaining r8-code rows — MUST tier at r13 close
-    "flagship_revenue_by_nation",
-    "fn_collation",
-    "fn_datetime",
-    "fn_higher_order",
-    "fn_try_arith",
-    "fn_url_parse",
-    "fn_variant",
-    "fn_xml_parse",
-    "funnel_stages",
-    "hash_string_codec",
-    "join_asof",
-    "join_asof_pairwise",
-    "join_event_window",
-    "join_null_safe",
-    "join_range_binned",
-    "maintenance_compact",
-    "mm_feature_extract",
-    "pipeline_neardup_e2e_lsh_union",
-    "profile_columns",
-    "sample_stratified",
-    "scan_csv_dropmalformed",
-    "scan_csv_permissive",
-    "scan_parquet_schema_evolution",
-    "scan_python_datasource",
-    "scan_xml",
-    "sim_ann_ivf_indexed",
-    "sim_ann_lsh_indexed",
-    "sim_ann_pq",
-    "sink_upsert_parquet",
-    "sql_lateral_topk",
-    "sql_recursive_cte",
-    "stream_cdc_merge_upsert",
-    "text_common_ngrams",
-    "text_gopher_quality_rules",
-    "text_pii_mask",
-    "text_tfidf",
-    "ts_gap_fill",
-    "ts_resample_ohlc",
-    "udtf_map_in_arrow",
-    "vocab_bpe_encode",
-    # (b) slack → pre-emptive rotation of the oldest r9-code rows
-    # (age 4 at r13 close = MAY-front tier; first 10 of 49
+    # (a) the 39 remaining r9-code rows — MUST tier at r14 close
+    "corpus_temperature_sampling",
+    "dedup_containment",
+    "dedup_embedding_ann",
+    "dirhash_chunk_digests",
+    "dirhash_full",
+    "filter_in_like",
+    "filter_null",
+    "fn_array",
+    "mm_meta_extract",
+    "mm_resize",
+    "pack_sequences",
+    "pipeline_incremental_refresh",
+    "pipeline_semdedup_e2e",
+    "query_observe_metrics",
+    "recursive_listing",
+    "scan_cached_branches",
+    "scd2_history",
+    "sessionize_batch",
+    "sim_ann_ivfpq",
+    "sink_time_travel",
+    "sort_multi",
+    "sql_correlated_exists",
+    "sql_scalar_subquery",
+    "stream_foreach_batch_sink",
+    "stream_python_datasource",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_running",
+    "stream_static_join",
+    "stream_tumbling",
+    "stream_watermark_dedup",
+    "text_perplexity_bigram",
+    "text_repetition_score",
+    "ts_interpolate_linear",
+    "ts_zscore",
+    "ts_zscore_window",
+    "udtf_cogroup_asof",
+    "udtf_group_apply_arrow",
+    "udtf_python_chunker",
+    # (b) slack → pre-emptive rotation of the oldest r10-code rows
+    # (age 4 at r14 close = MAY-front tier; first 11 of 50
     # alphabetically)
-    "agg_approx_distinct",
-    "agg_collect_sorted",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_stats",
-    "corpus_quality_filter_funnel",
+    "agg_mode_median",
+    "agg_pivot",
+    "agg_regression",
+    "agg_skew_salted",
+    "chunk_split_text",
+    "corpus_drift_chi2",
+    "corpus_dsir_importance",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash",
 )
-# r14 rotation backlog: after r13's window lands, the oldest driver rows
-# are the 39 remaining r9-code queries (the 49 r9 rows minus the 10
-# fronted above; alphabetically they run corpus_temperature_sampling ...
-# through the rest of the r9 cohort) — they hit MUST age 5 when
-# CORRECTNESS_r14 lands — with remaining slack on the oldest r10 rows
-# and any queries registered during r13.
-# Backlog arithmetic after r13's window: 239 registered = 40 (r8
-# remainder, this window) + 10 (r9, this window) + 39 (r9 remainder,
-# r14 MUST) + 50 (r10) + 50 (r11) + 50 (r12) — every query has either
+# r15 rotation backlog: after r14's window lands, the oldest driver rows
+# are the 39 remaining r10-code queries (the 50 r10 rows minus the 11
+# fronted above; alphabetically they run dedup_ngram_jaccard ...
+# through the rest of the r10 cohort) — they hit MUST age 5 when
+# CORRECTNESS_r15 lands — with remaining slack on the oldest r11 rows
+# and any queries registered during r14.
+# Backlog arithmetic after r14's window: 239 registered = 39 (r9
+# remainder, this window) + 11 (r10, this window) + 39 (r10 remainder,
+# r15 MUST) + 50 (r11) + 50 (r12) + 50 (r13) — every query has either
 # a driver row or a dated slot here.
 
 
