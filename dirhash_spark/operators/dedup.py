@@ -110,6 +110,64 @@ _MERSENNE = (1 << 61) - 1
 #: all-pairs form.
 _BUCKET_FULL_EXPAND_CAP = 512
 
+#: Per-row memory ceiling for the DISTINCT-fingerprint all-pairs
+#: expansion inside one hot simhash quarter bucket: 2048 reps build at
+#: most 2048²/2 ≈ 2.1M pair structs (~50 MB) in a single array value
+#: before the explode — the largest row a 100-TB executor profile can
+#: still absorb without spilling a whole task to one value.  The
+#: EFFECTIVE cap is derived per corpus by :func:`_rep_expand_cap`;
+#: this constant only bounds it from above.
+_REP_EXPAND_CAP_MAX = 2048
+
+#: Manku-style probe window for quarter buckets whose DISTINCT
+#: fingerprint count exceeds even the derived all-pairs budget: reps
+#: are sorted by the fingerprint ROTATED so the bucket's shared
+#: quarter occupies the most-significant bits (the probe-table order
+#: of Manku, Jain, Das Sarma — WWW 2007 §4), and each rep pairs with
+#: its next 64 neighbours — O(b·64) structs instead of O(b²), and a
+#: near-dup pair is found whenever < 64 reps sort between them
+#: (rotated order clusters pairs agreeing on the bits adjacent to the
+#: shared quarter).  The old fallback was this window with width 1 (a
+#: bare chain), which missed any pair separated by a single stranger.
+_REP_WINDOW = 64
+
+#: documents-count per sf_dir — ONE count() per corpus, shared by the
+#: parameter-derivation rules below (same pattern as the embeddings
+#: count cache in operators/similarity.py).
+_N_DOCS_CACHE: dict[str, int] = {}
+
+
+def _corpus_n_docs(cat) -> int:
+    n = _N_DOCS_CACHE.get(cat.sf_dir)
+    if n is None:
+        n = cat.documents.count()
+        _N_DOCS_CACHE[cat.sf_dir] = n
+    return n
+
+
+def _rep_expand_cap(n_docs: int) -> int:
+    """Distinct-fingerprint all-pairs budget for one hot simhash
+    quarter bucket, DERIVED from corpus size (r13 verdict item 3, the
+    same derive-don't-hardcode rule as IVF K / PQ K / session state
+    width): 8× the expected 16-bit birthday load ``N / 2^16``, floored
+    at the constant hot cap and ceilinged by the per-row memory bound.
+
+    With the 8× headroom a random (duplicate-free) quarter bucket
+    essentially never crosses the budget — Poisson(λ) mass above 8λ is
+    negligible for any λ ≥ 1 — so exact all-pairs over distinct reps
+    now holds until the MEMORY ceiling binds at
+    ``_REP_EXPAND_CAP_MAX · 2^16 / 8 ≈ 16.8M`` docs of derivation
+    headroom, and buckets only exceed the saturated 2048 budget from
+    birthday load alone past ``2048 · 2^16 ≈ 134M`` docs (4× the old
+    fixed-512 cliff).  Past THAT the fallback is no longer a chain but
+    the :data:`_REP_WINDOW` probe window, so recall degrades
+    gracefully instead of collapsing (see ``dedup_simhash``'s
+    contract)."""
+    return max(
+        _BUCKET_FULL_EXPAND_CAP,
+        min(_REP_EXPAND_CAP_MAX, -(-8 * n_docs // (1 << 16))),
+    )
+
 _rng = np.random.RandomState(42)
 _MH_A = _rng.randint(1, _MERSENNE, size=_N_HASHES, dtype=np.int64)
 _MH_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64)
@@ -322,13 +380,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot-bucket contract: buckets above ``_BUCKET_FULL_EXPAND_CAP``
     degrade by FINGERPRINT IDENTITY, not raw size — identical fps
     chain (hamming-0 edges, connectivity exact), distinct-fp
-    representatives keep exact all-pairs.  Recall only degrades when
-    one quarter collects > cap genuinely distinct fingerprints, a
-    pure 16-bit birthday event at corpora ≳ cap·2^16 ≈ 34M docs; at
-    that scale pairs whose ONLY shared quarter is such a bucket may
-    be missed (the representatives fall back to a fp-sorted chain).
-    Per-pair rows between non-representative hot-bucket members
-    undercount; component connectivity is what the e2e consumers use.
+    representatives keep exact all-pairs up to a budget DERIVED from
+    corpus size (:func:`_rep_expand_cap`: 8× the expected 16-bit
+    birthday load ``N/2^16``, floor ``_BUCKET_FULL_EXPAND_CAP``,
+    ceiling ``_REP_EXPAND_CAP_MAX``), so pure birthday pileup cannot
+    exceed it below ~134M docs (the old fixed-512 form cliffed at
+    ~34M).  Past the budget the representatives fall back to a
+    :data:`_REP_WINDOW`-wide probe scan in Manku rotated-fingerprint
+    order (shared quarter as most-significant bits) rather than a
+    bare chain: a pair is then found whenever fewer than 64 reps
+    sort between them, i.e. recall degrades gracefully with bucket
+    density instead of collapsing to adjacent-only.  Per-pair rows
+    between non-representative hot-bucket members undercount;
+    component connectivity is what the e2e consumers use.
+
+    NOTE the derived budget makes construction EAGER: building this
+    query runs one cached ``documents.count()`` per sf_dir (same
+    contract as the ANN index builders in operators/similarity.py —
+    see SURVEY §2.C's eager-construction note).
 
     rows-only: the fingerprint construction is engine-specific.
     """
@@ -345,18 +414,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shuffle, and the i<j expansion happens in-row on a bucket
     # bounded by the near-dup group size (same topology as
     # dedup_minhash above).  tests/test_plans.py pins the plan shape.
+    # Each band's doc struct also carries ``rfp`` — the fingerprint
+    # ROTATED LEFT so band i's 16 bits become the most-significant
+    # (bit 16i+j → bit 48+j).  Within a bucket the rotated top 16 bits
+    # (= band_val, including the sign bit) are constant, so a plain
+    # signed sort on rfp IS the Manku probe-table order over the
+    # remaining 48 bits, and equal-fp runs stay adjacent (rotation is
+    # a bijection).  The shift amounts are per-band Python literals,
+    # which is why rfp is computed here and not inside the bucket's
+    # array_sort comparator (shift amounts can't be columns in the
+    # DSL).
+    def _rotl(c, s: int):
+        if s == 0:
+            return c
+        return F.shiftleft(c, s).bitwiseOR(F.shiftrightunsigned(c, 64 - s))
+
     bands = fps.select(
-        F.struct("doc_id", "fp").alias("doc"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band_id"),
                     F.shiftright(F.col("fp"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                    F.struct(
+                        F.col("doc_id"),
+                        F.col("fp"),
+                        _rotl(F.col("fp"), 48 - 16 * i).alias("rfp"),
+                    ).alias("doc"),
                 )
                 for i in range(4)
             ])
         ).alias("band"),
-    ).select("band.band_id", "band.band_val", "doc")
+    ).select("band.band_id", "band.band_val", "band.doc")
     buckets = (
         bands.groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
@@ -393,17 +481,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     #       run) — duplicates no longer inflate the quadratic term,
     #       so a bucket that is hot *because of duplicates* keeps
     #       exact cross-group pairs.
-    # Only when the bucket holds > cap genuinely DISTINCT fingerprints
-    # (pure 16-bit birthday pileup, ≳ 34M-doc corpora) do the
-    # representatives themselves degrade to a fp-sorted chain; a
-    # near-dup pair whose only shared quarter is such a bucket can
-    # then be missed when no chain edge passes hamming<=12 — that
-    # residual cliff is the documented trade, and the upgrade path
-    # (Manku permuted band tables) is referenced above.  Per-pair
-    # rows between non-representative members of a hot bucket
-    # undercount either way (see the first-shared-band note): exact
-    # row-level parity holds below the cap, component-level parity
-    # holds up to the distinct-fp cliff.
+    # Only when the bucket holds more genuinely DISTINCT fingerprints
+    # than the corpus-derived budget (_rep_expand_cap: pure 16-bit
+    # birthday pileup cannot get there below ~134M docs) do the
+    # representatives leave exact all-pairs — and then they degrade to
+    # a _REP_WINDOW-wide Manku probe scan (rotated-fp order), not a
+    # chain: a near-dup pair whose only shared quarter is such a
+    # bucket is missed only when >= 64 reps sort between them in
+    # rotated order, a density-graded trade instead of the old
+    # adjacent-only cliff.  Per-pair rows between non-representative
+    # members of a hot bucket undercount either way (see the
+    # first-shared-band note): exact row-level parity holds below the
+    # cap, component-level parity up to the derived budget, windowed
+    # recall beyond.
     _opair = lambda a, b: F.struct(
         F.least(a["doc_id"], b["doc_id"]).alias("doc_a"),
         F.greatest(a["doc_id"], b["doc_id"]).alias("doc_b"),
@@ -418,15 +508,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    _chain = lambda arr: F.zip_with(
-        F.slice(arr, 1, F.size(arr) - 1),
-        F.slice(arr, 2, F.size(arr) - 1),
-        _opair,
+    # Window expansion: each element pairs with its next _REP_WINDOW
+    # neighbours in the sorted array — O(b·W) structs; width 1 would
+    # be the old chain, so the window strictly dominates it.
+    _window = lambda arr: F.flatten(
+        F.transform(
+            arr,
+            lambda a, i: F.transform(
+                F.slice(arr, i + 2, F.lit(_REP_WINDOW)),
+                lambda b: _opair(a, b),
+            ),
+        )
     )
+    # Hot buckets sort by (rfp, doc_id): the Manku probe-table order
+    # (shared quarter rotated to the top — see the bands comment), so
+    # window neighbours are the reps agreeing on the most bits after
+    # the shared quarter.  Equal fps are still adjacent (rotation is
+    # a bijection), which is all the dup-chain and reps extraction
+    # below rely on.
     by_fp_expr = F.array_sort(
         F.col("docs"),
-        lambda l, r: F.when(l["fp"] < r["fp"], -1)
-        .when(l["fp"] > r["fp"], 1)
+        lambda l, r: F.when(l["rfp"] < r["rfp"], -1)
+        .when(l["rfp"] > r["rfp"], 1)
         .when(l["doc_id"] < r["doc_id"], -1)
         .when(l["doc_id"] > r["doc_id"], 1)
         .otherwise(0),
@@ -458,9 +561,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda p: p.isNotNull(),
     )
+    rep_cap = _rep_expand_cap(_corpus_n_docs(cat))
     _rep_pairs = F.when(
-        F.size("reps") <= _BUCKET_FULL_EXPAND_CAP, _all_pairs(F.col("reps"))
-    ).otherwise(_chain(F.col("reps")))
+        F.size("reps") <= rep_cap, _all_pairs(F.col("reps"))
+    ).otherwise(_window(F.col("reps")))
     pairs = (
         buckets.select(
             "band_id",

@@ -11,7 +11,12 @@ Contract details that live here so every operator honors them:
   (the comparison sorts columns by name before hashing values);
 - floating-point outputs are rounded *inside* the query on both sides
   (summation order differs between engines; rounding makes values
-  bit-comparable).
+  bit-comparable);
+- construction is NOT guaranteed side-effect free: the index- and
+  parameter-deriving ops (``sim_ann_ivfpq``, the ``*_indexed`` ANN
+  forms, ``dedup_simhash``, ``dedup_embedding_ann``) run bounded Spark
+  jobs at query-construction time (index build / one cached corpus
+  count per sf_dir) — see SURVEY §2.C's eager-construction note.
 """
 
 from __future__ import annotations

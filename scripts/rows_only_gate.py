@@ -30,7 +30,13 @@ Checks (each maps to the defect class that motivated it):
                            (minhash star, simhash identical-fp chain)
                            and a hot bucket inflated by duplicates
                            still emits the exact pair between two
-                           genuinely-distinct near-dup members
+                           genuinely-distinct near-dup members; r14
+                           adds the derived-cap rows: a bucket past
+                           the rep budget degrades to the Manku
+                           rotated-order window (pair kept across 17
+                           strangers), and a 50M-doc-pinned corpus
+                           keeps exact all-pairs over 530 distinct
+                           fps (past the old fixed-512 cliff)
 - cc_route_equivalent    — driver union-find label map == forced
                            distributed min-label propagation on a
                            seeded random graph
@@ -84,6 +90,7 @@ def check_modmul() -> int:
 
 
 def check_derived_params() -> dict:
+    from dirhash_spark.operators import dedup as D
     from dirhash_spark.operators import similarity as S
     from dirhash_spark.streaming import stateful as ST
 
@@ -99,6 +106,9 @@ def check_derived_params() -> dict:
         "state_width_150": ST._width_for_sessions(150),
         "state_width_1500": ST._width_for_sessions(1500),
         "state_width_1e9": ST._width_for_sessions(10**9),
+        "simhash_rep_cap_6000": D._rep_expand_cap(6_000),
+        "simhash_rep_cap_8e6": D._rep_expand_cap(8_000_000),
+        "simhash_rep_cap_1e9": D._rep_expand_cap(10**9),
     }
 
 
@@ -222,9 +232,74 @@ def check_star_cap(spark) -> dict:
             and (0, 100) not in got
             and len(got) == n
         )
+
+        # r14: past the derived rep budget a hot-by-DISTINCT-fps bucket
+        # degrades to the Manku rotated-order window, NOT the old
+        # adjacent-only chain — a hamming-1 pair with 17 far strangers
+        # between its members in rotated order must survive (same
+        # fixture as tests/test_llm_ops.py::
+        # test_simhash_hot_distinct_bucket_window_beats_chain)
+        import random
+
+        a_key, b_key = 0x100000000000, 0x900000000000
+        rng = random.Random(0)
+        strangers: list = []
+        while len(strangers) < 17:
+            k = rng.randrange(0x200000000000, 0x880000000000)
+            if (k & 0xFFFF) == 0 or ((k >> 16) & 0xFFFF) == 0:
+                continue
+            if all(
+                bin(k ^ o).count("1") > 12
+                for o in [a_key, b_key] + strangers
+            ):
+                strangers.append(k)
+        fps = [
+            (i, ((k << 16) ^ (1 << 63)) - (1 << 63))
+            for i, k in enumerate([a_key, b_key] + strangers)
+        ]
+        planted_w = spark.createDataFrame(fps, "doc_id long, fp long")
+        dedup_mod._BUCKET_FULL_EXPAND_CAP = 8  # < 19 docs, floors the budget
+        dedup_mod._N_DOCS_CACHE[tmp] = 1
+        try:
+            dedup_mod._simhash_fingerprints = lambda cat: planted_w
+            rows = qs["dedup_simhash"].fn(spark, tmp).collect()
+        finally:
+            dedup_mod._simhash_fingerprints = saved_fp
+            dedup_mod._BUCKET_FULL_EXPAND_CAP = saved_cap
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+        out["simhash_window_past_derived_cap"] = got == {(0, 1): 1}
+
+        # r14: a corpus pinned PAST the old fixed-512 cliff (50M docs →
+        # derived budget saturates at 2048) keeps EXACT all-pairs over
+        # a 530-distinct-fp quarter bucket — output equals brute force
+        keys = [0x100000, 0x900000, 0x7F7F55]
+        rng = random.Random(1)
+        while len(keys) < 530:
+            k = rng.randrange(1 << 21, 1 << 47)
+            if (k & 0xFFFF) and all(
+                bin(k ^ o).count("1") > 12 for o in (0x100000, 0x900000)
+            ):
+                keys.append(k)
+        fps = [(i, k << 16) for i, k in enumerate(keys)]
+        planted_c = spark.createDataFrame(fps, "doc_id long, fp long")
+        dedup_mod._N_DOCS_CACHE[tmp] = 50_000_000
+        try:
+            dedup_mod._simhash_fingerprints = lambda cat: planted_c
+            rows = qs["dedup_simhash"].fn(spark, tmp).collect()
+        finally:
+            dedup_mod._simhash_fingerprints = saved_fp
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+        want = {}
+        for i in range(len(fps)):
+            for j in range(i + 1, len(fps)):
+                h = bin(fps[i][1] ^ fps[j][1]).count("1")
+                if h <= 12:
+                    want[(i, j)] = h
+        out["simhash_allpairs_past_old_cliff"] = got == want and got[(0, 1)] == 1
         return out
     finally:
         dedup_mod._BUCKET_FULL_EXPAND_CAP = saved_cap
+        dedup_mod._N_DOCS_CACHE.pop(tmp, None)
         shutil.rmtree(tmp, True)
 
 

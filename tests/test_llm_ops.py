@@ -1646,3 +1646,132 @@ def test_simhash_hot_bucket_keeps_nonduplicate_near_dup_pair(
     # THE pair the old star topology dropped, exactly once, hamming 2
     assert got[(100, 101)] == 2
     assert len(got) == n  # 59 chain edges + the rep pair
+
+
+def test_simhash_rep_cap_derived_from_corpus_size():
+    """The distinct-rep all-pairs budget follows the derive-don't-
+    hardcode rule (r13 verdict item 3): 8x the expected 16-bit
+    birthday load, floored at the hot cap, ceilinged by the per-row
+    memory bound — so today's corpora keep the exact r13 behavior
+    while the old fixed-512 cliff at ~34M docs disappears."""
+    from dirhash_spark.operators.dedup import _rep_expand_cap
+
+    assert _rep_expand_cap(0) == 512
+    assert _rep_expand_cap(6_000) == 512  # sf0.1-scale: unchanged
+    assert _rep_expand_cap(4_194_304) == 512  # 512*2^16/8 boundary, exact
+    assert _rep_expand_cap(8_000_000) == 977  # ceil(8*8e6/2^16)
+    assert _rep_expand_cap(34_000_000) == 2048  # old cliff: ceiling binds
+    assert _rep_expand_cap(10**9) == 2048
+
+
+def test_simhash_hot_distinct_bucket_window_beats_chain(
+    spark, tmp_path, monkeypatch
+):
+    """Past the derived rep budget, a hot-by-DISTINCT-fps bucket must
+    fall back to the Manku rotated-order probe window, not the old
+    adjacent-only chain: a hamming-1 pair with 17 far-away strangers
+    sorting between its members has no chain edge under the hamming
+    filter (the chain form returned zero rows here) but sits well
+    inside the 64-wide window."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dirhash_spark.operators.dedup as dedup_mod
+
+    # anchors in the TOP bits of the 48-bit rotated key so the 17
+    # strangers can live in a ~42-bit space between them (pairwise
+    # hamming > 12 for 19 points is impossible in a 23-bit range —
+    # Plotkin bound — so low anchors would make this loop diverge)
+    a_key, b_key = 0x100000000000, 0x900000000000  # fp xor = 1 bit
+    rng = random.Random(0)
+    strangers: list[int] = []
+    while len(strangers) < 17:
+        k = rng.randrange(0x200000000000, 0x880000000000)  # between a and b
+        if (k & 0xFFFF) == 0 or ((k >> 16) & 0xFFFF) == 0:
+            continue  # keep the quarter-1/2 {a,b} buckets stranger-free
+        if all(
+            bin(k ^ o).count("1") > 12
+            for o in [a_key, b_key] + strangers
+        ):
+            strangers.append(k)
+    # fp = key << 16 (wrapped to signed int64 — b's fp sets bit 63):
+    # quarter 0 is zero for everyone -> ONE band-0 bucket holds all
+    # 19 docs, every fp distinct
+    fps = [
+        (i, ((k << 16) ^ (1 << 63)) - (1 << 63))
+        for i, k in enumerate([a_key, b_key] + strangers)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["placeholder"]),
+                "lang": pa.array(["en"]),
+                "n_chars": pa.array([11], pa.int32()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    planted = spark.createDataFrame(fps, "doc_id long, fp long")
+    monkeypatch.setattr(dedup_mod, "_BUCKET_FULL_EXPAND_CAP", 8)  # < 19
+    monkeypatch.setattr(dedup_mod, "_simhash_fingerprints", lambda cat: planted)
+    monkeypatch.setitem(dedup_mod._N_DOCS_CACHE, str(tmp_path), 1)
+    rows = QUERIES["dedup_simhash"].fn(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert got == {(0, 1): 1}
+
+
+def test_simhash_derived_cap_keeps_exact_pairs_past_old_cliff(
+    spark, tmp_path, monkeypatch
+):
+    """A corpus PAST the old constant's cliff (pinned at 50M docs, so
+    the derived budget saturates at the 2048 memory ceiling) keeps
+    EXACT all-pairs over a quarter bucket holding 530 distinct
+    fingerprints — the r13 code chained this bucket (530 > fixed 512)
+    and lost every non-adjacent pair; output must equal brute force."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dirhash_spark.operators.dedup as dedup_mod
+
+    # the known near-dup pair plus a stranger BETWEEN them in rotated
+    # sort order (what the old chain could never bridge)
+    keys = [0x100000, 0x900000, 0x7F7F55]
+    rng = random.Random(1)
+    while len(keys) < 530:
+        k = rng.randrange(1 << 21, 1 << 47)
+        if (k & 0xFFFF) and all(
+            bin(k ^ o).count("1") > 12 for o in (0x100000, 0x900000)
+        ):
+            keys.append(k)
+    fps = [(i, k << 16) for i, k in enumerate(keys)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["placeholder"]),
+                "lang": pa.array(["en"]),
+                "n_chars": pa.array([11], pa.int32()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    planted = spark.createDataFrame(fps, "doc_id long, fp long")
+    monkeypatch.setattr(dedup_mod, "_simhash_fingerprints", lambda cat: planted)
+    monkeypatch.setitem(dedup_mod._N_DOCS_CACHE, str(tmp_path), 50_000_000)
+    rows = QUERIES["dedup_simhash"].fn(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    # every doc shares quarter 0, so band 0 is each pair's first shared
+    # band and brute force over the planted fps IS the expected output
+    want = {}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = bin(fps[i][1] ^ fps[j][1]).count("1")
+            if h <= 12:
+                want[(i, j)] = h
+    assert got == want
+    assert got[(0, 1)] == 1  # the non-adjacent pair the chain dropped
