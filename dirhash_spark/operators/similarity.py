@@ -19,6 +19,8 @@ the PQ residual codes).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -1141,37 +1143,77 @@ def _pq_codes_nrm(v: np.ndarray, books: np.ndarray):
     )
 
 
-def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray, extra_dot=None):
+#: Literal-inline budget for driver-computed lookup constants (the ADC
+#: table and the probed-list centroid-dot map): up to this many scalar
+#: entries ride the Catalyst tree as ONE parsed literal expression
+#: (measured ~1 ms vs thousands of F.lit Py4J round-trips); beyond it
+#: they ride a broadcast RELATION instead (one-row cross for the
+#: table, an equi-join on cluster_id for the dot map), so plan size
+#: stays independent of codebook size and probed-list count — the r13
+#: verdict's scale watch at production K (plan-size A/B in
+#: BASELINE.md r14).  Fixture corpora sit under the budget, keeping
+#: their committed plans bit-identical.
+_ADC_LIT_ENTRIES_MAX = 512
+
+
+def _adc_table(probe_vec: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """The (_PQ_M x k_pq) table of probe-subvector . centroid inner
+    products, SANITIZED: non-finite entries (NaN-poisoned embeddings
+    reaching the codebooks or the probe) map to 0.0 — a poisoned
+    subspace contributes nothing to the approximate dot instead of
+    failing the literal parse ('nanD' is not valid SQL) or NaN-ing
+    every ADC score (r13 advice)."""
+    m_ = books.shape[0]
+    table = np.einsum("md,mkd->mk", probe_vec.reshape(m_, -1), books)
+    return np.where(np.isfinite(table), table, 0.0)
+
+
+def _attach_adc_table(df: DataFrame, probe_vec: np.ndarray, books: np.ndarray):
+    """Return ``(df', table_col)`` making the ADC lookup table readable
+    from ``df``'s rows: inlined as one parsed literal under
+    :data:`_ADC_LIT_ENTRIES_MAX` entries, otherwise carried by a
+    ONE-ROW broadcast relation crossJoined in (a BroadcastNestedLoopJoin
+    against a single row — constant cost, and the table bytes live in
+    the broadcast, not the expression tree)."""
+    table = _adc_table(probe_vec, books)
+    if table.size <= _ADC_LIT_ENTRIES_MAX:
+        # ONE expr-string parse instead of m×k F.lit Py4J round-trips:
+        # at the derived 256-centroid books that is 2048 gateway calls
+        # (measured 0.168 s at k=32, ~8x that at the cap) vs 0.9 ms
+        # for the string — repr() round-trips doubles exactly, D=DOUBLE
+        return df, F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+                for row in table
+            )
+            + ")"
+        )
+    tdf = df.sparkSession.createDataFrame(
+        [(table.tolist(),)], "__adc_table array<array<double>>"
+    )
+    return df.crossJoin(F.broadcast(tdf)), F.col("__adc_table")
+
+
+def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray, table_col, extra_dot=None):
     """Approximate-cosine column from PQ codes via asymmetric distance
-    computation: the driver inlines the (_PQ_M x k_pq) table of
-    probe-subvector . centroid inner products as a literal nested
-    array, and every row scores sum(table[m][code[m]]) / (nrm * |p|) —
-    a map-only JVM lookup-sum over ``codes``/``nrm`` columns.
+    computation: every row scores sum(table[m][code[m]]) / (nrm * |p|)
+    — a map-only JVM lookup-sum over ``codes``/``nrm`` columns, with
+    the lookup table supplied by :func:`_attach_adc_table` (literal
+    below the inline budget, broadcast relation above).
 
     ``extra_dot``: for RESIDUAL codes (the v7 index), the probe·v dot
     decomposes as probe·centroid + probe·residual; the caller passes
-    the per-row probe·centroid Column (a literal map over the probed
-    lists) and the table lookup supplies the residual term."""
+    the per-row probe·centroid Column (literal map or broadcast-joined
+    column over the probed lists) and the table lookup supplies the
+    residual term."""
     m_ = books.shape[0]
     p_nrm = float(np.sqrt((probe_vec**2).sum()))
-    table = np.einsum("md,mkd->mk", probe_vec.reshape(m_, -1), books)
-    # ONE expr-string parse instead of m×k F.lit Py4J round-trips: at
-    # the derived 256-centroid books that is 2048 gateway calls
-    # (measured 0.168 s at k=32, ~8x that at the cap) vs 0.9 ms for
-    # the string — repr() round-trips doubles exactly, D = DOUBLE
-    lit_table = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
-            for row in table
-        )
-        + ")"
-    )
     approx_dot = F.aggregate(
         F.zip_with(
             F.col("codes"),
             F.sequence(F.lit(1), F.lit(m_)),
-            lambda c, m: F.element_at(F.element_at(lit_table, m), c + 1),
+            lambda c, m: F.element_at(F.element_at(table_col, m), c + 1),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -1258,10 +1300,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["p"],
         dtype=np.float64,
     )
+    enc, table_col = _attach_adc_table(enc, probe_vec, books)
     cands = (
         enc.select(
             "vec_id",
-            _pq_adc_cosine(probe_vec, books).alias("approx_cos"),
+            _pq_adc_cosine(probe_vec, books, table_col).alias("approx_cos"),
         )
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(_corpus_pq_params(cat)[1])
@@ -1295,24 +1338,35 @@ def _ivfpq_adc_candidates(
     since the registered query collects the candidates eagerly and its
     returned plan therefore contains only the re-rank scan).
 
-    v7 residual ADC: probe·v = probe·centroid (a literal map keyed on
-    the partition column — one entry per probed list) + probe·residual
-    (the code-table lookup inside :func:`_pq_adc_cosine`)."""
-    cent_dot = F.element_at(
-        F.expr(
-            "map("
-            + ",".join(
-                f"{int(c)}, {float(probe_vec @ cents[int(c)])!r}D"
-                for c in probe_lists
-            )
-            + ")"
-        ),
-        F.col("cluster_id"),
-    )
-    probed = index.where(F.col("cluster_id").isin([int(c) for c in probe_lists]))
+    v7 residual ADC: probe·v = probe·centroid (one entry per probed
+    list — a literal map under :data:`_ADC_LIT_ENTRIES_MAX` entries, a
+    broadcast equi-join on the partition column above it, so nprobe
+    growth at production K never inflates the expression tree) +
+    probe·residual (the code-table lookup inside
+    :func:`_pq_adc_cosine`).  Non-finite dots sanitize to 0.0 like the
+    table entries (r13 advice)."""
+    cdots = [
+        (int(c), d if math.isfinite(d) else 0.0)
+        for c in probe_lists
+        for d in (float(probe_vec @ cents[int(c)]),)
+    ]
+    probed = index.where(F.col("cluster_id").isin([c for c, _ in cdots]))
+    if len(cdots) <= _ADC_LIT_ENTRIES_MAX:
+        cent_dot = F.element_at(
+            F.expr("map(" + ",".join(f"{c}, {d!r}D" for c, d in cdots) + ")"),
+            F.col("cluster_id"),
+        )
+    else:
+        cdf = index.sparkSession.createDataFrame(
+            cdots, "cluster_id int, __cent_dot double"
+        )
+        probed = probed.join(F.broadcast(cdf), "cluster_id")
+        cent_dot = F.col("__cent_dot")
+    probed, table_col = _attach_adc_table(probed, probe_vec, books)
     return (
         probed.select(
-            "vec_id", _pq_adc_cosine(probe_vec, books, cent_dot).alias("approx_cos")
+            "vec_id",
+            _pq_adc_cosine(probe_vec, books, table_col, cent_dot).alias("approx_cos"),
         )
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(_corpus_pq_params(cat)[1])
@@ -1390,8 +1444,18 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decides; on saturation the query re-ranks ALL probed
     # representatives exactly — still partition-pruned to nprobe/K of
     # the corpus, the same cost class as sim_ann_ivf_indexed (which
-    # reads recall 1.0 there).
-    if not scores or (max(scores) - min(scores)) < _ADC_SATURATION_SPREAD:
+    # reads recall 1.0 there).  The spread test only applies when the
+    # depth limit actually CUT the candidate list (r13 advice: a
+    # degenerate 1-candidate set has spread 0 by construction): if
+    # every probed rep already made it through, the exact re-rank of
+    # the candidates IS the exact re-rank of all probed reps, so ADC
+    # ordering noise cannot have dropped anything and the cheaper
+    # broadcast path is equivalent.
+    depth = _corpus_pq_params(cat)[1]
+    if not scores or (
+        len(cand_rows) >= depth
+        and (max(scores) - min(scores)) < _ADC_SATURATION_SPREAD
+    ):
         scored = probed.select("v", "member_ids", "member_labels").crossJoin(
             _probe(cat)
         ).select(
