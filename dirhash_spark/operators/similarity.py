@@ -1250,12 +1250,14 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
        EXACTLY against the true vectors (a tiny broadcast semi-join
        back to the corpus, capped at _PQ_RERANK_MAX ids), top-10 out.
 
-    Known limit of this pedagogical per-query form: it encodes RAW
-    vectors per row, so a large byte-identical clique floods the ADC
-    re-rank set with equal-scored members.  The production shape is
-    ``sim_ann_ivfpq`` over the persisted index, where v6 duplicate
-    grouping gives a clique ONE candidate slot and v7 residual codes +
-    the saturation fallback handle the dense-blob case.
+    Duplicate handling (r14, closing the r13 docstring-admitted limit):
+    the encoder consumes DISTINCT embedding values — a groupBy on the
+    vector replaces the old round-robin repartition (same single
+    shuffle, now map-side combined), so a byte-identical clique holds
+    ONE ADC/re-rank slot, and the winning rep vectors expand back to
+    every member via a broadcast value-join at the end — the same v6
+    grouping rule the persisted-index form ``sim_ann_ivfpq`` applies
+    at write time.
 
     rows-only: the sketch is engine-specific; recall@10 vs exact brute
     force is pinned in tests/test_llm_ops.py.
@@ -1270,7 +1272,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"vec_id": [], "label": [], "codes": [], "nrm": []})
+                yield pd.DataFrame({"vec_id": [], "v": [], "codes": [], "nrm": []})
                 continue
             codes, nrm = _pq_codes_nrm(
                 np.asarray(pdf["v"].tolist(), dtype=np.float64), books
@@ -1278,19 +1280,26 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
-                    "label": pdf["label"].to_numpy(),
+                    "v": pdf["v"],  # pass-through: re-rank needs no 2nd scan
                     "codes": codes,
                     "nrm": nrm,
                 }
             )
 
-    enc = (
+    # DISTINCT-embedding grouping at query time (r14, the v6 index
+    # rule applied to the per-query form): the groupBy replaces the
+    # old round-robin repartition — the SAME single shuffle of the
+    # float vectors, but hash-keyed on the vector value with map-side
+    # partial aggregation, so a byte-identical clique reaches the
+    # encoder (and the ADC depth limit) as ONE representative row
+    # instead of flooding the re-rank set with equal-scored members.
+    reps = (
         cat.embeddings.where(F.col("vec_id") != 0)
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .groupBy("v")
+        .agg(F.min("vec_id").alias("vec_id"))
         .mapInPandas(
-            encode,
-            "vec_id bigint, label int, codes array<int>, nrm double",
+            encode, "vec_id bigint, v array<double>, codes array<int>, nrm double"
         )
     )
 
@@ -1300,22 +1309,37 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["p"],
         dtype=np.float64,
     )
-    enc, table_col = _attach_adc_table(enc, probe_vec, books)
+    reps, table_col = _attach_adc_table(reps, probe_vec, books)
+    # the ADC depth cut keeps the rep VECTOR in-row (<= depth x 64
+    # doubles, ~1 MB), so the exact re-rank is a probe crossJoin over
+    # the candidate rows — no second corpus scan for the floats
     cands = (
-        enc.select(
+        reps.select(
             "vec_id",
+            "v",
             _pq_adc_cosine(probe_vec, books, table_col).alias("approx_cos"),
         )
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(_corpus_pq_params(cat)[1])
     )
-    exact = cat.embeddings.select(
+    top_reps = (
+        cands.crossJoin(_probe(cat))
+        .select("v", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc())
+        .limit(_TOP_K)
+    )
+    # clique expansion: the top rep VECTORS (10 rows) broadcast back
+    # against the corpus on the vector value — ONE map-only corpus
+    # pass — so every byte-identical member of a winning clique
+    # re-enters the final top-k with its own vec_id/label (the true
+    # top-k when duplicates genuinely are the nearest neighbours);
+    # the production form reads member lists from the persisted index
+    # instead (sim_ann_ivfpq).
+    members = cat.embeddings.where(F.col("vec_id") != 0).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     return (
-        exact.join(F.broadcast(cands), "vec_id")
-        .crossJoin(_probe(cat))
-        .select("vec_id", "label", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
+        members.join(F.broadcast(top_reps), "v")
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))

@@ -1870,3 +1870,105 @@ def test_adc_table_sanitizes_non_finite(spark, monkeypatch):
     rows = QUERIES["sim_ann_ivfpq"].fn(spark, sf).collect()
     assert len(rows) == 10
     assert all(r["cosine"] is not None and math.isfinite(r["cosine"]) for r in rows)
+
+
+def test_pq_duplicate_clique_does_not_flood_rerank(spark, tmp_path, monkeypatch):
+    """The r13 docstring-admitted limit, now closed: with the PQ books
+    forced to zeros every ADC score ties at 0.0, so the old per-row
+    encoder's depth cut (here 12) filled entirely with the low-id
+    members of a 60-strong byte-identical clique and the true top-10
+    (strictly closer, higher ids) never reached the exact re-rank.
+    With distinct-embedding grouping the clique holds ONE candidate
+    slot, all 10 distinct closer vectors survive the cut, and the
+    output is exactly the true top-10."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dirhash_spark.operators.similarity as S
+
+    d = 64
+    probe = np.zeros(d); probe[0] = 1.0
+
+    def at_angle(theta, axis):
+        v = np.zeros(d)
+        v[0] = np.cos(theta)
+        v[axis] = np.sin(theta)
+        return v
+
+    rows = [(0, 0, probe)]
+    clique_v = at_angle(0.32, 1)  # cosine ~0.949
+    for i in range(1, 61):
+        rows.append((i, 1, clique_v))  # byte-identical clique, low ids
+    for j in range(10):  # strictly closer distinct vectors, HIGH ids
+        rows.append((61 + j, 2, at_angle(0.05 + 0.01 * j, 2 + j)))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "label": pa.array([r[1] for r in rows], pa.int32()),
+                "embedding": pa.array(
+                    [r[2].astype(np.float32).tolist() for r in rows],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+    monkeypatch.setitem(S._PQ_CACHE, sf, np.zeros((8, 32, 8)))
+    monkeypatch.setitem(S._PQ_PARAM_CACHE, sf, (32, 12))  # depth 12 < clique
+    got = QUERIES["sim_ann_pq"].fn(spark, sf).collect()
+    assert [r["vec_id"] for r in got] == list(range(61, 71))
+
+
+def test_pq_winning_clique_expands_to_members(spark, tmp_path, monkeypatch):
+    """The flip side of the grouping: when the byte-identical clique
+    genuinely IS the nearest neighbourhood, its members must re-enter
+    the final top-k individually (rep vec_id 1 plus the next lowest
+    member ids), not as a single representative row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dirhash_spark.operators.similarity as S
+
+    d = 64
+    probe = np.zeros(d); probe[0] = 1.0
+
+    def at_angle(theta, axis):
+        v = np.zeros(d)
+        v[0] = np.cos(theta)
+        v[axis] = np.sin(theta)
+        return v
+
+    rows = [(0, 0, probe)]
+    clique_v = at_angle(0.32, 1)
+    for i in range(1, 61):
+        rows.append((i, 1, clique_v))
+    for j in range(5):  # only FIVE closer vectors: clique fills the rest
+        rows.append((61 + j, 2, at_angle(0.05 + 0.01 * j, 2 + j)))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "label": pa.array([r[1] for r in rows], pa.int32()),
+                "embedding": pa.array(
+                    [r[2].astype(np.float32).tolist() for r in rows],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+    monkeypatch.setitem(S._PQ_CACHE, sf, np.zeros((8, 32, 8)))
+    monkeypatch.setitem(S._PQ_PARAM_CACHE, sf, (32, 12))
+    got = QUERIES["sim_ann_pq"].fn(spark, sf).collect()
+    # top-5 = the distinct closer vectors, then the clique's five
+    # lowest member ids (ties broken by vec_id), each its own row
+    assert [r["vec_id"] for r in got] == [61, 62, 63, 64, 65, 1, 2, 3, 4, 5]
+    assert all(
+        abs(r["cosine"] - round(float(np.cos(0.32)), 4)) < 1e-9
+        for r in got[5:]
+    )
