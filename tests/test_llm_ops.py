@@ -1972,3 +1972,41 @@ def test_pq_winning_clique_expands_to_members(spark, tmp_path, monkeypatch):
         abs(r["cosine"] - round(float(np.cos(0.32)), 4)) < 1e-9
         for r in got[5:]
     )
+
+
+def test_score_list_pairs_digest_gate_parity():
+    """The r14 duplicate pre-check (vectorized row digest) must be
+    output-invisible: a >cap duplicate-free list takes the fast path
+    (digest proves distinctness, lexicographic row sort skipped) and
+    emits exactly the pairs the exact-check path emits; a >cap list
+    WITH a >cap duplicate clique still falls through to the grouped
+    degrade (rep + chain), digests notwithstanding."""
+    import numpy as np
+
+    import dirhash_spark.operators.dedup as D
+
+    rng = np.random.RandomState(3)
+    n, d = 600, 8  # > _BUCKET_FULL_EXPAND_CAP distinct rows
+    mat = rng.randn(n, d)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64)
+    fast = D._score_list_pairs(ids.copy(), mat.copy(), threshold=0.9)
+    # force the slow path by planting one duplicate pair (digest
+    # collision by construction) far from every near-dup pair
+    mat2 = np.vstack([mat, mat[:1]])
+    ids2 = np.arange(n + 1, dtype=np.int64)
+    slow = D._score_list_pairs(ids2, mat2, threshold=0.9)
+    # the fast run's pair set must be a subset of the slow run's
+    # (which adds only pairs involving the planted duplicate row)
+    f = {(r.vec_a, r.vec_b) for r in fast.itertuples()}
+    s = {(r.vec_a, r.vec_b) for r in slow.itertuples()}
+    assert f <= s
+    extra = s - f
+    assert all(n in (a, b) for a, b in extra)
+
+    # duplicate clique past the cap: grouped degrade still engages
+    clique = np.tile(mat[:1], (D._BUCKET_FULL_EXPAND_CAP + 10, 1))
+    cids = np.arange(len(clique), dtype=np.int64)
+    out = D._score_list_pairs(cids, clique.copy(), threshold=0.9)
+    # rep + adjacent chain: O(b) rows, not b(b-1)/2
+    assert len(out) == len(clique) - 1
