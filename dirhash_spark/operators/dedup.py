@@ -1168,6 +1168,26 @@ _ANN_SCORE_BLOCK_ROWS = 1024
 _ANN_OWNERSHIP_CHUNK_PAIRS = 1 << 20
 
 
+def _rows_look_duplicate_free(m: np.ndarray) -> bool:
+    """Cheap duplicate pre-check (r13 advice): np.unique(axis=0) is a
+    full lexicographic ROW sort — O(n·d·log n) — and at scale every
+    healthy IVF list is duplicate-free, so it must not run
+    unconditionally.  One vectorized O(n·d) pass computes a 64-bit row
+    digest (bit-pattern × odd-constant mixdown, wraparound sum);
+    all-distinct digests PROVE all-distinct rows (equal rows always
+    digest equal — property-pinned), so the common path pays a digest
+    + an 8-byte unique (measured 36-115× cheaper, BASELINE.md r14)
+    and only digest collisions fall through to the exact check.
+    (Bit-pattern equality is slightly stricter than np.unique's value
+    equality — a -0.0/0.0 alias row digests differently — which can
+    only SKIP the degradation, never an emission: those rows then
+    score through the exact all-pairs path.)"""
+    b = np.ascontiguousarray(m, dtype=np.float64).view(np.uint64)
+    mix = np.arange(1, 2 * b.shape[1], 2, dtype=np.uint64)
+    h = (b * mix).sum(axis=1, dtype=np.uint64)
+    return len(np.unique(h)) == len(h)
+
+
 def _score_list_pairs(
     ids: np.ndarray,
     mat: np.ndarray,
@@ -1232,25 +1252,6 @@ def _score_list_pairs(
     chain_a: list[np.ndarray] = []
     chain_b: list[np.ndarray] = []
     chain_c: list[np.ndarray] = []
-    # Cheap duplicate pre-check (r13 advice): np.unique(axis=0) is a
-    # full lexicographic ROW sort — O(n·d·log n) — and at scale every
-    # healthy IVF list is duplicate-free, so it must not run
-    # unconditionally.  One vectorized O(n·d) pass computes a 64-bit
-    # row digest (bit-pattern × odd-constant mixdown, wraparound sum);
-    # all-distinct digests PROVE all-distinct rows (equal rows always
-    # digest equal), so the common path pays a digest + an 8-byte
-    # unique instead of the row sort, and only digest collisions fall
-    # through to the exact check.  (Bit-pattern equality is slightly
-    # stricter than np.unique's value equality — a -0.0/0.0 alias row
-    # digests differently — which can only SKIP the degradation, never
-    # an emission: those rows then score through the exact all-pairs
-    # path.)
-    def _rows_look_duplicate_free(m: np.ndarray) -> bool:
-        b = np.ascontiguousarray(m, dtype=np.float64).view(np.uint64)
-        mix = np.arange(1, 2 * b.shape[1], 2, dtype=np.uint64)
-        h = (b * mix).sum(axis=1, dtype=np.uint64)
-        return len(np.unique(h)) == len(h)
-
     if len(ids) > _BUCKET_FULL_EXPAND_CAP and not _rows_look_duplicate_free(
         mat
     ):  # a >cap group needs a >cap list

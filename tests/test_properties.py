@@ -1138,3 +1138,50 @@ def test_indexed_ann_parity_random_duplicate_layouts(spark, tmp_path):
                           S._PQ_CACHE, S._PQR_CACHE, S._CENTROID_CACHE,
                           S._CENTROID_CACHE_DIST):
                 cache.pop(sf, None)
+
+
+@given(st.integers(min_value=0, max_value=10**12), st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200)
+def test_simhash_rep_cap_properties(n1, n2):
+    """The derived rep budget is monotone in corpus size, clamped to
+    [hot cap, memory ceiling], floors at the hot cap through the whole
+    fixture range, and matches the 8x-birthday-load rule inside the
+    clamp — so no corpus size can dip the budget below the r13
+    constant or past the per-row memory bound."""
+    from dirhash_spark.operators.dedup import (
+        _BUCKET_FULL_EXPAND_CAP,
+        _REP_EXPAND_CAP_MAX,
+        _rep_expand_cap,
+    )
+
+    lo, hi = sorted((n1, n2))
+    assert _rep_expand_cap(lo) <= _rep_expand_cap(hi)  # monotone
+    for n in (n1, n2):
+        cap = _rep_expand_cap(n)
+        assert _BUCKET_FULL_EXPAND_CAP <= cap <= _REP_EXPAND_CAP_MAX
+        raw = -(-8 * n // (1 << 16))
+        if _BUCKET_FULL_EXPAND_CAP <= raw <= _REP_EXPAND_CAP_MAX:
+            assert cap == raw
+
+
+@given(st.integers(min_value=0, max_value=2**32), st.data())
+@settings(max_examples=100)
+def test_score_list_pairs_digest_never_false_negative(seed, data):
+    """The duplicate pre-check may only err toward the exact path:
+    whenever a matrix HAS byte-identical duplicate rows, the digest
+    must report them (equal rows digest equal), so the grouped degrade
+    can never be skipped on a genuinely duplicate-carrying list."""
+    import numpy as np
+
+    from dirhash_spark.operators.dedup import _rows_look_duplicate_free
+
+    rng = np.random.RandomState(seed % 2**31)
+    n = data.draw(st.integers(min_value=2, max_value=40))
+    d = data.draw(st.integers(min_value=1, max_value=8))
+    mat = rng.randn(n, d)
+    # plant a duplicate of a random row at a random position
+    src = data.draw(st.integers(min_value=0, max_value=n - 1))
+    dst = data.draw(st.integers(min_value=0, max_value=n - 1))
+    if src != dst:
+        mat[dst] = mat[src]
+        assert not _rows_look_duplicate_free(mat)
