@@ -189,8 +189,13 @@ def fold_header_streamed(h, entries_df: DataFrame) -> None:
     paths = (
         entries_df.orderBy("relative_path")
         .select("relative_path")
-        .toLocalIterator()  # bounded: one sorted partition of path
-        # strings resident at a time — never the full listing
+        # bounded: at most TWO sorted partitions of path strings
+        # resident at a time — never the full listing.  Prefetching
+        # overlaps the next partition's job with the driver's hash
+        # drain (without it the executors sit idle between the
+        # per-partition jobs toLocalIterator schedules); measured
+        # +30% streamed-fold throughput, r14 BASELINE.md.
+        .toLocalIterator(prefetchPartitions=True)
     )
     for i, row in enumerate(paths):
         if i:
@@ -209,8 +214,10 @@ def fold_digests_streamed(h, digests: DataFrame) -> None:
     it = (
         digests.orderBy("path", "block_num")
         .select("digest")
-        .toLocalIterator()  # bounded: one sorted partition of 32-byte
-        # digests resident at a time — never the full set
+        # bounded: at most TWO sorted partitions of 32-byte digests
+        # resident at a time — never the full set (prefetch rationale
+        # in fold_header_streamed above)
+        .toLocalIterator(prefetchPartitions=True)
     )
     for row in it:
         h.update(bytes(row["digest"]))
@@ -294,12 +301,15 @@ def hash_directory_raw_streamed(
       sized state; a cluster deployment that cannot tolerate the
       restart should use reliable ``checkpoint()`` (or persist with
       replication) at the cost of a distributed-FS write;
-    - the driver consumes ``toLocalIterator()`` — one sorted partition
-      resident at a time, each ``update()`` feeding the chain — and
+    - the driver consumes ``toLocalIterator(prefetchPartitions=True)``
+      — at most two sorted partitions resident at a time (the one
+      being drained plus the one the executors compute concurrently;
+      prefetch overlaps the per-partition jobs with the hash drain,
+      +30% measured, r14), each ``update()`` feeding the chain — and
       never materializes the NUL-joined listing copy that
       ``fold_digest`` builds.
 
-    Peak driver memory: ONE partition of path strings or digests (plus
+    Peak driver memory: TWO partitions of path strings or digests (plus
     one level's directory frontier during the walk), versus the collect
     form's full listing + joined-listing copy + every digest row +
     Python sort overhead.  Output is bit-identical to
