@@ -76,6 +76,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_rowcount(sf_dir: str, name: str) -> int | None:
+    """Table row count from LOCAL parquet footers — pure metadata, no
+    Spark job.  The corpus-derived sizing rules (IVF K, PQ params,
+    simhash rep budget, ANN blocking) need one scalar per corpus;
+    reading it from the footer makes their "eager construction" a
+    sub-millisecond file stat instead of a scheduled job.  Returns
+    ``None`` whenever the table is not a local parquet file/dir (the
+    remote-FS case at scale) — callers fall back to a distributed
+    ``count()``, which Spark itself answers from footer statistics.
+    Row-level parity with ``count()`` is pinned in tests (the catalog
+    normalizes column TYPES on load, never row sets)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+            return total
+    except Exception:
+        return None
+    return None
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (for spark.sql operators)."""
     for name in TABLE_NAMES:

@@ -140,7 +140,13 @@ _N_DOCS_CACHE: dict[str, int] = {}
 def _corpus_n_docs(cat) -> int:
     n = _N_DOCS_CACHE.get(cat.sf_dir)
     if n is None:
-        n = cat.documents.count()
+        # local corpora answer from parquet footers (no Spark job);
+        # non-local layouts fall back to the distributed count
+        from ..catalog import parquet_rowcount
+
+        n = parquet_rowcount(cat.sf_dir, "documents")
+        if n is None:
+            n = cat.documents.count()
         _N_DOCS_CACHE[cat.sf_dir] = n
     return n
 
@@ -395,8 +401,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     component connectivity is what the e2e consumers use.
 
     NOTE the derived budget makes construction EAGER: building this
-    query runs one cached ``documents.count()`` per sf_dir (same
-    contract as the ANN index builders in operators/similarity.py —
+    query reads one cached corpus row count per sf_dir (local parquet
+    footers where possible, a distributed count otherwise — same
+    contract as the ANN index builders in operators/similarity.py;
     see SURVEY §2.C's eager-construction note).
 
     rows-only: the fingerprint construction is engine-specific.

@@ -208,7 +208,13 @@ _IVF_K_CACHE: dict[str, int] = {}
 def _corpus_n(cat: Catalog) -> int:
     n = _N_CACHE.get(cat.sf_dir)
     if n is None:
-        n = cat.embeddings.count()
+        # local corpora answer from parquet footers (no Spark job);
+        # non-local layouts fall back to the distributed count
+        from ..catalog import parquet_rowcount
+
+        n = parquet_rowcount(cat.sf_dir, "embeddings")
+        if n is None:
+            n = cat.embeddings.count()
         _N_CACHE[cat.sf_dir] = n
     return n
 

@@ -14,9 +14,12 @@ Contract details that live here so every operator honors them:
   bit-comparable);
 - construction is NOT guaranteed side-effect free: the index- and
   parameter-deriving ops (``sim_ann_ivfpq``, the ``*_indexed`` ANN
-  forms, ``dedup_simhash``, ``dedup_embedding_ann``) run bounded Spark
-  jobs at query-construction time (index build / one cached corpus
-  count per sf_dir) — see SURVEY §2.C's eager-construction note.
+  forms, ``dedup_simhash``, ``dedup_embedding_ann``) do bounded work
+  at query-construction time — index build for the indexed forms, one
+  cached corpus row count per sf_dir for the derived-sizing rules
+  (answered from local parquet footers without a Spark job where
+  possible; a distributed count on non-local layouts) — see SURVEY
+  §2.C's eager-construction note.
 """
 
 from __future__ import annotations

@@ -2010,3 +2010,17 @@ def test_score_list_pairs_digest_gate_parity():
     out = D._score_list_pairs(cids, clique.copy(), threshold=0.9)
     # rep + adjacent chain: O(b) rows, not b(b-1)/2
     assert len(out) == len(clique) - 1
+
+
+def test_parquet_rowcount_matches_spark_count(spark):
+    """The footer-based corpus count feeding every derived-sizing rule
+    must equal the distributed count on real fixtures (catalog load
+    normalizes types, never row sets), and return None — triggering
+    the Spark fallback — for paths that are not local parquet."""
+    from dirhash_spark.catalog import Catalog, parquet_rowcount
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        cat = Catalog(spark, sf)
+        assert parquet_rowcount(sf, "embeddings") == cat.embeddings.count()
+        assert parquet_rowcount(sf, "documents") == cat.documents.count()
+    assert parquet_rowcount("/nonexistent/dir", "documents") is None
