@@ -96,17 +96,37 @@ def parquet_rowcount(sf_dir: str, name: str) -> int | None:
         if os.path.isfile(path):
             return pq.ParquetFile(path).metadata.num_rows
         if os.path.isdir(path):
-            total = 0
-            for root, _, files in os.walk(path):
+            total, n_files = 0, 0
+            for root, dirs, files in os.walk(path):
+                # mirror Spark's reader: hidden files and dirs
+                # (underscore/dot-prefixed — _temporary from aborted
+                # writes, _SUCCESS, .crc) are invisible to count(),
+                # so they must be invisible here too
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for f in files:
-                    if f.endswith(".parquet"):
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
                         total += pq.ParquetFile(
                             os.path.join(root, f)
                         ).metadata.num_rows
-            return total
+                        n_files += 1
+            # a directory with NO visible parquet parts is not a local
+            # parquet table — fall back to the distributed count
+            # rather than deriving every sizing rule from n=0
+            return total if n_files else None
     except Exception:
         return None
     return None
+
+
+def table_rowcount(df: DataFrame, sf_dir: str, name: str) -> int:
+    """Row count of catalog table ``name``: parquet footers when local
+    (:func:`parquet_rowcount`), the distributed ``count()`` otherwise.
+    THE single fallback rule — the per-module caches in
+    operators/similarity.py (embeddings) and operators/dedup.py
+    (documents) both delegate here so the footer/count semantics
+    cannot diverge between them."""
+    n = parquet_rowcount(sf_dir, name)
+    return df.count() if n is None else n
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -124,12 +124,21 @@ _REP_EXPAND_CAP_MAX = 2048
 #: are sorted by the fingerprint ROTATED so the bucket's shared
 #: quarter occupies the most-significant bits (the probe-table order
 #: of Manku, Jain, Das Sarma — WWW 2007 §4), and each rep pairs with
-#: its next 64 neighbours — O(b·64) structs instead of O(b²), and a
-#: near-dup pair is found whenever < 64 reps sort between them
+#: its next 64 neighbours — O(b·64) structs TOTAL instead of O(b²),
+#: and a near-dup pair is found whenever < 64 reps sort between them
 #: (rotated order clusters pairs agreeing on the bits adjacent to the
 #: shared quarter).  The old fallback was this window with width 1 (a
 #: bare chain), which missed any pair separated by a single stranger.
 _REP_WINDOW = 64
+
+#: Chunk width for the window expansion: the rep array explodes into
+#: overlapping slices of (_WINDOW_CHUNK + _REP_WINDOW) BEFORE pair
+#: construction, so no single row ever materializes more than
+#: _WINDOW_CHUNK × _REP_WINDOW ≈ 32k pair structs — the windowed
+#: branch stays under the per-row ceiling the rep budget enforces no
+#: matter how hot the bucket (an unchunked window at a 10^10-doc
+#: birthday-loaded bucket would build ~10M structs in one value).
+_WINDOW_CHUNK = 512
 
 #: documents-count per sf_dir — ONE count() per corpus, shared by the
 #: parameter-derivation rules below (same pattern as the embeddings
@@ -142,11 +151,9 @@ def _corpus_n_docs(cat) -> int:
     if n is None:
         # local corpora answer from parquet footers (no Spark job);
         # non-local layouts fall back to the distributed count
-        from ..catalog import parquet_rowcount
+        from ..catalog import table_rowcount
 
-        n = parquet_rowcount(cat.sf_dir, "documents")
-        if n is None:
-            n = cat.documents.count()
+        n = table_rowcount(cat.documents, cat.sf_dir, "documents")
         _N_DOCS_CACHE[cat.sf_dir] = n
     return n
 
@@ -515,14 +522,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Window expansion: each element pairs with its next _REP_WINDOW
-    # neighbours in the sorted array — O(b·W) structs; width 1 would
-    # be the old chain, so the window strictly dominates it.
-    _window = lambda arr: F.flatten(
+    # Window expansion over ONE chunk: only the first _WINDOW_CHUNK
+    # elements originate pairs (overlap rows are neighbours only, so
+    # every global pair is emitted by exactly one chunk — the one
+    # owning its left member); each origin pairs with its next
+    # _REP_WINDOW neighbours in the sorted slice.  Per-row output is
+    # therefore bounded by _WINDOW_CHUNK × _REP_WINDOW ≈ 32k structs
+    # NO MATTER how many distinct fps the bucket holds — the unchunked
+    # form built b·64 structs in a single array value, blowing the
+    # very per-row memory ceiling the rep budget enforces, in exactly
+    # the past-the-budget regime this path exists for (r14 review).
+    _window_chunk = lambda chunk: F.flatten(
         F.transform(
-            arr,
+            F.slice(chunk, 1, F.lit(_WINDOW_CHUNK)),
             lambda a, i: F.transform(
-                F.slice(arr, i + 2, F.lit(_REP_WINDOW)),
+                F.slice(chunk, i + 2, F.lit(_REP_WINDOW)),
                 lambda b: _opair(a, b),
             ),
         )
@@ -569,15 +583,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: p.isNotNull(),
     )
     rep_cap = _rep_expand_cap(_corpus_n_docs(cat))
-    _rep_pairs = F.when(
-        F.size("reps") <= rep_cap, _all_pairs(F.col("reps"))
-    ).otherwise(_window(F.col("reps")))
+    # Two-level emission keeps EVERY row bounded.  Each bucket first
+    # explodes into "groups" — either ready pair arrays (the exact
+    # branches, whose sizes the caps already bound) or RAW chunk
+    # slices of the rep array (the past-budget window branch, ≤
+    # _WINDOW_CHUNK + _REP_WINDOW doc structs each, O(b) total across
+    # a bucket's groups = the same order as the bucket row itself) —
+    # and only then does each chunk row expand its ≤32k window pairs.
+    # The group struct type-unifies the two shapes (ps XOR ch set).
+    _pair_arr_t = "array<struct<doc_a:bigint,doc_b:bigint,x:bigint>>"
+    _doc_arr_t = "array<struct<doc_id:bigint,fp:bigint,rfp:bigint>>"
+    _pair_group = lambda arr: F.struct(
+        arr.alias("ps"), F.lit(None).cast(_doc_arr_t).alias("ch")
+    )
+    _chunk_group = lambda arr: F.struct(
+        F.lit(None).cast(_pair_arr_t).alias("ps"), arr.alias("ch")
+    )
+    groups = (
+        F.when(~hot, F.array(_pair_group(_all_pairs(F.col("docs")))))
+        .when(
+            F.size("reps") <= rep_cap,
+            F.array(_pair_group(F.concat(_dup_chain, _all_pairs(F.col("reps"))))),
+        )
+        .otherwise(
+            F.concat(
+                F.array(_pair_group(_dup_chain)),
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.size("reps") - 1) / F.lit(_WINDOW_CHUNK)
+                        ).cast("int"),
+                    ),
+                    lambda c: _chunk_group(
+                        F.slice(
+                            F.col("reps"),
+                            c * _WINDOW_CHUNK + 1,
+                            _WINDOW_CHUNK + _REP_WINDOW,
+                        )
+                    ),
+                ),
+            )
+        )
+    )
     pairs = (
-        buckets.select(
+        buckets.select("band_id", F.explode(groups).alias("g"))
+        .select(
             "band_id",
             F.explode(
-                F.when(~hot, _all_pairs(F.col("docs"))).otherwise(
-                    F.concat(_dup_chain, _rep_pairs)
+                F.when(F.col("g.ps").isNotNull(), F.col("g.ps")).otherwise(
+                    _window_chunk(F.col("g.ch"))
                 )
             ).alias("p"),
         )

@@ -210,11 +210,9 @@ def _corpus_n(cat: Catalog) -> int:
     if n is None:
         # local corpora answer from parquet footers (no Spark job);
         # non-local layouts fall back to the distributed count
-        from ..catalog import parquet_rowcount
+        from ..catalog import table_rowcount
 
-        n = parquet_rowcount(cat.sf_dir, "embeddings")
-        if n is None:
-            n = cat.embeddings.count()
+        n = table_rowcount(cat.embeddings, cat.sf_dir, "embeddings")
         _N_CACHE[cat.sf_dir] = n
     return n
 
@@ -1328,11 +1326,20 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(_corpus_pq_params(cat)[1])
     )
+    # rep vec_id tiebreak keeps the cut DETERMINISTIC when two
+    # distinct rep vectors tie on exact cosine (e.g. scaled copies:
+    # v and 2v cosine bit-identically) — without it the boundary reps
+    # would vary with partition arrival order
     top_reps = (
         cands.crossJoin(_probe(cat))
-        .select("v", _cosine(F.col("v"), F.col("probe")).alias("cos_raw"))
-        .orderBy(F.col("cos_raw").desc())
+        .select(
+            "v",
+            "vec_id",
+            _cosine(F.col("v"), F.col("probe")).alias("cos_raw"),
+        )
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(_TOP_K)
+        .drop("vec_id")
     )
     # clique expansion: the top rep VECTORS (10 rows) broadcast back
     # against the corpus on the vector value — ONE map-only corpus

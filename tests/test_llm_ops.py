@@ -2024,3 +2024,86 @@ def test_parquet_rowcount_matches_spark_count(spark):
         assert parquet_rowcount(sf, "embeddings") == cat.embeddings.count()
         assert parquet_rowcount(sf, "documents") == cat.documents.count()
     assert parquet_rowcount("/nonexistent/dir", "documents") is None
+
+
+def test_parquet_rowcount_ignores_hidden_files(tmp_path):
+    """Directory tables must count exactly what Spark's reader reads:
+    underscore/dot-prefixed files and dirs (_temporary leftovers from
+    an aborted write, _SUCCESS, .crc) are invisible, and a directory
+    with NO visible parquet parts returns None (Spark fallback), not
+    a silent n=0 that would misderive every sizing rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dirhash_spark.catalog import parquet_rowcount
+
+    d = tmp_path / "documents.parquet"
+    (d / "_temporary" / "0").mkdir(parents=True)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(t, str(d / "part-0.parquet"))
+    pq.write_table(t, str(d / "_temporary" / "0" / "part-x.parquet"))
+    pq.write_table(t, str(d / "_hidden.parquet"))
+    (d / "_SUCCESS").write_text("")
+    assert parquet_rowcount(str(tmp_path), "documents") == 3
+
+    e = tmp_path / "embeddings.parquet"
+    (e / "_temporary").mkdir(parents=True)
+    (e / "_SUCCESS").write_text("")
+    assert parquet_rowcount(str(tmp_path), "embeddings") is None
+
+
+def test_simhash_window_chunking_is_output_invisible(spark, tmp_path, monkeypatch):
+    """The bounded-row chunked window must emit exactly the same pair
+    set as a single-chunk run: with the chunk width shrunk to 6 (so
+    the 19-rep fixture spans four overlapping chunks) the output is
+    identical to the one-chunk form — every cross-chunk pair is owned
+    by its left member's chunk exactly once."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dirhash_spark.operators.dedup as dedup_mod
+
+    a_key, b_key = 0x100000000000, 0x900000000000
+    rng = random.Random(0)
+    strangers: list[int] = []
+    while len(strangers) < 17:
+        k = rng.randrange(0x200000000000, 0x880000000000)
+        if (k & 0xFFFF) == 0 or ((k >> 16) & 0xFFFF) == 0:
+            continue
+        if all(
+            bin(k ^ o).count("1") > 12
+            for o in [a_key, b_key] + strangers
+        ):
+            strangers.append(k)
+    fps = [
+        (i, ((k << 16) ^ (1 << 63)) - (1 << 63))
+        for i, k in enumerate([a_key, b_key] + strangers)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["placeholder"]),
+                "lang": pa.array(["en"]),
+                "n_chars": pa.array([11], pa.int32()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    planted = spark.createDataFrame(fps, "doc_id long, fp long")
+    monkeypatch.setattr(dedup_mod, "_BUCKET_FULL_EXPAND_CAP", 8)
+    monkeypatch.setattr(dedup_mod, "_simhash_fingerprints", lambda cat: planted)
+    monkeypatch.setitem(dedup_mod._N_DOCS_CACHE, str(tmp_path), 1)
+
+    one_chunk = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["dedup_simhash"].fn(spark, str(tmp_path)).collect()
+    }
+    monkeypatch.setattr(dedup_mod, "_WINDOW_CHUNK", 6)  # 19 reps -> 4 chunks
+    many_chunks = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["dedup_simhash"].fn(spark, str(tmp_path)).collect()
+    }
+    assert one_chunk == many_chunks == {(0, 1): 1}

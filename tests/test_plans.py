@@ -879,11 +879,16 @@ def test_gopher_rules_map_only(spark):
 
 
 def test_pq_rerank_broadcasts_candidate_ids(spark):
-    """PQ query path: the Arrow encode stage runs once behind a
-    parallelism-spreading repartition, ADC scoring is in-row (no join),
-    and the exact re-rank joins the CONSTANT-SIZE candidate id list
-    back to the corpus as a broadcast — the corpus never shuffles, and
-    the only nested-loop is the 1-row probe cross."""
+    """PQ query path (r14 topology): the corpus shuffles ONCE — the
+    distinct-embedding groupBy that replaced the round-robin
+    repartition (same volume, map-side combined) — the Arrow encode
+    stage runs once over the grouped reps, ADC scoring is in-row (no
+    join), the exact re-rank is a probe crossJoin over the bounded
+    candidate rows (rep vectors pass through the encoder, so no second
+    corpus scan there), and the clique expansion joins the TOP-K rep
+    vectors back to the corpus as a broadcast.  No sort-merge or
+    shuffled-hash join anywhere; the only nested-loops are the 1-row
+    probe/table crosses."""
     p = plan(spark, "sim_ann_pq", "simple")
     assert p.count("MapInPandas") == 1, p
     assert "BroadcastHashJoin" in p, p
