@@ -101,10 +101,16 @@ def parquet_rowcount(sf_dir: str, name: str) -> int | None:
                 # mirror Spark's reader: hidden files and dirs
                 # (underscore/dot-prefixed — _temporary from aborted
                 # writes, _SUCCESS, .crc) are invisible to count(),
-                # so they must be invisible here too
+                # so they must be invisible here too.  EVERY visible
+                # file counts — Spark reads part files regardless of
+                # extension (Hive/Impala write suffix-less parts), so
+                # an extension filter would silently undercount; a
+                # visible file that is NOT parquet raises here and
+                # falls through to the Spark fallback, reproducing
+                # whatever the reader itself would do with it
                 dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for f in files:
-                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    if not f.startswith(("_", ".")):
                         total += pq.ParquetFile(
                             os.path.join(root, f)
                         ).metadata.num_rows
@@ -118,15 +124,18 @@ def parquet_rowcount(sf_dir: str, name: str) -> int | None:
     return None
 
 
-def table_rowcount(df: DataFrame, sf_dir: str, name: str) -> int:
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Row count of catalog table ``name``: parquet footers when local
     (:func:`parquet_rowcount`), the distributed ``count()`` otherwise.
     THE single fallback rule — the per-module caches in
     operators/similarity.py (embeddings) and operators/dedup.py
     (documents) both delegate here so the footer/count semantics
-    cannot diverge between them."""
+    cannot diverge between them.  Takes the session, not a DataFrame:
+    both paths must count the same relation (the RAW table), so the
+    fallback loads it itself rather than trusting a caller-passed
+    frame that the footer path would ignore."""
     n = parquet_rowcount(sf_dir, name)
-    return df.count() if n is None else n
+    return load_table(spark, sf_dir, name).count() if n is None else n
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -153,7 +153,7 @@ def _corpus_n_docs(cat) -> int:
         # non-local layouts fall back to the distributed count
         from ..catalog import table_rowcount
 
-        n = table_rowcount(cat.documents, cat.sf_dir, "documents")
+        n = table_rowcount(cat.spark, cat.sf_dir, "documents")
         _N_DOCS_CACHE[cat.sf_dir] = n
     return n
 

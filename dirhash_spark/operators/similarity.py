@@ -212,7 +212,7 @@ def _corpus_n(cat: Catalog) -> int:
         # non-local layouts fall back to the distributed count
         from ..catalog import table_rowcount
 
-        n = table_rowcount(cat.embeddings, cat.sf_dir, "embeddings")
+        n = table_rowcount(cat.spark, cat.sf_dir, "embeddings")
         _N_CACHE[cat.sf_dir] = n
     return n
 
@@ -1213,6 +1213,11 @@ def _pq_adc_cosine(probe_vec: np.ndarray, books: np.ndarray, table_col, extra_do
     residual term."""
     m_ = books.shape[0]
     p_nrm = float(np.sqrt((probe_vec**2).sum()))
+    # a NaN/inf-poisoned PROBE must not NaN every score through the
+    # denominator (the table/cent-dot terms already sanitize to 0.0):
+    # force the zero-norm guard below, which nulls the column instead
+    if not math.isfinite(p_nrm):
+        p_nrm = 0.0
     approx_dot = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -1245,14 +1250,20 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
        like build_ann_index);
     2. driver computes the (_PQ_M x k_pq) table of probe-subvector .
        centroid inner products (microseconds — this is the query
-       PARAMETER, like the IVF nprobe list) and inlines it as a
-       literal nested array (Catalyst constant-folds it);
+       PARAMETER, like the IVF nprobe list) and attaches it via
+       :func:`_attach_adc_table`: ONE parsed literal under the
+       512-entry inline budget (Catalyst constant-folds it), a
+       one-row broadcast relation above — plan size O(1) in codebook
+       size; non-finite entries sanitize to 0.0;
     3. every encoded row scores approx_dot = sum over m of
        table[m][code[m]] — a map-only JVM lookup-sum, no Python, no
        shuffle, 8 element_at calls per vector;
     4. top-(derived re-rank depth) by approximate cosine re-rank
-       EXACTLY against the true vectors (a tiny broadcast semi-join
-       back to the corpus, capped at _PQ_RERANK_MAX ids), top-10 out.
+       EXACTLY against the true vectors: the depth cut keeps each
+       rep's float vector in-row, so the re-rank is a probe
+       crossJoin over the candidate rows — NO join back to the
+       corpus — and the winning reps expand to clique members via
+       one map-only broadcast value-join, top-10 out.
 
     Duplicate handling (r14, closing the r13 docstring-admitted limit):
     the encoder consumes DISTINCT embedding values — a groupBy on the

@@ -236,27 +236,12 @@ def check_star_cap(spark) -> dict:
         # r14: past the derived rep budget a hot-by-DISTINCT-fps bucket
         # degrades to the Manku rotated-order window, NOT the old
         # adjacent-only chain — a hamming-1 pair with 17 far strangers
-        # between its members in rotated order must survive (same
-        # fixture as tests/test_llm_ops.py::
+        # between its members in rotated order must survive (SHARED
+        # fixture with tests/test_llm_ops.py::
         # test_simhash_hot_distinct_bucket_window_beats_chain)
-        import random
+        from tests.simhash_fixtures import cliff_bucket_fps, window_bucket_fps
 
-        a_key, b_key = 0x100000000000, 0x900000000000
-        rng = random.Random(0)
-        strangers: list = []
-        while len(strangers) < 17:
-            k = rng.randrange(0x200000000000, 0x880000000000)
-            if (k & 0xFFFF) == 0 or ((k >> 16) & 0xFFFF) == 0:
-                continue
-            if all(
-                bin(k ^ o).count("1") > 12
-                for o in [a_key, b_key] + strangers
-            ):
-                strangers.append(k)
-        fps = [
-            (i, ((k << 16) ^ (1 << 63)) - (1 << 63))
-            for i, k in enumerate([a_key, b_key] + strangers)
-        ]
+        fps = window_bucket_fps()
         planted_w = spark.createDataFrame(fps, "doc_id long, fp long")
         dedup_mod._BUCKET_FULL_EXPAND_CAP = 8  # < 19 docs, floors the budget
         dedup_mod._N_DOCS_CACHE[tmp] = 1
@@ -272,15 +257,9 @@ def check_star_cap(spark) -> dict:
         # r14: a corpus pinned PAST the old fixed-512 cliff (50M docs →
         # derived budget saturates at 2048) keeps EXACT all-pairs over
         # a 530-distinct-fp quarter bucket — output equals brute force
-        keys = [0x100000, 0x900000, 0x7F7F55]
-        rng = random.Random(1)
-        while len(keys) < 530:
-            k = rng.randrange(1 << 21, 1 << 47)
-            if (k & 0xFFFF) and all(
-                bin(k ^ o).count("1") > 12 for o in (0x100000, 0x900000)
-            ):
-                keys.append(k)
-        fps = [(i, k << 16) for i, k in enumerate(keys)]
+        # (shared fixture with tests/test_llm_ops.py::
+        # test_simhash_derived_cap_keeps_exact_pairs_past_old_cliff)
+        fps = cliff_bucket_fps()
         planted_c = spark.createDataFrame(fps, "doc_id long, fp long")
         dedup_mod._N_DOCS_CACHE[tmp] = 50_000_000
         try:

@@ -1673,36 +1673,13 @@ def test_simhash_hot_distinct_bucket_window_beats_chain(
     sorting between its members has no chain edge under the hamming
     filter (the chain form returned zero rows here) but sits well
     inside the 64-wide window."""
-    import random
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     import dirhash_spark.operators.dedup as dedup_mod
+    from tests.simhash_fixtures import window_bucket_fps
 
-    # anchors in the TOP bits of the 48-bit rotated key so the 17
-    # strangers can live in a ~42-bit space between them (pairwise
-    # hamming > 12 for 19 points is impossible in a 23-bit range —
-    # Plotkin bound — so low anchors would make this loop diverge)
-    a_key, b_key = 0x100000000000, 0x900000000000  # fp xor = 1 bit
-    rng = random.Random(0)
-    strangers: list[int] = []
-    while len(strangers) < 17:
-        k = rng.randrange(0x200000000000, 0x880000000000)  # between a and b
-        if (k & 0xFFFF) == 0 or ((k >> 16) & 0xFFFF) == 0:
-            continue  # keep the quarter-1/2 {a,b} buckets stranger-free
-        if all(
-            bin(k ^ o).count("1") > 12
-            for o in [a_key, b_key] + strangers
-        ):
-            strangers.append(k)
-    # fp = key << 16 (wrapped to signed int64 — b's fp sets bit 63):
-    # quarter 0 is zero for everyone -> ONE band-0 bucket holds all
-    # 19 docs, every fp distinct
-    fps = [
-        (i, ((k << 16) ^ (1 << 63)) - (1 << 63))
-        for i, k in enumerate([a_key, b_key] + strangers)
-    ]
+    fps = window_bucket_fps()
     pq.write_table(
         pa.table(
             {
@@ -1731,24 +1708,13 @@ def test_simhash_derived_cap_keeps_exact_pairs_past_old_cliff(
     EXACT all-pairs over a quarter bucket holding 530 distinct
     fingerprints — the r13 code chained this bucket (530 > fixed 512)
     and lost every non-adjacent pair; output must equal brute force."""
-    import random
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     import dirhash_spark.operators.dedup as dedup_mod
+    from tests.simhash_fixtures import cliff_bucket_fps
 
-    # the known near-dup pair plus a stranger BETWEEN them in rotated
-    # sort order (what the old chain could never bridge)
-    keys = [0x100000, 0x900000, 0x7F7F55]
-    rng = random.Random(1)
-    while len(keys) < 530:
-        k = rng.randrange(1 << 21, 1 << 47)
-        if (k & 0xFFFF) and all(
-            bin(k ^ o).count("1") > 12 for o in (0x100000, 0x900000)
-        ):
-            keys.append(k)
-    fps = [(i, k << 16) for i, k in enumerate(keys)]
+    fps = cliff_bucket_fps()
     pq.write_table(
         pa.table(
             {
@@ -1870,6 +1836,34 @@ def test_adc_table_sanitizes_non_finite(spark, monkeypatch):
     rows = QUERIES["sim_ann_ivfpq"].fn(spark, sf).collect()
     assert len(rows) == 10
     assert all(r["cosine"] is not None and math.isfinite(r["cosine"]) for r in rows)
+
+
+def test_adc_probe_nan_does_not_nan_scores(spark):
+    """The PROBE half of the sanitization contract: a NaN-poisoned
+    probe zeroes the table entries (covered above) but used to leak
+    through the unsanitized probe norm — every approx_cos went
+    dot/(nrm*NaN) = NaN, and Spark sorts NaN above every finite
+    double, so the ADC depth cut degenerated to a vec_id-ordered
+    prefix.  A non-finite probe norm must force the zero-norm guard
+    instead: scores come back null, never NaN."""
+    import math
+
+    import numpy as np
+
+    import dirhash_spark.operators.similarity as S
+
+    books = np.zeros((2, 3, 2))
+    probe = np.array([np.nan, 0.0, 1.0, 1.0])
+    df = spark.createDataFrame(
+        [(1, [0, 1], 1.0), (2, [2, 0], 2.0)],
+        "vec_id long, codes array<int>, nrm double",
+    )
+    df, table_col = S._attach_adc_table(df, probe, books)
+    rows = df.select(
+        S._pq_adc_cosine(probe, books, table_col).alias("s")
+    ).collect()
+    assert len(rows) == 2
+    assert all(r["s"] is None or math.isfinite(r["s"]) for r in rows)
 
 
 def test_pq_duplicate_clique_does_not_flood_rerank(spark, tmp_path, monkeypatch):
@@ -2046,6 +2040,16 @@ def test_parquet_rowcount_ignores_hidden_files(tmp_path):
     (d / "_SUCCESS").write_text("")
     assert parquet_rowcount(str(tmp_path), "documents") == 3
 
+    # Spark reads part files regardless of extension (Hive/Impala
+    # write suffix-less parts) — a suffix filter would undercount
+    pq.write_table(t, str(d / "part-1"))
+    assert parquet_rowcount(str(tmp_path), "documents") == 6
+
+    # a visible NON-parquet file makes the directory's footer count
+    # undefined — fall back to Spark rather than silently skipping it
+    (d / "notes.txt").write_text("not parquet")
+    assert parquet_rowcount(str(tmp_path), "documents") is None
+
     e = tmp_path / "embeddings.parquet"
     (e / "_temporary").mkdir(parents=True)
     (e / "_SUCCESS").write_text("")
@@ -2058,29 +2062,13 @@ def test_simhash_window_chunking_is_output_invisible(spark, tmp_path, monkeypatc
     the 19-rep fixture spans four overlapping chunks) the output is
     identical to the one-chunk form — every cross-chunk pair is owned
     by its left member's chunk exactly once."""
-    import random
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     import dirhash_spark.operators.dedup as dedup_mod
+    from tests.simhash_fixtures import window_bucket_fps
 
-    a_key, b_key = 0x100000000000, 0x900000000000
-    rng = random.Random(0)
-    strangers: list[int] = []
-    while len(strangers) < 17:
-        k = rng.randrange(0x200000000000, 0x880000000000)
-        if (k & 0xFFFF) == 0 or ((k >> 16) & 0xFFFF) == 0:
-            continue
-        if all(
-            bin(k ^ o).count("1") > 12
-            for o in [a_key, b_key] + strangers
-        ):
-            strangers.append(k)
-    fps = [
-        (i, ((k << 16) ^ (1 << 63)) - (1 << 63))
-        for i, k in enumerate([a_key, b_key] + strangers)
-    ]
+    fps = window_bucket_fps()
     pq.write_table(
         pa.table(
             {
