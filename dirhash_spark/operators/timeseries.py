@@ -276,8 +276,6 @@ def ts_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast form above is the 100-TB shape.  Same oracle proves the
     two plans equivalent."""
     cat = Catalog(spark, sf_dir)
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("event_type")
     mu = F.floor(F.avg("value").over(w) * 1e8) / 1e8
     sigma = F.floor(F.stddev_samp("value").over(w) * 1e8) / 1e8

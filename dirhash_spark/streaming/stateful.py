@@ -18,6 +18,7 @@ so each user emits exactly one final row.
 from __future__ import annotations
 
 import json
+import math
 import os
 import tempfile
 from collections.abc import Iterator
@@ -34,6 +35,26 @@ _OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 _STATE_SCHEMA = "n BIGINT, total DOUBLE"
 
 
+def _await_or_raise(q, name: str, timeout_s: int = 180) -> None:
+    """``awaitTermination`` returning False means the stream did NOT
+    finish in time — stopping it then would truncate the sink and
+    return a silently partial result (surfacing as a bogus oracle
+    mismatch), so fail loudly instead.  ONE definition for every
+    bounded-stream query in this module."""
+    if not q.awaitTermination(timeout_s):
+        raise TimeoutError(f"{name}: stream still running after {timeout_s} s")
+
+
+def _round_half_away(x: float, digits: int = 2) -> float:
+    """Round half AWAY from zero — what the DuckDB oracle's ``round()``
+    and Spark's ``F.round`` (BigDecimal HALF_UP) both do.  Python's
+    builtin ``round`` is banker's (half-even): ``round(2.125, 2)``
+    gives 2.12 where both engines give 2.13, so a Python-side sink
+    value must not use it."""
+    scale = 10.0**digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
 def running_totals(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
     """Per-user running (count, sum) with explicit state round-trip."""
     n, total = state.get if state.exists else (0, 0.0)
@@ -42,7 +63,11 @@ def running_totals(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
         total += float(pdf["value"].sum())
     state.update((n, total))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [_round_half_away(total)],
+        }
     )
 
 
@@ -135,7 +160,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(180)
+        _await_or_raise(q, "stream_foreach_batch_sink")
     finally:
         q.stop()
     return spark.read.parquet(dst)
@@ -186,7 +211,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(180)
+        _await_or_raise(q, "stream_static_join")
     finally:
         q.stop()
     return spark.createDataFrame(
@@ -291,10 +316,48 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(180)
+        _await_or_raise(q, "stream_python_datasource")
     finally:
         q.stop()
     return spark.read.parquet(base)
+
+
+def _click_purchase_join(spark: SparkSession, src: str, how: str) -> DataFrame:
+    """The click→purchase attribution join both stream-stream queries
+    run, differing ONLY in join type: clicks matched to same-user
+    purchases within the following 30 minutes, 1 h watermark on both
+    sides.  One definition so the inner and left-outer twins (whose
+    contracts promise 'same eviction math') cannot drift apart."""
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    ).parquet(src)
+    clicks = (
+        stream.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """user_id = p_user_id
+               AND purchase_ts >= click_ts
+               AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"""
+        ),
+        how,
+    ).select("click_id", "purchase_id", "user_id")
 
 
 @query(
@@ -329,44 +392,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.events.select("event_id", "ts", "user_id", "event_type").write.mode(
         "overwrite"
     ).parquet(src)
-    stream = spark.readStream.schema(
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
-    ).parquet(src)
-    clicks = (
-        stream.where("event_type = 'click'")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        stream.where("event_type = 'purchase'")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            """user_id = p_user_id
-               AND purchase_ts >= click_ts
-               AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"""
-        ),
-    ).select("click_id", "purchase_id", "user_id")
     q = (
-        joined.writeStream.format("memory")
+        _click_purchase_join(spark, src, "inner").writeStream.format("memory")
         .queryName("dirhash_stream_stream_join")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     try:
-        q.awaitTermination(180)
+        _await_or_raise(q, "stream_stream_join")
     finally:
         q.stop()
     return spark.createDataFrame(
@@ -417,38 +451,9 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").parquet(src)
 
     def run_once() -> None:
-        stream = spark.readStream.schema(
-            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
-        ).parquet(src)
-        clicks = (
-            stream.where("event_type = 'click'")
-            .select(
-                F.col("event_id").alias("click_id"),
-                F.col("user_id"),
-                F.col("ts").alias("click_ts"),
-            )
-            .withWatermark("click_ts", "1 hour")
-        )
-        purchases = (
-            stream.where("event_type = 'purchase'")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user_id"),
-                F.col("ts").alias("purchase_ts"),
-            )
-            .withWatermark("purchase_ts", "1 hour")
-        )
-        joined = clicks.join(
-            purchases,
-            F.expr(
-                """user_id = p_user_id
-                   AND purchase_ts >= click_ts
-                   AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"""
-            ),
-            "left_outer",
-        ).select("click_id", "purchase_id", "user_id")
         q = (
-            joined.writeStream.format("parquet")
+            _click_purchase_join(spark, src, "left_outer")
+            .writeStream.format("parquet")
             .option("path", dst)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
@@ -456,7 +461,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            _await_or_raise(q, "stream_stream_left_outer")
         finally:
             q.stop()
 
@@ -592,11 +597,7 @@ def stream_bloom_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        # awaitTermination returning False means the stream did NOT
-        # finish in time — stopping it then would truncate the sink and
-        # return a silently partial result, so fail loudly instead.
-        if not q.awaitTermination(180):
-            raise TimeoutError("stream_bloom_ingest_gate: stream still running after 180 s")
+        _await_or_raise(q, "stream_bloom_ingest_gate")
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -752,8 +753,7 @@ def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        if not q.awaitTermination(180):
-            raise TimeoutError("stream_cdc_merge_upsert: stream still running after 180 s")
+        _await_or_raise(q, "stream_cdc_merge_upsert")
     finally:
         q.stop()
     final = spark.read.parquet(os.path.join(root, f"v{state['version']}"))
@@ -790,6 +790,11 @@ def stage_replay_from(
     DataFrame — the randomized-equivalence property test feeds
     adversarial corpora through the same staging the fixture uses."""
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()  # bounded: one row
+    if lo is None:
+        # min/max of an empty frame are null — the arithmetic below
+        # would raise an unrelated-looking TypeError and the sentinel
+        # SQL would interpolate "timestamp'None'"; name the real cause
+        raise ValueError("stage_replay_from: empty input DataFrame")
     mid = lo + (hi - lo) / 2
 
     def add_file(df, order):
@@ -942,8 +947,7 @@ def run_session_flush(
             .start()
         )
         try:
-            if not q.awaitTermination(300):
-                raise TimeoutError("session flush stream still running after 300 s")
+            _await_or_raise(q, "session flush stream", 300)
             progress = [
                 p["stateOperators"]
                 for p in (json.loads(pr.json) for pr in q.recentProgress)

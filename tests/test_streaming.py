@@ -461,3 +461,40 @@ def test_cdc_merge_restart_and_replay_idempotence(spark, sf_dir, tmp_path):
     cdc_apply_batch(spark, root)(replayed, 3)
     again = {tuple(r) for r in spark.read.parquet(os.path.join(root, "v4")).collect()}
     assert again == final
+
+
+def test_round_half_away_matches_duckdb_oracle():
+    """stream_stateful_running's Python-side sink rounds with
+    _round_half_away, which must agree with the DuckDB oracle's
+    round() everywhere Python's banker's round does NOT: on an
+    exactly-representable half point (2.125 = 17/8) the oracle gives
+    2.13 while round(2.125, 2) gives 2.12 — the one-value hash
+    mismatch this pin exists to prevent.  Swept on boundary shapes
+    and a seeded random range."""
+    import random
+
+    import duckdb
+
+    from dirhash_spark.streaming.stateful import _round_half_away
+
+    con = duckdb.connect()
+    boundary = [2.125, -2.125, 2.675, 0.005, 0.015, 1.005, 0.0, -0.125]
+    rng = random.Random(0)
+    values = boundary + [rng.uniform(-1000, 1000) for _ in range(2000)]
+    for x in values:
+        want = con.execute("SELECT round(?::DOUBLE, 2)", [x]).fetchone()[0]
+        assert _round_half_away(x) == want, x
+    assert _round_half_away(2.125) == 2.13  # python round() gives 2.12
+
+
+def test_stage_replay_from_empty_input_raises(spark, tmp_path):
+    """An empty corpus must fail with a named error, not a NoneType
+    TypeError from the wave-split arithmetic (the randomized property
+    test feeds adversarial corpora through this staging)."""
+    import pytest as _pytest
+
+    from dirhash_spark.streaming.stateful import stage_replay_from
+
+    empty = spark.createDataFrame([], "ts timestamp, user_id bigint")
+    with _pytest.raises(ValueError, match="empty input"):
+        stage_replay_from(spark, empty, str(tmp_path / "src"))
