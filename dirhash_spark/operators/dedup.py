@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 
 from ..catalog import Catalog
 from ..registry import REGISTRY, query
+from .text import gram_start_indices
 
 # Shared normalization (Spark expr and DuckDB SQL must stay in lockstep).
 _NORM_SPARK = lambda c: F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " "), r" +", " "))  # noqa: E731
@@ -1638,7 +1639,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
     gram_arr = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(7), F.lit(0))),
+            gram_start_indices(toks, 8),
             lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
         )
     )
@@ -1863,7 +1864,7 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
     gram_arr = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(3), F.lit(0))),
+            gram_start_indices(toks, 4),
             lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
         )
     )

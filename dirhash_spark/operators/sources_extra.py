@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import query
+from .dirhash_pipeline import HASHTREE
 
 
 @query(
@@ -217,12 +218,15 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical between Spark F.hex and DuckDB hex): the driver harness
     # canonicalizes result frames with pandas, which cannot hash raw
     # bytearray cells (r4 ERR).  One fixture file is not valid UTF-8, so
-    # hex — not a VARCHAR cast — is the faithful rendering.
-    oracle="""
-    SELECT replace(filename, '/root/repo/data/hashtree/', '') AS rel_path,
+    # hex — not a VARCHAR cast — is the faithful rendering.  The path
+    # interpolates the checkout-relative HASHTREE constant, same as
+    # dirhash_pipeline's oracles — a literal path would break the
+    # cross-engine check in any other checkout location.
+    oracle=f"""
+    SELECT replace(filename, '{HASHTREE}/', '') AS rel_path,
            CAST(size AS BIGINT) AS length,
            hex(content) AS content_hex
-    FROM read_blob('/root/repo/data/hashtree/**')
+    FROM read_blob('{HASHTREE}/**')
     WHERE size > 0
     """,
     tags=("scan", "binary"),
@@ -232,8 +236,6 @@ def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     A1/A2 analog: whole-file bytes + metadata in one recursive scan;
     the chunked path in dirhash/chunks.py is for files larger than one
     task should hold).  modificationTime excluded (not reproducible)."""
-    from .dirhash_pipeline import HASHTREE
-
     return (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")

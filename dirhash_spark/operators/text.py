@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..registry import query
 
+
+def gram_start_indices(toks, n: int):
+    """1-based n-gram start positions over token array ``toks`` — NULL
+    (so a downstream ``explode`` emits nothing) when the document
+    holds fewer than ``n`` tokens.  The guard matters: Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``, so an unguarded
+    ``sequence(1, greatest(size - (n-1), 0))`` feeds ``slice`` a 0
+    start and crashes the whole job (INVALID_PARAMETER_VALUE.START)
+    on any short document — exactly where the oracle's
+    ``generate_series(1, 0)`` is simply empty."""
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    )
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 _BPE_RE = r"\w+|[^\w\s]"
@@ -270,14 +284,18 @@ _PHONE_RE = r"\b555-[0-9]{4}\b"
       JOIN df USING (term)
       CROSS JOIN n
     ),
-    ranked AS (
-      SELECT doc_id, term, score,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, term) AS rn
+    quantized AS (
+      SELECT doc_id, term, CAST(floor(score * 10000) AS BIGINT) AS score_q
       FROM scored
+    ),
+    ranked AS (
+      SELECT doc_id, term, score_q,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, term) AS rn
+      FROM quantized
     )
     SELECT doc_id, term, CAST(rn AS INT) AS rank,
-           floor(score * 10000) / 10000 AS tfidf
+           score_q / 10000.0 AS tfidf
     FROM ranked WHERE rn <= 3
     """,
     tags=("text", "tfidf"),
@@ -301,8 +319,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistributes.)
     """
     cat = Catalog(spark, sf_dir)
-    from pyspark.sql.window import Window
-
     toks = cat.documents.select(
         "doc_id",
         F.explode(
@@ -340,11 +356,22 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    # Rank over the QUANTIZED score, not the raw double: ln() is only
+    # 1-ulp-accurate per libm (the repo's float discipline — same
+    # reason text_surprisal_bits avoids ln entirely), so a raw-score
+    # rank could cut a different top-3 per engine when two scores land
+    # within an ulp.  Quantizing first confines any residual divergence
+    # to the floor boundary — the same accepted class as every other
+    # floor-rounded output — and the term tie-break then resolves
+    # equal-bucket terms identically in both engines.
+    quantized = scored.select(
+        "doc_id", "term", F.floor(F.col("score") * 10000).cast("bigint").alias("score_q")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("term"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        quantized.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
-        .select("doc_id", "term", "rank", (F.floor(F.col("score") * 10000) / 10000).alias("tfidf"))
+        .select("doc_id", "term", "rank", (F.col("score_q") / 10000.0).alias("tfidf"))
     )
 
 
@@ -443,7 +470,7 @@ def text_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
     gram_arr = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(4), F.lit(0))),
+            gram_start_indices(toks, 5),
             lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
         )
     )
@@ -528,7 +555,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("t") - F.lit(1), F.lit(0))),
+        gram_start_indices("t", 2),
         lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
     )
     bi_stats = (
@@ -909,8 +936,6 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     or range-partition the rank.  The corpus itself never re-shuffles
     either way.
     """.format(ks=_COVERAGE_KS)
-    from pyspark.sql.window import Window as W
-
     cat = Catalog(spark, sf_dir)
     tok = cat.documents.select(
         F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
@@ -925,11 +950,9 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
-    r = v.select("c", F.row_number().over(W.orderBy(F.col("c").desc(), "word")).alias("rnk"))
+    r = v.select("c", F.row_number().over(Window.orderBy(F.col("c").desc(), "word")).alias("rnk"))
     n = v.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab"))
-    ks = spark.range(0).sparkSession.createDataFrame(
-        [(k,) for k in _COVERAGE_KS], "k: int"
-    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k: int")
     return (
         ks.join(r, r["rnk"] <= ks["k"])
         .crossJoin(F.broadcast(n))
@@ -1072,6 +1095,14 @@ def _bpe_iteration_sql(k: int) -> str:
       LEFT JOIN sel{k} b ON b.word = t.word AND b.i = t.i - 1
       WHERE b.i IS NULL
       GROUP BY t.word, t.freq
+      -- vocabulary fully merged before step {k}: m{k} is empty, the
+      -- CROSS JOIN branch above collapses, and WITHOUT this carry the
+      -- whole w-chain (and the encode oracle's final join) would go
+      -- empty while the Spark trainer breaks and KEEPS the last
+      -- vocabulary — carry w{k} through unchanged instead
+      UNION ALL
+      SELECT word, freq, syms FROM w{k}
+      WHERE NOT EXISTS (SELECT 1 FROM m{k})
     )"""
 
 
@@ -1479,8 +1510,6 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    from pyspark.sql.window import Window
-
     c12 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
     # c(w1) = sum over w2 of c(w1,w2), computed as a WINDOW over the
     # count table rather than a groupBy + self-join: the join form made
