@@ -131,17 +131,27 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort/slice/aggregate)."""
     cat = Catalog(spark, sf_dir)
     emb = F.col("embedding")
+    # try_element_at, not element_at: the session runs Spark 4's ANSI
+    # default, where element_at on an EMPTY array throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead of returning NULL — a
+    # zero-length embedding (real-pipeline failure output) would kill
+    # the whole query where the oracle's embedding[1] is just NULL.
+    # head_sum is guarded the same way: DuckDB's list_sum([]) is NULL,
+    # Spark's aggregate identity would be 0.0.
     return cat.embeddings.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.round(F.element_at(emb, 1).cast("double"), 4).alias("first_val"),
+        F.round(F.try_element_at(emb, F.lit(1)).cast("double"), 4).alias("first_val"),
         F.round(F.array_min(emb).cast("double"), 4).alias("min_val"),
         F.round(F.array_max(emb).cast("double"), 4).alias("max_val"),
         F.round(
-            F.aggregate(
-                F.slice(emb, 1, 4),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double"),
+            F.when(
+                F.size(emb) >= 1,
+                F.aggregate(
+                    F.slice(emb, 1, 4),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
             ),
             4,
         ).alias("head_sum"),
@@ -565,7 +575,10 @@ def fn_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.documents.select(
         "doc_id",
         F.size(matches).alias("n_long"),
-        F.coalesce(F.element_at(matches, 1), F.lit("")).alias("first_long"),
+        # try_element_at: under ANSI (this session's default) a doc
+        # with NO match would crash element_at on the empty array —
+        # the coalesce('') fallback was unreachable
+        F.coalesce(F.try_element_at(matches, F.lit(1)), F.lit("")).alias("first_long"),
         F.array_join(F.array_sort(F.array_distinct(matches)), ",").alias(
             "distinct_long"
         ),
@@ -577,8 +590,8 @@ def fn_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_surrogate_key",
     oracle="""
     SELECT o_orderkey,
-           substr(sha256('ord' || '||' || CAST(o_orderkey AS VARCHAR)
-                         || '||' || CAST(o_custkey AS VARCHAR)), 1, 32)
+           substr(sha256('ord' || '||' || coalesce(CAST(o_orderkey AS VARCHAR), '')
+                         || '||' || coalesce(CAST(o_custkey AS VARCHAR), '')), 1, 32)
              AS sk
     FROM orders ORDER BY o_orderkey
     """,
@@ -586,21 +599,26 @@ def fn_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic surrogate key: the dbt_utils.generate_surrogate_key
-    idiom — hash of a namespaced, delimiter-joined column tuple,
-    truncated to 128 bits.  Content-derived keys are what make
-    cross-system joins and idempotent re-loads possible without a
-    central sequence (a monotonically_increasing_id is neither stable
-    across runs nor comparable across engines).  Map-only, codegen'd
-    sha2; the '||' delimiter guards against concat ambiguity
-    ('ab'+'c' vs 'a'+'bc')."""
+    idiom — hash of a namespaced, delimiter-joined column tuple (each
+    field NULL-coalesced to '', per dbt_utils), truncated to 128 bits.
+    Content-derived keys are what make cross-system joins and
+    idempotent re-loads possible without a central sequence (a
+    monotonically_increasing_id is neither stable across runs nor
+    comparable across engines).  Map-only, codegen'd sha2; the '||'
+    delimiter guards against concat ambiguity ('ab'+'c' vs 'a'+'bc').
+    The coalesce is load-bearing, not style: concat_ws silently SKIPS
+    null fields, so ('a', NULL) and ('a') would collide on the same
+    key — the exact ambiguity the delimiter exists to prevent — and
+    the oracle's NULL-propagating '||' would disagree besides."""
     cat = Catalog(spark, sf_dir)
     sk = F.substring(
         F.sha2(
-            F.concat_ws(
-                "||",
+            F.concat(
                 F.lit("ord"),
-                F.col("o_orderkey").cast("string"),
-                F.col("o_custkey").cast("string"),
+                F.lit("||"),
+                F.coalesce(F.col("o_orderkey").cast("string"), F.lit("")),
+                F.lit("||"),
+                F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
             ),
             256,
         ),

@@ -80,6 +80,32 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["join_asof"].oracle = REGISTRY["join_asof_pairwise"].oracle
 
 
+def _tagged_click_purchase_union(cat: Catalog) -> DataFrame:
+    """The tagged union-merge input all three click→purchase as-of
+    variants (forward / tolerance / nearest) share: clicks carry their
+    event_id, purchases carry (p_event_id, p_ts), is_click tags the
+    side.  ONE definition — the variants' tie-break conventions differ
+    only in how their window sorts read these columns, so a drifted
+    copy would silently change join semantics."""
+    clicks = cat.events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_click"),
+        "event_id",
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = cat.events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return clicks.unionByName(purchases)
+
+
 @query(
     "join_asof_forward",
     # Anchored click→purchase WITHIN events (orders end 2001, events
@@ -124,23 +150,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     readable join+rank form.
     """
     cat = Catalog(spark, sf_dir)
-    clicks = cat.events.where(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_click"),
-        "event_id",
-        F.lit(None).cast("long").alias("p_event_id"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-    )
-    purchases = cat.events.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(0).alias("is_click"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("event_id").alias("p_event_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    merged = clicks.unionByName(purchases)
+    merged = _tagged_click_purchase_union(cat)
     w = (
         Window.partitionBy("user_id")
         .orderBy("t", F.desc("is_click"), "p_event_id")
@@ -306,23 +316,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     tol_us = 10 * 60 * 1_000_000
-    clicks = cat.events.where(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_click"),
-        "event_id",
-        F.lit(None).cast("long").alias("p_event_id"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-    )
-    purchases = cat.events.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(0).alias("is_click"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("event_id").alias("p_event_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    merged = clicks.unionByName(purchases)
+    merged = _tagged_click_purchase_union(cat)
     # purchases (is_click=0) sort before same-instant clicks => <= ;
     # p_event_id ascending => `last` resolves purchase-time ties to the
     # highest id, matching join_asof's convention.
@@ -406,23 +400,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (click, purchase) pair of a user before the argmin prunes it.
     Left semantics: clicks of purchase-less users keep NULLs."""
     cat = Catalog(spark, sf_dir)
-    clicks = cat.events.where(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_click"),
-        "event_id",
-        F.lit(None).cast("long").alias("p_event_id"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-    )
-    purchases = cat.events.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(0).alias("is_click"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("event_id").alias("p_event_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    merged = clicks.unionByName(purchases)
+    merged = _tagged_click_purchase_union(cat)
     order = [F.col("t"), F.col("is_click"), F.col("p_event_id")]
     wb = (
         Window.partitionBy("user_id")

@@ -177,13 +177,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n
     ),
     keyed AS (
-      SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS skey
+      SELECT doc_id, lang,
+             CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                  AS BIGINT) AS skey
       FROM documents
     ),
     pre AS (
       SELECT k.doc_id, k.lang, k.skey, q.quota
       FROM keyed k JOIN q USING (lang)
-      WHERE k.skey < (4294967296 * q.quota * 11) / (10 * q.n_l) + 1024
+      WHERE k.skey < (CAST(4294967296 AS HUGEINT) * q.quota * 11)
+                       // (10 * q.n_l) + 1024
     ),
     ranked AS (
       SELECT doc_id, lang, quota,
@@ -235,12 +238,24 @@ def corpus_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota"),
     )
+    # Scramble and prefilter products ride DECIMAL(38,0)/HUGEINT, the
+    # sample_balanced_classes rule: doc_id ≳ 3.5e9 (or quota ≳ 2e8)
+    # would overflow BIGINT — ANSI Spark throws, DuckDB raises — at
+    # exactly the corpus sizes this operator targets.  The threshold
+    # uses integer `div` on both engines so prefilter membership stays
+    # bit-identical by construction, never a float rounding question.
     keyed = cat.documents.select(
-        "doc_id", "lang", ((F.col("doc_id") * 2654435761) % 4294967296).alias("skey")
+        "doc_id",
+        "lang",
+        ((F.col("doc_id").cast("decimal(38,0)") * 2654435761) % 4294967296)
+        .cast("long")
+        .alias("skey"),
     )
     pre = keyed.join(F.broadcast(quotas), "lang").where(
         F.col("skey")
-        < (F.lit(4294967296) * F.col("quota") * 11) / (10 * F.col("n_l")) + 1024
+        < F.expr(
+            "CAST(4294967296 AS DECIMAL(38,0)) * quota * 11 div (10 * n_l) + 1024"
+        )
     )
     w = Window.partitionBy("lang").orderBy("skey", "doc_id")
     return (

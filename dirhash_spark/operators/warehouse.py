@@ -25,11 +25,27 @@ from ..catalog import Catalog
 from ..registry import query
 
 
+#: Fresh-key offset for MERGE inserts: the next power of ten ABOVE the
+#: live key range, derived from max(c_custkey) — a fixed "+10M" offset
+#: collides with base keys once the table exceeds 10M rows (TPC-H
+#: sf ≳ 67), yielding a snapshot with duplicated primary keys that the
+#: not-matched-insert contract forbids (and snapshot_diff's full-outer
+#: join would then row-multiply on).  String-built power of ten, not
+#: pow(): integer-exact and identical in both engines at any key width.
+_FRESH_KEY_OFFSET_SQL = (
+    "CAST('1' || repeat('0', length(CAST(max(c_custkey) AS STRING))) AS BIGINT)"
+)
+# The oracle-side twin is the `off` CTE repeated verbatim in three
+# oracles: merge_upsert, snapshot_diff, and the streaming CDC merge in
+# streaming/stateful.py — change all four together.
+
+
 def _change_batch(cat: Catalog) -> DataFrame:
     """Deterministic change batch derived from the customer snapshot:
     key-residue selected updates (halve the balance), deletes, and
-    inserts under fresh keys — both engines re-derive the same batch.
-    """
+    inserts under fresh keys (provably above the live key range —
+    see _FRESH_KEY_OFFSET_SQL) — both engines re-derive the same
+    batch."""
     c = cat.customer
     upd = c.where(F.col("c_custkey") % 10 == 3).select(
         F.col("c_custkey").alias("k"),
@@ -41,8 +57,15 @@ def _change_batch(cat: Catalog) -> DataFrame:
         F.lit("D").alias("op"),
         F.lit(None).cast("double").alias("new_bal"),
     )
+    # The offset is a driver-side bounded scalar (one 1-row agg job at
+    # construction — the documented eager-construction tier, same as
+    # the ANN index builds): joining the 1-row aggregate in-plan
+    # instead planned as a BroadcastNestedLoopJoin (a crossJoin, or an
+    # equi-join whose constant keys Catalyst folds away), breaking the
+    # snapshot_diff no-nested-loop plan pin.
+    off = c.agg(F.expr(_FRESH_KEY_OFFSET_SQL).alias("o")).first()["o"]
     ins = c.where(F.col("c_custkey") % 100 == 1).select(
-        (F.col("c_custkey") + 10_000_000).alias("k"),
+        (F.col("c_custkey") + F.lit(off)).alias("k"),
         F.lit("I").alias("op"),
         F.lit(0.0).alias("new_bal"),
     )
@@ -57,7 +80,12 @@ def _change_batch(cat: Catalog) -> DataFrame:
       FROM customer WHERE c_custkey % 10 = 3
     ),
     del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 7),
-    ins AS (SELECT c_custkey + 10000000 AS k FROM customer WHERE c_custkey % 100 = 1)
+    off AS (
+      SELECT CAST('1' || repeat('0', length(CAST(max(c_custkey) AS VARCHAR)))
+                  AS BIGINT) AS o
+      FROM customer
+    ),
+    ins AS (SELECT c_custkey + o AS k FROM customer, off WHERE c_custkey % 100 = 1)
     SELECT c.c_custkey,
            c.c_name,
            c.c_nationkey,
@@ -132,7 +160,12 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey % 10 = 3
     ),
     del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 7),
-    ins AS (SELECT c_custkey + 10000000 AS k FROM customer WHERE c_custkey % 100 = 1),
+    off AS (
+      SELECT CAST('1' || repeat('0', length(CAST(max(c_custkey) AS VARCHAR)))
+                  AS BIGINT) AS o
+      FROM customer
+    ),
+    ins AS (SELECT c_custkey + o AS k FROM customer, off WHERE c_custkey % 100 = 1),
     nxt AS (
       SELECT c.c_custkey, c.c_name, c.c_nationkey,
              CASE WHEN u.k IS NOT NULL THEN u.new_bal ELSE c.c_acctbal END AS c_acctbal,
@@ -231,7 +264,8 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'fk_custkey_in_customer',
            CAST(count(*) AS BIGINT),
            count(*) = 0
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
     """,
     tags=("warehouse", "quality"),
 )
@@ -275,8 +309,13 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS (check_name, violations)"""
         )
     )
+    # NULL keys are NOT FK violations (the not_null_custkey check owns
+    # them): unfiltered, the anti-join would count a NULL o_custkey row
+    # while the oracle's NOT IN evaluates to NULL and excludes it — the
+    # IS NOT NULL on both sides pins one semantics.
     fk = (
-        o.join(
+        o.where(F.col("o_custkey").isNotNull())
+        .join(
             F.broadcast(cat.customer.select("c_custkey")),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",

@@ -613,7 +613,12 @@ _CDC_MERGE_ORACLE = """
       FROM customer WHERE c_custkey % 10 = 3
     ),
     del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 7),
-    ins AS (SELECT c_custkey + 10000000 AS k FROM customer WHERE c_custkey % 100 = 1)
+    off AS (
+      SELECT CAST('1' || repeat('0', length(CAST(max(c_custkey) AS VARCHAR)))
+                  AS BIGINT) AS o
+      FROM customer
+    ),
+    ins AS (SELECT c_custkey + o AS k FROM customer, off WHERE c_custkey % 100 = 1)
     SELECT c.c_custkey,
            c.c_name,
            c.c_nationkey,
