@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..registry import query
+from ..streaming.ops import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    watermark_dedup,
+)
 
 
 @query(
@@ -30,16 +36,14 @@ from ..registry import query
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B49: tumbling 1-hour window aggregate (same F.window expression a
-    streaming query uses; epoch-aligned like DuckDB's time_bucket)."""
+    streaming query uses; epoch-aligned like DuckDB's time_bucket).
+
+    DELEGATES to streaming/ops.py's tumbling_counts — one definition of
+    the window expression for both modes (withWatermark is a no-op on a
+    batch frame), so the oracle-checked batch form and the streaming
+    smoke test can never drift apart."""
     cat = Catalog(spark, sf_dir)
-    return (
-        cat.events.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
-    )
+    return tumbling_counts(cat.events)
 
 
 @query(
@@ -62,16 +66,11 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B50: sliding window (1 hour every 30 minutes) — each event lands
     in exactly two windows; the oracle expands the two half-aligned
-    window starts explicitly."""
+    window starts explicitly.  Delegates to ops.sliding_counts (shared
+    expression, both modes — the two copies had already drifted: the
+    streaming twin was missing total_value)."""
     cat = Catalog(spark, sf_dir)
-    return (
-        cat.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
-    )
+    return sliding_counts(cat.events)
 
 
 @query(
@@ -103,18 +102,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B51: gap-based session windows (10-minute gap) per user.  Spark's
     session_window end = last event + gap; the oracle reconstructs the
-    same islands with lag + running sum."""
+    same islands with lag + running sum.  Delegates to
+    ops.session_counts (shared expression, both modes)."""
     cat = Catalog(spark, sf_dir)
-    return (
-        cat.events.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
-    )
+    return session_counts(cat.events)
 
 
 @query(
@@ -134,10 +125,12 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B52 batch stand-in: event dedup on (user_id, event_type) — the
     same dropDuplicates that runs stateful under a watermark in the
     streaming smoke test (tests/test_streaming.py).  The keeper row is
-    nondeterministic, but the emitted counts are not (see oracle)."""
+    nondeterministic, but the emitted counts are not (see oracle).
+    The dedup itself delegates to ops.watermark_dedup (shared
+    expression, both modes)."""
     cat = Catalog(spark, sf_dir)
     return (
-        cat.events.dropDuplicates(["user_id", "event_type"])
+        watermark_dedup(cat.events)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
@@ -148,7 +141,9 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
-             count(*) AS n_events, floor(avg(value) * 100) / 100 AS avg_value
+             count(*) AS n_events,
+             floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / count(*)) / 100 AS avg_value
       FROM events WHERE user_id < 8
       GROUP BY 1, 2
     ),
@@ -189,12 +184,23 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream.
     """
     cat = Catalog(spark, sf_dir)
+    # avg over EXACT per-row cents (floor(value*100+0.5) as BIGINT),
+    # not floor(avg(double)*100): most groups' averages land exactly on
+    # the floor discontinuity (cents-valued fixture), where a 1-ulp
+    # summation-order difference between engines flips the output by
+    # 0.01 and propagates through the LOCF fill.  Integer sums are
+    # order-invariant; the single int/int double division is exactly
+    # rounded, so the floor is engine-stable (DESIGN.md float
+    # discipline, the agg_regression idiom).
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     hourly = (
         cat.events.where(F.col("user_id") < 8)
         .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.floor(F.avg("value") * 100) / 100).alias("avg_value"),
+            (
+                F.floor(F.sum(cents).cast("double") / F.count(F.lit(1))) / 100
+            ).alias("avg_value"),
         )
         .select("user_id", F.col("w.start").alias("hour"), "n_events", "avg_value")
     )

@@ -345,8 +345,11 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       FROM documents, unnest(generate_series(0, {_FEAT_DIM - 1})) AS g(i)
     )
     SELECT grid.doc_id, grid.feat_idx,
-           floor(CAST(coalesce(cnt, 0) AS DOUBLE) / total * 1e6 + 0.5) / 1e6
-             AS feat_value
+           -- greatest(total, 1): a zero-length payload must read as 16
+           -- zeros (the Python batch's arr.size == 0 guard), not the
+           -- 16 NULLs DuckDB's 0/0 would give; total >= 1 is unchanged
+           floor(CAST(coalesce(cnt, 0) AS DOUBLE) / greatest(total, 1) * 1e6 + 0.5)
+             / 1e6 AS feat_value
     FROM grid
     JOIN totals ON totals.doc_id = grid.doc_id
     LEFT JOIN counts ON counts.doc_id = grid.doc_id AND counts.bucket = grid.feat_idx

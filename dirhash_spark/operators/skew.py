@@ -68,10 +68,17 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_skew_salted",
     oracle="""
-    WITH d AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type)
-    SELECT e.event_id, e.event_type, round(e.value - d.type_avg, 4) AS over_avg
+    WITH d AS (
+      SELECT event_type,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value - CAST(d.sum_cents AS DOUBLE) / (100 * d.n), 4)
+             AS over_avg
     FROM events e JOIN d ON e.event_type = d.event_type
-    WHERE e.value > d.type_avg
+    WHERE CAST(floor(e.value * 100 + 0.5) AS BIGINT) * d.n > d.sum_cents
     """,
     tags=("skew", "join"),
 )
@@ -86,7 +93,17 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only lever).  The oracle is the unsalted join — proof the
     rewrite is semantics-preserving."""
     cat = Catalog(spark, sf_dir)
-    dim = cat.events.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    # The threshold rides EXACT integer sufficient statistics (per-row
+    # cents + count), never a float avg: `value > avg(double)` flips
+    # membership on summation order when a row sits within an ulp of
+    # its group average — a ROW-COUNT divergence no output rounding can
+    # hide.  `cents·n > sum_cents` is the same predicate with
+    # order-invariant integer arithmetic; the reported over_avg divides
+    # the exact integers once (exactly-rounded, engine-stable).
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    dim = cat.events.groupBy("event_type").agg(
+        F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n")
+    )
     dim_rep = dim.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
     )
@@ -94,15 +111,20 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
+        cents.alias("cents"),
         F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)).cast("int").alias("salt"),
     )
     return (
         probe.hint("merge")
         .join(dim_rep, ["event_type", "salt"])
-        .where(F.col("value") > F.col("type_avg"))
+        .where(F.col("cents") * F.col("n") > F.col("sum_cents"))
         .select(
             "event_id",
             "event_type",
-            F.round(F.col("value") - F.col("type_avg"), 4).alias("over_avg"),
+            F.round(
+                F.col("value")
+                - F.col("sum_cents").cast("double") / (100 * F.col("n")),
+                4,
+            ).alias("over_avg"),
         )
     )

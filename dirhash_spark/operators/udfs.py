@@ -59,7 +59,10 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas",
     oracle="""
     SELECT l_returnflag,
-           floor(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 10000) / 10000 AS weighted_price
+           floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / (100 * sum(CAST(l_quantity AS BIGINT))) * 10000) / 10000
+             AS weighted_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -67,12 +70,24 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B47: grouped-agg pandas UDAF (Arrow batches; quantity-weighted
-    mean price per return flag)."""
+    mean price per return flag).
+
+    The UDAF reduces to EXACT integer sufficient statistics (per-row
+    price cents × integer quantity) before the one float division:
+    pandas' pairwise float sum and DuckDB's sequential sum drift in
+    low-order bits, and the floor(×1e4) output rounding amplifies a
+    sub-1e-4 drift into a visible mismatch as row counts grow —
+    integer sums are order-invariant, and the single int/int division
+    is exactly rounded on both engines (the agg_regression idiom)."""
     cat = Catalog(spark, sf_dir)
 
     @F.pandas_udf(DoubleType())
     def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        import numpy as np
+
+        pc_ = np.floor(price.to_numpy() * 100 + 0.5).astype(np.int64)
+        q = np.floor(qty.to_numpy() + 0.5).astype(np.int64)
+        return float(int((pc_ * q).sum()) / (100 * int(q.sum())))
 
     return (
         cat.lineitem.groupBy("l_returnflag")
@@ -260,7 +275,9 @@ def udtf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           floor(sum(value * user_id) / sum(value) * 10000) / 10000
+           floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * user_id)
+                      AS DOUBLE)
+                 / sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000) / 10000
              AS value_weighted_user
     FROM events
     GROUP BY event_type
@@ -277,8 +294,12 @@ def udtf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shuffle contract as any groupBy: one exchange on the key,
     whole groups materialize per batch — so per-group cardinality must
     be bounded (here: 5 types × ~events/5), the same constraint as
-    collect_list.  The floor-round makes the float division
-    bit-comparable across engines.
+    collect_list.  The reduction runs over EXACT integer statistics
+    (value cents × user_id, both int64) so it is summation-order-
+    invariant — Arrow's pc.sum and DuckDB's scan-order sum drift in
+    low-order float bits otherwise — and the one int/int division is
+    exactly rounded on both engines before the floor (the /100 of the
+    cents scaling cancels in the ratio).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -286,10 +307,13 @@ def udtf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
 
     def weighted(table: pa.Table) -> pa.Table:
-        v = table.column("value")
-        u = table.column("user_id")
-        num = pc.sum(pc.multiply(v, pc.cast(u, pa.float64()))).as_py()
-        den = pc.sum(v).as_py()
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(table.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        u = pc.cast(table.column("user_id"), pa.int64())
+        num = pc.sum(pc.multiply(cents, u)).as_py()
+        den = pc.sum(cents).as_py()
         import math
 
         return pa.table(

@@ -89,6 +89,7 @@ def _assert_match(spark, sf, name):
         "decontaminate_ngram_overlap",
         "dedup_containment",
         "fn_regexp_all",  # "one"/""/"a b" have no [a-z]{5,} match
+        "mm_feature_extract",  # ""-payload: 16 zeros, not 16 NULLs (0/0)
     ],
 )
 def test_short_docs_match_oracle_not_crash(spark, tmp_path, name):
