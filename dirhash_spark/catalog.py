@@ -138,6 +138,24 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     return load_table(spark, sf_dir, name).count() if n is None else n
 
 
+def sink_dir(name: str, sf_dir: str) -> str:
+    """Scratch directory for write-then-read-back queries, keyed by the
+    CORPUS: the old fixed shared path meant a sf0.01 correctness run
+    and a sf0.1 bench run interleaving on one host clobbered each
+    other's sink between the eager write and the lazy read-back — the
+    silent form returns the WRONG scale factor's rows against the
+    oracle.  Two concurrent same-corpus runs still share a path, but
+    they write identical data (every sink derives deterministically
+    from the fixture tables), so the residual race is a rare transient
+    read error, never wrong results."""
+    import hashlib
+    import os
+    import tempfile
+
+    token = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", token, name)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (for spark.sql operators)."""
     for name in TABLE_NAMES:

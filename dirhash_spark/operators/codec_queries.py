@@ -128,14 +128,19 @@ _HASHTREE_SHA256_4K = "e687b3476de36d217a71426fa9f91dff15bfa2afb00c4af180c321cbd
     tags=("dirhash", "verify"),
 )
 def dirhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: verify — recompute the fixture tree's hash, then check a
-    matching and a corrupted hash string (one row each; the matching row
-    must have match=true, the corrupted one match=false)."""
-    from ..dirhash.hashdir import hash_directory
+    """A10: verify — check a matching and a corrupted hash string
+    against the fixture tree (one row each; the matching row must have
+    match=true, the corrupted one match=false).
+
+    The expected strings come from the GOLDEN constant, not a third
+    recomputation: verify_directory_hash recomputes the tree's digest
+    internally anyway, so hashing it first just tripled the
+    distributed fold for identical regression coverage (the oracle
+    already pins actual_hex to the same constant)."""
     from ..dirhash.verify import verify_directory_hash
     from .dirhash_pipeline import HASHTREE
 
-    good = hash_directory(spark, HASHTREE, "sha256", "4k")
+    good = build_hash_string("sha256", "4k", _HASHTREE_SHA256_4K)
     bad = good[:-8] + "00000000"
     r_good = verify_directory_hash(spark, HASHTREE, good)
     r_bad = verify_directory_hash(spark, HASHTREE, bad)

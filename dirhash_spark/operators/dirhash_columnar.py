@@ -66,10 +66,8 @@ def chunk_split_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"substr(text, CAST(block_num * {_BLOCK} + 1 AS INT), {_BLOCK})").alias(
                 "content"
             ),
-            F.length(
-                F.expr(f"substr(text, CAST(block_num * {_BLOCK} + 1 AS INT), {_BLOCK})")
-            ).alias("content_len"),
         )
+        .select("doc_id", "block_num", "content", F.length("content").alias("content_len"))
     )
 
 

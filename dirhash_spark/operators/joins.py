@@ -75,7 +75,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_outer",
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+           CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+                AS DOUBLE) / 100 AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -90,7 +91,20 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            # exact-cents sum, not round(sum(double)): the float sum is
+            # summation-order-dependent and can land either side of the
+            # half-cent boundary per engine (flagship's fix, applied here)
+            (
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                            "bigint"
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("double")
+                / 100
+            ).alias("total_spent"),
         )
     )
 
@@ -179,7 +193,9 @@ _BANDS_SQL = "(VALUES (0, 'low', 0.0, 25.0), (1, 'mid', 25.0, 60.0), (2, 'high',
 @query(
     "join_theta_range",
     oracle=f"""
-    SELECT band_name, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT band_name, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
     FROM events JOIN {_BANDS_SQL}
       ON value >= lo AND value < hi
     GROUP BY band_name
@@ -201,7 +217,13 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact-cents sum (see join_left_outer)
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / 100
+            ).alias("total_value"),
         )
     )
 

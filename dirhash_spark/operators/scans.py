@@ -10,12 +10,11 @@ file per task, no driver funnel).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, sink_dir
 from ..registry import query
 
 # Committed engine-owned CSV fixtures (NOT the reference's iris.csv).
@@ -231,7 +230,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp parquet dataset; the returned DataFrame reads from the sink, so
     a value match proves the write path preserved data exactly."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "lineitem_mod10")
+    out = sink_dir("lineitem_mod10", sf_dir)
     subset = cat.lineitem.where(F.col("l_orderkey") % 10 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
@@ -269,12 +268,16 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     by_status AS (
       SELECT 'by_status' AS branch, o_orderstatus AS key,
-             count(*) AS n, round(sum(o_totalprice), 2) AS total
+             count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
       FROM hot GROUP BY o_orderstatus
     ),
     by_bucket AS (
       SELECT 'by_custmod' AS branch, CAST(o_custkey % 10 AS VARCHAR) AS key,
-             count(*) AS n, round(sum(o_totalprice), 2) AS total
+             count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
       FROM hot GROUP BY o_custkey % 10
     )
     SELECT * FROM by_status UNION ALL SELECT * FROM by_bucket
@@ -294,16 +297,37 @@ def scan_cached_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch_count × downstream_scan_cost exceeds materialization cost —
     exactly the call a dashboard refresh with a shared base CTE makes.
     ``unpersist`` releases executor memory deterministically rather
-    than waiting for LRU pressure.
+    than waiting for LRU pressure — which requires the EAGER tier: the
+    branches collect (bounded: |statuses| + 10 rows) before the cache
+    is dropped, so the returned frame no longer references it.  Sums
+    ride exact per-row cents, not round(sum(double)) — the float sum
+    is summation-order-dependent (flagship's fix, DESIGN.md).
     """
+    union, hot = _cached_branch_frames(spark, sf_dir)
+    try:
+        rows = union.collect()  # bounded: |statuses| + 10 rows
+    finally:
+        hot.unpersist()
+    return spark.createDataFrame(
+        rows, "branch STRING, key STRING, n BIGINT, total DOUBLE"
+    )
+
+
+def _cached_branch_frames(spark: SparkSession, sf_dir: str):
+    """(union, hot): the lazy two-branch aggregation over the persisted
+    hot subset — shared by the registered query (which collects it and
+    unpersists) and the plan pin in tests/test_plans.py (which asserts
+    both subtrees read InMemoryTableScan).  Callers own hot.unpersist()."""
     cat = Catalog(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     hot = (
         cat.orders.where(F.col("o_totalprice") > 150000)
-        .select("o_custkey", "o_orderstatus", "o_totalprice")
+        .select("o_custkey", "o_orderstatus", cents.alias("cents"))
         .persist()
     )
+    total = (F.sum("cents").cast("double") / 100).alias("total")
     by_status = hot.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count(F.lit(1)).alias("n"), total
     ).select(
         F.lit("by_status").alias("branch"),
         F.col("o_orderstatus").alias("key"),
@@ -311,11 +335,11 @@ def scan_cached_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
     )
     by_bucket = hot.groupBy((F.col("o_custkey") % 10).alias("b")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count(F.lit(1)).alias("n"), total
     ).select(
         F.lit("by_custmod").alias("branch"),
         F.col("b").cast("string").alias("key"),
         "n",
         "total",
     )
-    return by_status.unionAll(by_bucket)
+    return by_status.unionAll(by_bucket), hot

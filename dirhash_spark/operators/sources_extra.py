@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, sink_dir
 from ..registry import query
 from .dirhash_pipeline import HASHTREE
 
@@ -42,7 +42,7 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with explicit schema (schema-on-read; inference would also
     work but an explicit StructType is the production shape)."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_jsonl")
+    out = sink_dir("orders_jsonl", sf_dir)
     subset = cat.orders.where(F.col("o_orderkey") % 25 == 0).select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice")
     )
@@ -71,7 +71,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the round-trip this query exercises.
     """
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "customer_xml")
+    out = sink_dir("customer_xml", sf_dir)
     subset = cat.customer.where(F.col("c_custkey") % 10 == 0).select(
         "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
     )
@@ -98,7 +98,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink/scan round-trip (columnar alternative to parquet;
     same vectorized reader path in Spark)."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "supplier_orc")
+    out = sink_dir("supplier_orc", sf_dir)
     cat.supplier.select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     ).write.mode("overwrite").orc(out)
@@ -119,7 +119,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the o_orderstatus=F directory (PartitionFilters in the plan),
     which is how a 100 TB table avoids reading 100 TB."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_by_status")
+    out = sink_dir("orders_by_status", sf_dir)
     staged = cat.orders.select("o_orderkey", "o_custkey", "o_orderstatus")
     staged.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     # explicit schema: a zero-row write leaves no data files to infer
@@ -197,7 +197,7 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
       extra shuffle (the sort rides the repartition exchange).
     """
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "lineitem_clustered")
+    out = sink_dir("lineitem_clustered", sf_dir)
     (
         cat.lineitem.select(
             "l_orderkey", "l_linenumber", "l_shipdate", F.round("l_extendedprice", 2).alias("price")
@@ -283,7 +283,7 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks the clustering is semantics-neutral (same rows back
     under a custkey range scan)."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_zorder")
+    out = sink_dir("orders_zorder", sf_dir)
     day_no = F.unix_date(F.to_date("o_orderdate")).cast("long")
     base = cat.orders.select(
         "o_orderkey",
@@ -315,7 +315,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with spark.read.text (the raw-corpus ingestion shape — one
     line = one value column, parsing deferred to expressions)."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "docs_txt")
+    out = sink_dir("docs_txt", sf_dir)
     (
         cat.documents.where(F.col("doc_id") % 10 == 0)
         .select(F.concat_ws("|", F.col("doc_id").cast("string"), "lang").alias("value"))
@@ -346,7 +346,7 @@ def sink_upsert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated keys (partition pruning bounds the rewrite, not the table).
     The oracle is the merged state."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_upserted")
+    out = sink_dir("orders_upserted", sf_dir)
     base = cat.orders.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), F.lit("base").alias("src")
     )
@@ -391,7 +391,7 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     same files was cross-checked during development and agrees.
     """
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "schema_evo")
+    out = sink_dir("schema_evo", sf_dir)
     base = cat.orders.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("total"), "o_orderstatus"
     )
@@ -442,8 +442,8 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     full write→read cycle, and a local test pins the file counts.
     """
     cat = Catalog(spark, sf_dir)
-    frag = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_fragmented")
-    compact = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_compacted")
+    frag = sink_dir("orders_fragmented", sf_dir)
+    compact = sink_dir("orders_compacted", sf_dir)
     cat.orders.repartition(64).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
     return (
@@ -554,7 +554,7 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
 
     cat = Catalog(spark, sf_dir)
-    root = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_versioned")
+    root = sink_dir("orders_versioned", sf_dir)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
@@ -649,7 +649,7 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate hash-matches the oracle, which states the same join
     unpartitioned — two different I/O strategies, one answer."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "lineitem_by_month")
+    out = sink_dir("lineitem_by_month", sf_dir)
     (
         cat.lineitem.select(
             F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
@@ -704,7 +704,7 @@ def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the same rows from the flat table; the struct
     round-trip plus pruning must be semantics-free."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "orders_nested")
+    out = sink_dir("orders_nested", sf_dir)
     (
         cat.orders.select(
             "o_orderkey",
@@ -758,7 +758,7 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiline CSV as many medium files, or convert to parquet at the
     edge; this operator exists to make that trade explicit."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "nation_mlcsv")
+    out = sink_dir("nation_mlcsv", sf_dir)
     note = F.concat(
         F.lit("line1 "),
         F.col("n_name"),
@@ -855,7 +855,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly.  Written with header, read back with explicit schema
     (inference on the read side is the scan_csv_infer query's job)."""
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "customer_csv")
+    out = sink_dir("customer_csv", sf_dir)
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     cat.customer.where(F.col("c_custkey") % 10 == 0).select(
         "c_custkey", "c_mktsegment", cents.alias("acctbal_cents")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, sink_dir
 from ..registry import query
 
 
@@ -627,13 +627,8 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     r10 span-dedup lesson); the partitioned write adds no extra
     exchange (shard is a column, the writer splits files per task).
     At 100 TB the same program only changes mod-8 to mod-N(shards)."""
-    import os
-    import tempfile
-
     cat = Catalog(spark, sf_dir)
-    out = os.path.join(
-        tempfile.gettempdir(), "dirhash_spark_sink", "training_shards"
-    )
+    out = sink_dir("training_shards", sf_dir)
     words = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     curated = (
         cat.documents.groupBy(F.sha2("text", 256).alias("content_hash"))

@@ -129,7 +129,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio,
            round(o_totalprice, 2) AS totalprice
     FROM orders
-    ORDER BY prio ASC NULLS LAST, o_totalprice DESC, o_orderkey
+    ORDER BY prio ASC NULLS LAST, totalprice DESC, o_orderkey
     LIMIT 100
     """,
     tags=("sort",),
@@ -155,7 +155,7 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
     FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
+    ORDER BY totalprice DESC, o_orderkey
     LIMIT 10
     """,
     tags=("sort", "topk"),

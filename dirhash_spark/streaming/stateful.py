@@ -20,14 +20,13 @@ from __future__ import annotations
 import json
 import math
 import os
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, sink_dir
 from ..operators.dedup import BLOOM_PROBE_ORACLE as _BLOOM_PROBE_ORACLE
 from ..registry import query
 
@@ -91,7 +90,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful stream over the events table (one trigger ⇒ one
     final row per user) and return the sink contents."""
     cat = Catalog(spark, sf_dir)
-    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "stateful_events")
+    src = sink_dir("stateful_events", sf_dir)
     cat.events.select("user_id", "value").write.mode("overwrite").parquet(src)
     q = (
         running_totals_stream(spark, src)
@@ -135,8 +134,8 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import tumbling_counts
 
     cat = Catalog(spark, sf_dir)
-    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "fb_events_src")
-    dst = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "fb_counts")
+    src = sink_dir("fb_events_src", sf_dir)
+    dst = sink_dir("fb_counts", sf_dir)
     cat.events.select("event_id", "ts", "user_id", "value").write.mode(
         "overwrite"
     ).parquet(src)
@@ -195,7 +194,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import enrich_with_nation
 
     cat = Catalog(spark, sf_dir)
-    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "ss_join_events")
+    src = sink_dir("ss_join_events", sf_dir)
     cat.events.select("event_id", "ts", "user_id", "value").write.mode(
         "overwrite"
     ).parquet(src)
@@ -299,7 +298,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             return self._rows(start["batch"], end["batch"])
 
     spark.dataSource.register(ReadingsStreamSource)
-    base = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "pyds_stream")
+    base = sink_dir("pyds_stream", sf_dir)
     import shutil
 
     # Clear the checkpoint too: a surviving checkpoint resumes at the
@@ -388,7 +387,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides shuffle on user_id into the same state store partitions —
     one co-partitioned exchange each, same as a batch SortMergeJoin."""
     cat = Catalog(spark, sf_dir)
-    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "ss_ss_events")
+    src = sink_dir("ss_ss_events", sf_dir)
     cat.events.select("event_id", "ts", "user_id", "event_type").write.mode(
         "overwrite"
     ).parquet(src)
@@ -444,7 +443,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     cat = Catalog(spark, sf_dir)
-    base = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "ss_louter")
+    base = sink_dir("ss_louter", sf_dir)
     src, dst, ckpt = (os.path.join(base, d) for d in ("src", "dst", "ckpt"))
     shutil.rmtree(base, ignore_errors=True)
     ev = cat.events.select("event_id", "ts", "user_id", "event_type")
@@ -528,9 +527,9 @@ def stream_bloom_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _INCR_SPLIT, _bloom_positions_spark
 
     cat = Catalog(spark, sf_dir)
-    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_src")
-    dst = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_out")
-    ckpt = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "bloom_gate_ckpt")
+    src = sink_dir("bloom_gate_src", sf_dir)
+    dst = sink_dir("bloom_gate_out", sf_dir)
+    ckpt = sink_dir("bloom_gate_ckpt", sf_dir)
     # The checkpoint must die WITH the sink: a stale checkpoint from a
     # crashed/timed-out prior run would make this stream "resume"
     # against a source dir we just rewrote, silently skipping batches.
@@ -721,7 +720,7 @@ def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.warehouse import _change_batch
 
     cat = Catalog(spark, sf_dir)
-    root = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "cdc_merge")
+    root = sink_dir("cdc_merge", sf_dir)
     src = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
     shutil.rmtree(root, ignore_errors=True)
@@ -931,7 +930,7 @@ def run_session_flush(
 
     if state_partitions is None:
         state_partitions = _session_state_width(spark, sf_dir)
-    src = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "session_native_src")
+    src = sink_dir("session_native_src", sf_dir)
     shutil.rmtree(src, ignore_errors=True)
     stage_session_replay(spark, sf_dir, src)
 

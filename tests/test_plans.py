@@ -352,9 +352,23 @@ def test_python_datasource_plans_eight_partitions(spark):
 def test_cached_branches_reuse_in_memory_scan(spark):
     """Both aggregation branches must read the persisted intermediate
     (InMemoryTableScan ×2), not rescan parquet — the reuse the persist
-    exists to buy."""
-    p = plan(spark, "scan_cached_branches", "simple")
-    assert p.count("InMemoryTableScan") >= 2, p
+    exists to buy.  The registered query is now eager (it collects the
+    13-row result so it can unpersist deterministically), so the pin
+    explains the shared lazy union the query collects from."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dirhash_spark.operators.scans import _cached_branch_frames
+
+    union, hot = _cached_branch_frames(spark, SF)
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            union.explain("simple")
+        p = buf.getvalue()
+        assert p.count("InMemoryTableScan") >= 2, p
+    finally:
+        hot.unpersist()
 
 
 def test_aqe_coalesces_small_shuffle(spark):
