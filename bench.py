@@ -162,7 +162,13 @@ def _cpu_canary_mt_mbps(threads: int = 32) -> float:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # sf is reporting metadata only — a corpus dir not named 'sfN'
+    # (e.g. /data/tpch_small) must not kill the whole suite on a
+    # ValueError before any benchmark runs; report 0 for unknown
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:
+        sf = 0.0
 
     from dirhash_spark.registry import all_queries
     from dirhash_spark.session import get_spark

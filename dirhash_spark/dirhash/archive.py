@@ -13,10 +13,17 @@ import stat
 
 
 def _chmod_readonly(path: str) -> None:
-    """chmod -R a-w (dirhash.py:571-572)."""
+    """chmod -R a-w (dirhash.py:571-572).  Symlinks are SKIPPED, like
+    the reference's recursive ``chmod -R``: following them would strip
+    write permission from targets OUTSIDE the archived tree (the
+    listing layer explicitly supports symlinked files/dirs, so such
+    trees are in-contract), and a broken link would crash os.stat
+    halfway through an already-moved archive."""
     for dirpath, dirnames, filenames in os.walk(path, topdown=False):
         for name in filenames + dirnames:
             p = os.path.join(dirpath, name)
+            if os.path.islink(p):
+                continue
             mode = os.stat(p).st_mode
             os.chmod(p, mode & ~(stat.S_IWUSR | stat.S_IWGRP | stat.S_IWOTH))
     mode = os.stat(path).st_mode

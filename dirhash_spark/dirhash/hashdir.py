@@ -38,16 +38,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
 
 from ..session import configure
-from .chunks import chunk_plan, chunk_plan_df, open_for_range_read, read_chunks
+from .chunks import chunk_plan, chunk_plan_df, open_for_range_read
 from .codec import (
     DEFAULT_BLOCK_SIZE,
     build_hash_string,
     chunk_preimage,
     fold_digest,
+    fold_header,
     get_hash_func,
     parse_blocksize,
 )
-from .listing import Entry, list_entries, listing_for_fold, strip_trailing_slash
+from .listing import (
+    Entry,
+    list_entries,
+    listing_for_fold,
+    reject_undecodable_paths,
+    strip_trailing_slash,
+)
 
 _SHA2_BITS = {"sha224": 224, "sha256": 256, "sha384": 384, "sha512": 512}
 
@@ -235,6 +242,7 @@ def hash_directory_raw(
     directory = strip_trailing_slash(directory)
 
     entries = list_entries(directory, spark)
+    reject_undecodable_paths(entries)
     listing = [e.relative_path for e in entries]
 
     has_bytes = any((not e.is_dir) and e.size > 0 for e in entries)
@@ -324,15 +332,10 @@ def hash_directory_raw_streamed(
     h = get_hash_func(hash_algorithm)()
     if entries is not None:
         # serial route: header folds driver-side over the (budget-
-        # bounded) listing, exactly the collect form's header
-        ordered = sorted(e.relative_path for e in entries)
-        h.update(str(len(ordered)).encode("ascii"))
-        h.update(b"\x00")
-        for i, rel in enumerate(ordered):
-            if i:
-                h.update(b"\x00")
-            h.update(rel.encode("utf-8"))
-        h.update(b"\x00")
+        # bounded) listing via codec.fold_header — the SAME definition
+        # the collect form uses, never an inline copy
+        reject_undecodable_paths(entries)
+        fold_header(h, [e.relative_path for e in entries])
         has_bytes = any((not e.is_dir) and e.size > 0 for e in entries)
         digests = (
             digest_directory(spark, entries, blocksize, hash_algorithm)

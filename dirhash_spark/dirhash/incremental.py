@@ -51,20 +51,51 @@ from .hashdir import (
     fold_digests_streamed,
     fold_header_streamed,
 )
-from .listing import Entry, list_entries, listing_for_fold, strip_trailing_slash
+from .listing import (
+    Entry,
+    list_entries,
+    listing_for_fold,
+    reject_undecodable_paths,
+    strip_trailing_slash,
+)
 
 
-def _entry_mtime_ns(entry: Entry, spark: SparkSession | None = None) -> int:
-    """Modification time in ns for change detection.  Local paths stat
-    directly; Hadoop-visible schemes go through the FileSystem gateway
-    (millisecond granularity there — still monotone per rewrite)."""
-    if "://" not in entry.full_path:
-        return os.stat(entry.full_path).st_mtime_ns
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(entry.full_path)
-    fs = jpath.getFileSystem(conf)
-    return int(fs.getFileStatus(jpath).getModificationTime()) * 1_000_000
+def _mtimes_for(files: list[Entry], spark: SparkSession | None = None) -> dict[str, int]:
+    """ONE pre-hash mtime snapshot (relative_path → mtime_ns) for the
+    driver route's change detection.  Two contracts live here:
+
+    - Taken BEFORE any content is read, and callers must reuse it for
+      the refreshed manifest: re-statting after hashing paired a file
+      rewritten mid-run with its pre-rewrite digest but post-rewrite
+      mtime — every later incremental run then spliced the stale digest
+      with no error.  Pairing the PRE-hash mtime instead means a
+      mid-run rewrite reads as changed next time (conservative).
+    - Local paths stat directly (cheap syscalls); scheme paths batch
+      ONE listStatus RPC per parent directory instead of one
+      getFileStatus per file — the driver-serial O(files) round-trips
+      were paid on exactly the latency-bound trees incremental targets
+      (millisecond granularity there — still monotone per rewrite).
+    """
+    out: dict[str, int] = {}
+    by_parent: dict[str, list[Entry]] = {}
+    for e in files:
+        if "://" not in e.full_path:
+            out[e.relative_path] = os.stat(e.full_path).st_mtime_ns
+        else:
+            by_parent.setdefault(e.full_path.rsplit("/", 1)[0], []).append(e)
+    if by_parent:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for parent, group in by_parent.items():
+            jpath = jvm.org.apache.hadoop.fs.Path(parent)
+            fs = jpath.getFileSystem(conf)
+            mt = {
+                st.getPath().toString(): int(st.getModificationTime()) * 1_000_000
+                for st in fs.listStatus(jpath)
+            }
+            for e in group:
+                out[e.relative_path] = mt[e.full_path]
+    return out
 
 
 def build_chunk_manifest(
@@ -119,9 +150,9 @@ def build_chunk_manifest(
         entries = [e for e in dir_entries if not e.is_dir]
     else:
         entries = [e for e in list_entries(directory, spark) if not e.is_dir]
-    stats = {
-        e.relative_path: (e.size, _entry_mtime_ns(e, spark)) for e in entries
-    }
+    reject_undecodable_paths(entries)
+    mtimes = _mtimes_for(entries, spark)
+    stats = {e.relative_path: (e.size, mtimes[e.relative_path]) for e in entries}
     stat_df = spark.createDataFrame(
         [(p, s, m) for p, (s, m) in stats.items()],
         "path STRING, size BIGINT, mtime_ns BIGINT",
@@ -220,6 +251,7 @@ def hash_directory_incremental(
         all_entries = entries  # budget passed: driver-sized tree
     else:
         all_entries = list_entries(directory, spark)
+    reject_undecodable_paths(all_entries)
     files = [e for e in all_entries if not e.is_dir]
     listing = [e.relative_path for e in all_entries]
 
@@ -229,10 +261,13 @@ def hash_directory_incremental(
         # content) — same order as the driver-side listing it diffs against.
         for r in manifest.select("path", "size", "mtime_ns").distinct().collect()
     }
+    # snapshot mtimes ONCE, pre-hash — the refreshed manifest below
+    # must pair digests with these (see _mtimes_for's TOCTOU contract)
+    mtimes = _mtimes_for(files, spark)
     unchanged_paths = []
     changed = []
     for e in files:
-        if (e.relative_path, e.size, _entry_mtime_ns(e, spark)) in manifest_keys:
+        if (e.relative_path, e.size, mtimes[e.relative_path]) in manifest_keys:
             unchanged_paths.append(e.relative_path)
         else:
             changed.append(e)
@@ -263,7 +298,7 @@ def hash_directory_incremental(
     hash_string = build_hash_string(hash_algorithm, blocksize, hex_digest)
     if not with_manifest:
         return hash_string, stats
-    file_stats = {e.relative_path: (e.size, _entry_mtime_ns(e, spark)) for e in files}
+    file_stats = {e.relative_path: (e.size, mtimes[e.relative_path]) for e in files}
     rows = [
         (r["path"], *file_stats[r["path"]], r["block_num"], bytes(r["digest"]))
         for r in digest_rows

@@ -98,8 +98,21 @@ SERIAL_WALK_BUDGET_S = 2.0
 
 def strip_trailing_slash(path: str) -> str:
     """The reference strips one trailing '/' from the input dir
-    (dirhash.py:323; regression test dirhash_test.py:275-279)."""
-    return path[:-1] if path.endswith("/") and len(path) > 1 else path
+    (dirhash.py:323; regression test dirhash_test.py:275-279).
+
+    A URI's ROOT slash is not a trailing slash: stripping 'file:///'
+    to 'file://' (or 'hdfs://nn/' to the authority-only 'hdfs://nn')
+    would turn the documented filesystem-root spelling into exactly
+    the truncated URI local_root rejects — the error message would
+    recommend the input the caller already provided."""
+    if not (path.endswith("/") and len(path) > 1):
+        return path
+    head = path[:-1]
+    if head.endswith("//"):
+        return path  # 'file:///' — the slash IS the path component
+    if "://" in head and "/" not in head.split("://", 1)[1]:
+        return path  # 'hdfs://nn/' — root of an authority
+    return head
 
 
 def list_entries(
@@ -133,6 +146,29 @@ def list_entries(
     if entries is None:  # budget tripped → latency/size-bound tree
         entries = parallel_list_entries(spark, local)
     return entries
+
+
+def reject_undecodable_paths(entries: list[Entry]) -> None:
+    """Fail CLEARLY on filenames that are not valid UTF-8.
+
+    ``os.walk`` surrogateescapes undecodable bytes (Linux filenames are
+    bytes), and such a path later explodes deep inside the pipeline —
+    ``UnicodeEncodeError: surrogates not allowed`` from a worker's
+    ``path.encode('utf-8')``, the fold's NUL-join, or py4j string
+    transport — an opaque traceback long after the listing.  The v1
+    format frames paths AS UTF-8 (the reference shares the constraint),
+    so these names are unsupported by the format, not by this engine;
+    say so up front, naming the path."""
+    for e in entries:
+        try:
+            e.relative_path.encode("utf-8")
+        except UnicodeEncodeError:
+            raise ValueError(
+                f"filename is not valid UTF-8: {e.relative_path!r} — the "
+                "v1 hash format frames paths as UTF-8 (reference "
+                "dirhash.py:418-441), so this tree cannot be hashed; "
+                "rename the file or exclude it"
+            ) from None
 
 
 def _list_local(root: str, budget_s: float | None = None) -> list[Entry] | None:
@@ -177,17 +213,21 @@ def _list_hadoop(spark, root: str) -> list[Entry]:
     root_uri = fs.makeQualified(jpath).toString().rstrip("/")
     entries: list[Entry] = []
 
-    def walk(p):
+    # explicit stack, not recursion: both local walks are iterative
+    # (os.walk; the frontier walk), and an object-store tree nested
+    # past ~1000 synthetic prefixes must not die with RecursionError
+    # on the one route scheme paths are forced onto
+    stack = [fs.makeQualified(jpath)]
+    while stack:
+        p = stack.pop()
         for status in fs.listStatus(p):
             full = status.getPath().toString()
             rel = full[len(root_uri) + 1 :]
             if status.isDirectory():
                 entries.append(Entry(rel + "/", True, 0, full))
-                walk(status.getPath())
+                stack.append(status.getPath())
             else:
                 entries.append(Entry(rel, False, status.getLen(), full))
-
-    walk(fs.makeQualified(jpath))
     return entries
 
 

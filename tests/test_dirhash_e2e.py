@@ -748,3 +748,117 @@ def test_file_uri_authority_and_scheme_case(spark, tmp_path):
     (weird / "f").write_bytes(b"1")
     assert local_root(str(weird)) == str(weird)
     assert {e.relative_path for e in list_entries(str(weird))} == {"f"}
+
+
+def test_manifest_records_prehash_mtime_not_post(spark, tmp_path, monkeypatch):
+    """A file rewritten MID-RUN (after the diff snapshot, during the
+    read+hash stage) must read as changed on the NEXT incremental run:
+    the refreshed manifest pairs each digest with the PRE-hash mtime.
+    The old code re-statted after hashing, pairing the post-rewrite
+    mtime with the pre-rewrite digest — every later run then spliced
+    the stale digest silently, forever."""
+    import time
+
+    import dirhash_spark.dirhash.incremental as inc
+    from dirhash_spark.dirhash.hashdir import hash_directory
+    from dirhash_spark.dirhash.incremental import (
+        build_chunk_manifest,
+        hash_directory_incremental,
+    )
+
+    root = tmp_path / "tree"
+    root.mkdir()
+    (root / "victim.bin").write_bytes(b"A" * 2048)
+    (root / "other.bin").write_bytes(b"B" * 2048)
+    man = build_chunk_manifest(spark, str(root), "sha256", "1k").localCheckpoint()
+
+    real = inc.digest_directory
+
+    def rewrite_mid_run(spark_, entries, bs, algo):
+        # same-size rewrite AFTER the diff snapshot, BEFORE/DURING the
+        # hash stage — victim was classified unchanged, so its stale
+        # manifest digest is spliced (correct pre-rewrite semantics);
+        # what matters is what the refreshed manifest then records
+        time.sleep(0.01)
+        (root / "victim.bin").write_bytes(b"Z" * 2048)
+        return real(spark_, entries, bs, algo)
+
+    monkeypatch.setattr(inc, "digest_directory", rewrite_mid_run)
+    # touch other.bin so the hash stage actually runs (victim stays
+    # "unchanged" in the diff)
+    time.sleep(0.01)
+    with open(root / "other.bin", "ab") as f:
+        f.write(b"tail")
+    _, st, man2 = hash_directory_incremental(
+        spark, str(root), man, "sha256", "1k", with_manifest=True
+    )
+    assert st["n_reused_files"] == 1  # victim spliced this run
+    monkeypatch.setattr(inc, "digest_directory", real)
+
+    # next run: victim's on-disk mtime postdates the manifest's
+    # pre-hash snapshot -> rehashed, and the hash equals a full run
+    man2 = man2.localCheckpoint()
+    h3, st3 = hash_directory_incremental(spark, str(root), man2, "sha256", "1k")
+    assert st3["n_rehashed_files"] >= 1
+    assert h3 == hash_directory(spark, str(root), "sha256", "1k")
+
+
+def test_archive_chmod_skips_symlinks(tmp_path):
+    """Archiving a tree with symlinks must not chmod targets OUTSIDE
+    the tree (the listing layer supports symlinked files, so such
+    trees are in-contract) and must survive a broken link — parity
+    with the reference's `chmod -R a-w`, which skips symlinks."""
+    import os
+    import stat as stat_mod
+
+    from dirhash_spark.dirhash.archive import move_folder_to_hashed_archive
+
+    outside = tmp_path / "outside.txt"
+    outside.write_text("keep me writable")
+    src = tmp_path / "tree"
+    src.mkdir()
+    (src / "f.txt").write_text("data")
+    os.symlink(str(outside), str(src / "link_out"))
+    os.symlink(str(tmp_path / "nonexistent"), str(src / "link_broken"))
+
+    target = move_folder_to_hashed_archive(
+        str(src), "v1-sha256-4k-deadbeef", str(tmp_path / "archive")
+    )
+    # outside target untouched, archived regular file read-only
+    assert os.stat(outside).st_mode & stat_mod.S_IWUSR
+    assert not (os.stat(os.path.join(target, "f.txt")).st_mode & stat_mod.S_IWUSR)
+
+
+def test_strip_trailing_slash_preserves_uri_roots():
+    """'file:///' (the documented filesystem-root spelling) and
+    'hdfs://nn/' (an authority root) must survive strip_trailing_slash
+    — stripping produced exactly the truncated URIs local_root
+    rejects, making the documented spelling unreachable."""
+    from dirhash_spark.dirhash.listing import local_root, strip_trailing_slash
+
+    assert strip_trailing_slash("file:///") == "file:///"
+    assert local_root(strip_trailing_slash("file:///")) == "/"
+    assert strip_trailing_slash("hdfs://nn/") == "hdfs://nn/"
+    assert strip_trailing_slash("file:///tmp/") == "file:///tmp"
+    assert strip_trailing_slash("/tmp/") == "/tmp"
+    assert strip_trailing_slash("/") == "/"
+
+
+def test_undecodable_filename_raises_clearly(spark, tmp_path):
+    """A non-UTF-8 filename (surrogateescaped by os.walk) must fail
+    with a named ValueError at listing time, not a UnicodeEncodeError
+    from deep inside a worker or the fold."""
+    import os
+
+    import pytest
+
+    from dirhash_spark.dirhash.hashdir import hash_directory
+
+    root = tmp_path / "tree"
+    root.mkdir()
+    (root / "ok.txt").write_bytes(b"fine")
+    fd = os.open(os.path.join(bytes(root), b"\xff\xfebad"), os.O_CREAT | os.O_WRONLY)
+    os.close(fd)
+
+    with pytest.raises(ValueError, match="not valid UTF-8"):
+        hash_directory(spark, str(root), "sha256", "1k")
