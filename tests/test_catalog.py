@@ -84,13 +84,13 @@ def test_maintenance_compact_reduces_file_count(spark):
     files — the row-content check alone can't see layout."""
     import glob
     import os
-    import tempfile
 
+    from dirhash_spark.catalog import sink_dir
     from dirhash_spark.registry import all_queries
 
-    all_queries()["maintenance_compact"].fn(spark, "/root/testdata/sf0.01").count()
-    base = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink")
-    frag = glob.glob(os.path.join(base, "orders_fragmented", "*.parquet"))
-    compact = glob.glob(os.path.join(base, "orders_compacted", "*.parquet"))
+    sf_dir = "/root/testdata/sf0.01"
+    all_queries()["maintenance_compact"].fn(spark, sf_dir).count()
+    frag = glob.glob(os.path.join(sink_dir("orders_fragmented", sf_dir), "*.parquet"))
+    compact = glob.glob(os.path.join(sink_dir("orders_compacted", sf_dir), "*.parquet"))
     assert len(frag) == 64, len(frag)
     assert len(compact) == 4, len(compact)
