@@ -148,15 +148,15 @@ def test_cdc_merge_stream_equals_batch_merge(spark, sf_dir):
     the one-shot batch MERGE's table, and must really have run
     incrementally (one snapshot version per micro-batch)."""
     import os
-    import tempfile
 
+    from dirhash_spark.catalog import sink_dir
     from dirhash_spark.registry import all_queries
 
     qs = all_queries()
     streamed = {tuple(r) for r in qs["stream_cdc_merge_upsert"].fn(spark, sf_dir).collect()}
     batch = {tuple(r) for r in qs["merge_upsert"].fn(spark, sf_dir).collect()}
     assert streamed == batch
-    root = os.path.join(tempfile.gettempdir(), "dirhash_spark_sink", "cdc_merge")
+    root = sink_dir("cdc_merge", sf_dir)
     versions = sorted(d for d in os.listdir(root) if d.startswith("v"))
     assert versions == ["v0", "v1", "v2", "v3", "v4"], versions
 
