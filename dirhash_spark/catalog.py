@@ -124,6 +124,79 @@ def parquet_rowcount(sf_dir: str, name: str) -> int | None:
     return None
 
 
+#: (sf_dir, table) -> row-group count (or None); metadata-only, so one
+#: footer walk per corpus/table serves every spread decision.
+_SPLITS_CACHE: dict[tuple[str, str], int | None] = {}
+
+
+def parquet_split_count(sf_dir: str, name: str) -> int | None:
+    """Total parquet ROW GROUPS across the table's visible files — the
+    number of scan tasks the layout can actually feed, since parquet
+    cannot split below a row group (a byte-range task whose range holds
+    no row-group start reads nothing).  Same local-footer / hidden-file
+    rules as :func:`parquet_rowcount`; ``None`` for non-local layouts
+    (callers must then assume the layout is splittable — at scale it
+    is, and guessing "unsplittable" would insert a corpus-wide
+    shuffle)."""
+    key = (sf_dir, name)
+    if key in _SPLITS_CACHE:
+        return _SPLITS_CACHE[key]
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    out: int | None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            out = pq.ParquetFile(path).metadata.num_row_groups
+        elif os.path.isdir(path):
+            total, n_files = 0, 0
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_row_groups
+                        n_files += 1
+            out = total if n_files else None
+        else:
+            out = None
+    except Exception:
+        out = None
+    _SPLITS_CACHE[key] = out
+    return out
+
+
+def spread_for_compute(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin repartition ``df`` to the session's core count — but
+    ONLY when table ``name``'s physical layout cannot feed enough scan
+    tasks (guide §2.5's "one huge unsplittable file → repartition
+    immediately after the read").  Operators call this in front of
+    their heavy per-row stages (fingerprint votes, Arrow/numpy gram
+    construction) instead of an unconditional ``repartition(cores)``:
+
+    - On an under-split layout (the fixture corpora are ONE file with
+      ONE row group — every scan stage is a single task no matter how
+      many cores the session has) the repartition spreads the heavy
+      compute across the cluster for the price of shuffling the
+      not-yet-expanded input rows once.
+    - On a production layout (splits >> cores) it is an IDENTITY: the
+      scan itself already parallelizes, and the old unconditional form
+      would have paid a full corpus-wide shuffle of raw text for
+      nothing.
+
+    The decision reads local parquet footers only (cached, no Spark
+    job); unknown/non-local layouts are assumed splittable."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    splits = parquet_split_count(sf_dir, name)
+    if splits is not None and splits < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Row count of catalog table ``name``: parquet footers when local
     (:func:`parquet_rowcount`), the distributed ``count()`` otherwise.

@@ -391,16 +391,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative algorithms are the one place Spark needs a driver-side
     loop — but only over the *rank* state, never the data: the heavy
     part (edge extraction: orders⋈customer⋈lineitem⋈supplier, grouped
-    to weighted nation-pair edges) runs exactly once before the loop,
-    and each iteration is joins/aggregates over the node-sized rank
-    table (dim-scale: broadcast-sized at any corpus size — graph
-    contraction happens *before* iteration, the standard large-graph
-    recipe).  The contracted edge table and the per-iteration rank
-    table are ``localCheckpoint``ed: un-truncated, three iterations of
-    lineage compounded into a 145-scan / 144-join analyzed plan whose
-    planning alone dominated the query (r8 plan audit; checkpointing
-    measured bit-identical and −34% at sf0.1, and unlike ``cache()``
-    leaves no CacheManager entry behind after the query returns).
+    to weighted nation-pair edges) runs exactly once as a distributed
+    aggregate, and the fixed-point iteration then runs entirely on the
+    driver over the COLLECTED contracted graph — bounded by
+    construction at nation×nation ≤ 625 weighted edges and ≤ 25 rank
+    cells regardless of corpus size (graph contraction happens
+    *before* iteration, the standard large-graph recipe).  History:
+    r8 found un-truncated dataflow iteration compounding into a
+    145-scan/144-join plan and fixed it with per-iteration
+    ``localCheckpoint``s; r14 measured even the checkpointed loop at
+    49 Spark jobs + ~2.8 s of driver stall per run for ≤25 rows of
+    state, and moved the iteration driver-side outright (the same
+    bounded-collect discipline as the BPE trainer's 1-row/step loop).
     Ranks are BIGINTs at scale 1e12 with integer-division
     damping (r' = div(15·S, 100·N) + div(85·(Σ div(r·w, outw) +
     div(dangling, N)), 100)), so all three engine-side iterations are
@@ -417,53 +419,47 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
+        .collect()  # bounded: nation×nation ≤ 625 weighted edges at ANY corpus size
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    edgesn = edges.join(F.broadcast(outw), "src")
-    nn = cat.nation.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = (
-        cat.nation.select(F.col("n_nationkey").alias("node"))
-        .crossJoin(F.broadcast(nn))
-        .select("node", "n_nodes", F.expr(f"div({PR_SCALE}, n_nodes)").alias("r"))
-        .localCheckpoint()
-    )
+    nations = sorted(
+        (r["n_nationkey"], r["n_name"])
+        for r in cat.nation.select("n_nationkey", "n_name").collect()
+    )  # bounded: the nation dimension
+    n = len(nations)
+    if n == 0:
+        return spark.createDataFrame([], "node int, n_name string, rank_fp bigint")
+    # r14 optimization: the previous form ran the 3 rank iterations as
+    # dataflow (per iteration: two broadcast builds, a dangling-mass
+    # anti-join aggregate, and a localCheckpoint) — 49 Spark jobs and
+    # ~2.8 s of inter-job driver stall per run at sf0.1 (joblog), all
+    # spent iterating a ≤25-row state.  The contracted graph is
+    # dim-bounded BY CONSTRUCTION (nation×nation — independent of
+    # corpus size), so the standard large-graph recipe applies in
+    # full: the data-sized work (the 4-table edge contraction) stays a
+    # distributed aggregate, and the fixed-point iteration runs on the
+    # driver over the collected edge list in exact Python integers —
+    # the same bounded-collect discipline as the BPE trainer's
+    # 1-row/step loop.  Arithmetic is bit-identical to the old
+    # dataflow and to the unrolled-CTE oracle: Python `//` on
+    # non-negative BIGINTs == Spark `div` == DuckDB `//`.
+    outw: dict[int, int] = {}
+    for e in edges:
+        outw[e["src"]] = outw.get(e["src"], 0) + e["w"]
+    rank = {node: PR_SCALE // n for node, _ in nations}
+    base = (15 * PR_SCALE) // (100 * n)
     for _ in range(3):
-        # Rank state is node-cardinality (dim-sized by construction:
-        # the graph was contracted before the loop), so every join in
-        # the iteration broadcasts it — no shuffle grows with the data.
-        contrib = edgesn.join(
-            F.broadcast(ranks.select(F.col("node").alias("src"), "r")), "src"
-        ).select("dst", F.expr("div(r * w, outw)").alias("contrib"))
-        insum = contrib.groupBy("dst").agg(F.sum("contrib").alias("insum"))
-        dang = (
-            ranks.join(
-                F.broadcast(outw.select(F.col("src").alias("node"))),
-                "node",
-                "left_anti",
-            )
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dang"))
-        )
-        ranks = (
-            ranks.select("node", "n_nodes")
-            .join(F.broadcast(insum), F.col("node") == insum.dst, "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "n_nodes",
-                F.expr(
-                    f"div({15 * PR_SCALE}, 100 * n_nodes)"
-                    " + div(85 * (coalesce(insum, 0) + div(dang, n_nodes)), 100)"
-                ).alias("r"),
-            )
-            .localCheckpoint()
-        )
-    return (
-        cat.nation.select(F.col("n_nationkey").alias("node"), "n_name")
-        .join(F.broadcast(ranks.select("node", "r")), "node")
-        .select("node", "n_name", F.col("r").cast("bigint").alias("rank_fp"))
-        .orderBy("node")
-    )
+        insum: dict[int, int] = {}
+        for e in edges:
+            insum[e["dst"]] = insum.get(e["dst"], 0) + (rank[e["src"]] * e["w"]) // outw[e["src"]]
+        dang = sum(r for node, r in rank.items() if node not in outw)
+        rank = {
+            node: base + (85 * (insum.get(node, 0) + dang // n)) // 100
+            for node, _ in nations
+        }
+    return spark.createDataFrame(
+        [(node, name, rank[node]) for node, name in nations],
+        "node int, n_name string, rank_fp bigint",
+    ).orderBy("node")
 
 
 @query(

@@ -45,7 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..catalog import Catalog
+from ..catalog import Catalog, spread_for_compute
 from ..registry import REGISTRY, query
 from .text import gram_start_indices
 
@@ -271,11 +271,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     # One small parquet file would mean one Python worker doing all the
-    # shingling; spread the CPU-bound sketch across the cluster first.
-    n_parts = spark.sparkContext.defaultParallelism
+    # shingling; spread the CPU-bound sketch across the cluster first
+    # (conditional: an identity on layouts whose scan already splits).
     sig = (
-        cat.documents.select("doc_id", "text")
-        .repartition(n_parts)
+        spread_for_compute(
+            cat.documents.select("doc_id", "text"), cat.sf_dir, "documents"
+        )
         .mapInPandas(_minhash_bands, _SIG_SCHEMA)
     )
     # Candidate pairs via bucket-collect, NOT a self-join: a self-join
@@ -344,7 +345,13 @@ def _simhash_fingerprints(cat: Catalog) -> DataFrame:
     the unrolled JVM form; the win here is pass fusion, not Python."""
     tokens = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    base = cat.documents.select("doc_id", hashes.alias("hashes"))
+    # The vote below is the heavy per-row stage (tokens × 64 bit ops);
+    # on an unsplittable layout it would otherwise run inside a
+    # single-task scan stage (r14 joblog: 1.19 s of a 2.3 s query in
+    # one task at sf0.1) — spread is conditional on the layout.
+    base = spread_for_compute(
+        cat.documents.select("doc_id", "text"), cat.sf_dir, "documents"
+    ).select("doc_id", hashes.alias("hashes"))
     counts = F.expr(
         """
         aggregate(
@@ -2072,11 +2079,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expands its ordered pairs IN-ROW (the dedup_minhash bucket
     # trick), so pair counts need no join at all; |Sa| rides along in
     # the posting struct, killing the size join-back too.
-    g = (
-        cat.documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(_word5_gram_batches, _GRAM_SCHEMA)
-    )
+    g = spread_for_compute(
+        cat.documents.select("doc_id", F.split(F.col("text"), " ").alias("ws")),
+        cat.sf_dir,
+        "documents",
+    ).mapInPandas(_word5_gram_batches, _GRAM_SCHEMA)
     e = g.select("doc_id", "sz", F.explode("grams").alias("gram"))
     postings = (
         e.groupBy("gram")
@@ -2273,16 +2280,19 @@ def _neardup_verified_pairs(
     queries checkpoint this result before the CC loop, which hides the
     upstream plan behind an RDD scan)."""
     cat = Catalog(spark, sf_dir)
-    n_parts = spark.sparkContext.defaultParallelism
     # Normalization stays JVM-side (_NORM_SPARK, in lockstep with the
     # oracle's _NORM_SQL); the gram construction is the Arrow-batched
     # numpy stage shared with dedup_containment — the interpreted
     # Catalyst gram expression was the dominant per-row cost (r6
     # audit; the swap measured 2.5x on the containment query).  The
     # repartition spreads the Python stage across workers.
-    base = cat.documents.select(
-        "doc_id", F.split(_NORM_SPARK(F.col("text")), " ").alias("ws")
-    ).repartition(n_parts)
+    base = spread_for_compute(
+        cat.documents.select(
+            "doc_id", F.split(_NORM_SPARK(F.col("text")), " ").alias("ws")
+        ),
+        cat.sf_dir,
+        "documents",
+    )
     # Materialize the gram table ONCE: three consumers read it (the
     # posting explode and both verify sides) and the gram construction
     # is the dominant per-row cost — left lazy it runs 3×, measured
@@ -2585,16 +2595,19 @@ def dedup_verbatim_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs.
     """.format(w=_VERBATIM_W)
     cat = Catalog(spark, sf_dir)
-    n_parts = spark.sparkContext.defaultParallelism
     # token array pinned behind the exchange: the window lambda
     # references it per element and the NORM regex chain must run once
     # per row, not once per window slot (measured on the e2e pipeline)
-    base = cat.documents.select(
-        "doc_id",
-        F.filter(F.split(_NORM_SPARK(F.col("text")), " "), lambda x: x != "").alias(
-            "ws"
+    base = spread_for_compute(
+        cat.documents.select(
+            "doc_id",
+            F.filter(
+                F.split(_NORM_SPARK(F.col("text")), " "), lambda x: x != ""
+            ).alias("ws"),
         ),
-    ).repartition(n_parts)
+        cat.sf_dir,
+        "documents",
+    )
     win_t = "ARRAY<STRUCT<pos: INT, win: STRING>>"
     wins = F.when(
         F.size("ws") >= _VERBATIM_W,

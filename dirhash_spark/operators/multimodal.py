@@ -104,12 +104,19 @@ def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def binary_table(cat: Catalog) -> DataFrame:
     """documents → (doc_id, payload BINARY): the opaque-blob table shape
     (payload = UTF-8 bytes of the text, standing in for media bytes).
-    Repartitioned so the downstream decode stages parallelize even when
-    the source is a single small file."""
-    n_parts = cat.spark.sparkContext.defaultParallelism
-    return cat.documents.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    ).repartition(n_parts)
+    Spread so the downstream decode stages parallelize when the source
+    layout cannot split (conditional — an identity on layouts whose
+    scan already feeds enough tasks, where the old unconditional
+    repartition shuffled every payload byte for nothing)."""
+    from ..catalog import spread_for_compute
+
+    return spread_for_compute(
+        cat.documents.select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        cat.sf_dir,
+        "documents",
+    )
 
 
 # The stubbed decode is sha256-derived and the fixture text is pure

@@ -167,8 +167,18 @@ _IVF_K_MIN = 4
 #: Beyond _IVF_CODEGEN_MAX_K the literal-expression argmin would bloat
 #: codegen, so assignment switches to the Arrow-batched numpy route
 #: (same ordering semantics; forced-route parity pinned in tests).
+#: The threshold is a PLANNING-cost guard, not an execution one: the
+#: literal argmin costs the DRIVER O(K·dim) Catalyst nodes per query
+#: construction — measured r14 (joblog, sf0.1, K=16): 3.2 s of
+#: inter-job driver stall per steady-state run, vs ~0.05 s for the
+#: Arrow route's one-node plan (sim_ann_ivf_distfit 4.1 s → 1.0 s
+#: total, identical rows — route parity is bit-exact by construction
+#: and pinned in tests/test_llm_ops.py).  8 keeps tiny-K corpora
+#: (≤ ~1k vectors, e.g. the sf0.01 sweep's K=4) on the pure-JVM form
+#: that needs no Python workers, while anything bench/production-sized
+#: takes the map-only Arrow route it would use at scale anyway.
 _IVF_K_MAX = 4096
-_IVF_CODEGEN_MAX_K = 32
+_IVF_CODEGEN_MAX_K = 8
 _IVF_ITERS = 8
 _IVF_NPROBE = 6  # probed lists at K=16; scales with K via _nprobe_for
 _IVF_SAMPLE = 2048

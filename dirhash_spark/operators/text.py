@@ -1018,10 +1018,14 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism (the explode-amplification lever, DESIGN.md) and to
     # pin the normalized text physical so the per-element hash lambda
     # reads a column, not the regex chain.
-    base = (
-        cat.documents.select("doc_id", t.alias("t"))
-        .where(F.length("t") >= _WINNOW_K)
-        .repartition(spark.sparkContext.defaultParallelism)
+    from ..catalog import spread_for_compute
+
+    base = spread_for_compute(
+        cat.documents.select("doc_id", t.alias("t")).where(
+            F.length("t") >= _WINNOW_K
+        ),
+        cat.sf_dir,
+        "documents",
     )
     kgram_hash = lambda i: F.aggregate(  # noqa: E731
         F.transform(

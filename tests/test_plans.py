@@ -609,14 +609,15 @@ def test_rolling_distinct_no_range_join(spark):
 
 
 def test_pagerank_iterates_over_contracted_graph(spark):
-    """The 4-table edge-extraction join happens once (its aggregation
-    to nation-pair edges is checkpointed before the loop); each of the
-    3 rank iterations reads the materialized edge blocks rather than
-    re-running the fact join, so the heavy fact tables never appear in
-    the final plan at all — let alone in a SortMergeJoin."""
+    """The 4-table edge-extraction join happens once (a distributed
+    aggregate collected as the dim-bounded contracted graph); the rank
+    iteration runs driver-side over that ≤ nation×nation edge list
+    (r14), so the heavy fact tables never appear in the returned plan
+    at all — it is a literal local relation of the final ranks."""
     p = plan(spark, "graph_pagerank", "simple")
-    assert "Scan ExistingRDD" in p
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p, p
     assert "SortMergeJoin" not in p
+    assert "FileScan parquet" not in p, p
 
 
 def test_rarity_score_vocabulary_join_colocates(spark):
@@ -1062,15 +1063,15 @@ def test_cohort_retention_single_scan_no_join(spark):
 
 
 def test_pagerank_iteration_lineage_truncated(spark):
-    """graph_pagerank: the contracted edge table and each iteration's
-    node-sized rank table are localCheckpoint'ed, so the final plan
-    joins nation (the ONE allowed corpus-side scan, for labels) against
-    checkpointed RDD state — un-truncated, three iterations compounded
-    into a 145-scan/144-join analyzed plan whose planning dominated the
-    query (r8 audit; bit-identical, −34% at sf0.1)."""
+    """graph_pagerank: no iteration lineage survives into the returned
+    plan at all — the contracted graph is collected (dim-bounded) and
+    iterated driver-side (r14; the r8 localCheckpoint form still
+    compounded 49 jobs + ~2.8 s of driver stall per run for ≤25 rows
+    of state), so the result is a literal local relation with zero
+    corpus scans and zero joins."""
     p = plan(spark, "graph_pagerank", "simple")
-    assert p.count("FileScan parquet") == 1, p
-    assert "Scan ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    assert "Join" not in p, p
 
 
 def test_triangle_count_single_checkpointed_edge_list(spark):
