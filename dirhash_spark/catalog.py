@@ -38,6 +38,21 @@ TABLE_NAMES = [
 #: TIMESTAMP(MICROS)/NTZ and need no conversion.)
 _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
+#: (applicationId, sf_dir, name) -> the loaded lazy PLAN.  A DataFrame
+#: is an immutable logical plan, so handing every caller the same
+#: object changes nothing about what executes — each action still
+#: computes from the parquet files — but it skips the repeated
+#: footer/schema read and reader construction a fresh
+#: ``spark.read.parquet`` pays (~0.1 s per call measured at r14: a
+#: query touching 4 catalog tables spent ~0.4 s of its bench wall
+#: re-deriving byte-identical plans).  The relation's file listing is
+#: pinned at first load per session — correct for the immutable input
+#: corpora (and the snapshot semantics table formats provide at
+#: scale); paths whose CONTENTS change between reads (the scratch
+#: sinks) go through ``spark.read`` directly, never this cache.
+#: Keyed by applicationId so a plan can never outlive its session.
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing timestamp physical quirks.
@@ -63,7 +78,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
        session.py).  The cast stays as graceful degradation for hosts
        that lock the conf.
     """
-    configure(spark)
+    configure(spark)  # outside the cache: idempotent, ~3 ms, and some
+    # callers rely on the conf side effect even on a plan-cache hit
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for col in _NANO_TS_COLS.get(name, []):
@@ -73,6 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    _TABLE_PLAN_CACHE[key] = df
     return df
 
 

@@ -442,31 +442,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (= band_val, including the sign bit) are constant, so a plain
     # signed sort on rfp IS the Manku probe-table order over the
     # remaining 48 bits, and equal-fp runs stay adjacent (rotation is
-    # a bijection).  The shift amounts are per-band Python literals,
-    # which is why rfp is computed here and not inside the bucket's
-    # array_sort comparator (shift amounts can't be columns in the
-    # DSL).
-    def _rotl(c, s: int):
+    # a bijection).  The shift amounts are per-band Python literals
+    # formatted into the SQL, which is why rfp is computed here and
+    # not inside the bucket's array_sort comparator.
+    #
+    # The whole expansion below is built as FORMATTED SQL STRINGS
+    # (selectExpr / F.expr) rather than the Column-DSL equivalent: the
+    # r14 driver profile measured ~3000 Py4J round trips (≈1.2 s per
+    # bench run) constructing this query, dominated by the Python-
+    # lambda higher-order functions — each lambda is a dozen gateway
+    # calls, while a SQL string is parsed JVM-side in one.  The
+    # expressions are term-for-term the same; results are pinned
+    # identical by the recall/star-cap/window tests and the rows-only
+    # gate.
+    def _rotl_sql(s: int) -> str:
         if s == 0:
-            return c
-        return F.shiftleft(c, s).bitwiseOR(F.shiftrightunsigned(c, 64 - s))
+            return "fp"
+        return f"shiftleft(fp, {s}) | shiftrightunsigned(fp, {64 - s})"
 
-    bands = fps.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_id"),
-                    F.shiftright(F.col("fp"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
-                    F.struct(
-                        F.col("doc_id"),
-                        F.col("fp"),
-                        _rotl(F.col("fp"), 48 - 16 * i).alias("rfp"),
-                    ).alias("doc"),
-                )
-                for i in range(4)
-            ])
-        ).alias("band"),
-    ).select("band.band_id", "band.band_val", "band.doc")
+    band_structs = ", ".join(
+        f"struct({i} AS band_id, "
+        f"shiftright(fp, {16 * i}) & 65535 AS band_val, "
+        f"struct(doc_id, fp, {_rotl_sql(48 - 16 * i)} AS rfp) AS doc)"
+        for i in range(4)
+    )
+    bands = fps.selectExpr(f"explode(array({band_structs})) AS band").selectExpr(
+        "band.band_id", "band.band_val", "band.doc"
+    )
     buckets = (
         bands.groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
@@ -483,8 +485,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold and the min-band test both run map-side, and the
     # distinct exchange disappears from the plan entirely (the only
     # shuffle left is the bucket groupBy).
-    x = F.col("p.x")
-    quarter = lambda i: F.shiftright(x, 16 * i).bitwiseAND(F.lit(0xFFFF))
+    quarter = lambda i: f"(shiftright(p.x, {16 * i}) & 65535)"
     # Hot-bucket guard, keyed on DUPLICATE-NESS rather than raw bucket
     # size (the r12 form starred every member against the bucket min,
     # which broke connectivity for non-duplicate hot buckets: band_val
@@ -516,19 +517,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first-shared-band note): exact row-level parity holds below the
     # cap, component-level parity up to the derived budget, windowed
     # recall beyond.
-    _opair = lambda a, b: F.struct(
-        F.least(a["doc_id"], b["doc_id"]).alias("doc_a"),
-        F.greatest(a["doc_id"], b["doc_id"]).alias("doc_b"),
-        a["fp"].bitwiseXOR(b["fp"]).alias("x"),
+    _opair = lambda a, b: (
+        f"struct(least({a}.doc_id, {b}.doc_id) AS doc_a, "
+        f"greatest({a}.doc_id, {b}.doc_id) AS doc_b, "
+        f"{a}.fp ^ {b}.fp AS x)"
     )
-    _all_pairs = lambda arr: F.flatten(
-        F.transform(
-            arr,
-            lambda a, i: F.transform(
-                F.slice(arr, i + 2, F.size(arr)),
-                lambda b: _opair(a, b),
-            ),
-        )
+    _all_pairs = lambda arr: (
+        f"flatten(transform({arr}, (pa, pi) -> "
+        f"transform(slice({arr}, pi + 2, size({arr})), "
+        f"pb -> {_opair('pa', 'pb')})))"
     )
     # Window expansion over ONE chunk: only the first _WINDOW_CHUNK
     # elements originate pairs (overlap rows are neighbours only, so
@@ -540,14 +537,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form built b·64 structs in a single array value, blowing the
     # very per-row memory ceiling the rep budget enforces, in exactly
     # the past-the-budget regime this path exists for (r14 review).
-    _window_chunk = lambda chunk: F.flatten(
-        F.transform(
-            F.slice(chunk, 1, F.lit(_WINDOW_CHUNK)),
-            lambda a, i: F.transform(
-                F.slice(chunk, i + 2, F.lit(_REP_WINDOW)),
-                lambda b: _opair(a, b),
-            ),
-        )
+    _window_chunk = lambda chunk: (
+        f"flatten(transform(slice({chunk}, 1, {_WINDOW_CHUNK}), (pa, pi) -> "
+        f"transform(slice({chunk}, pi + 2, {_REP_WINDOW}), "
+        f"pb -> {_opair('pa', 'pb')})))"
     )
     # Hot buckets sort by (rfp, doc_id): the Manku probe-table order
     # (shared quarter rotated to the top — see the bands comment), so
@@ -555,40 +548,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared quarter.  Equal fps are still adjacent (rotation is
     # a bijection), which is all the dup-chain and reps extraction
     # below rely on.
-    by_fp_expr = F.array_sort(
-        F.col("docs"),
-        lambda l, r: F.when(l["rfp"] < r["rfp"], -1)
-        .when(l["rfp"] > r["rfp"], 1)
-        .when(l["doc_id"] < r["doc_id"], -1)
-        .when(l["doc_id"] > r["doc_id"], 1)
-        .otherwise(0),
+    by_fp_sql = (
+        "array_sort(docs, (l, r) -> CASE"
+        " WHEN l.rfp < r.rfp THEN -1 WHEN l.rfp > r.rfp THEN 1"
+        " WHEN l.doc_id < r.doc_id THEN -1 WHEN l.doc_id > r.doc_id THEN 1"
+        " ELSE 0 END)"
     )
-    hot = F.size("docs") > _BUCKET_FULL_EXPAND_CAP
+    hot = f"(size(docs) > {_BUCKET_FULL_EXPAND_CAP})"
     buckets = buckets.withColumn(
-        "by_fp", F.when(hot, by_fp_expr)  # sort only pays on hot buckets
+        # sort only pays on hot buckets
+        "by_fp",
+        F.expr(f"IF({hot}, {by_fp_sql}, NULL)"),
     ).withColumn(
         "reps",
-        F.when(
-            hot,
-            F.filter(
-                F.col("by_fp"),
-                # keep the first element of each equal-fp run; greatest()
-                # avoids element_at(…, 0) on the first element (ANSI)
-                lambda e, i: (i == 0)
-                | (
-                    e["fp"]
-                    != F.element_at(F.col("by_fp"), F.greatest(i, F.lit(1)))["fp"]
-                ),
-            ),
+        F.expr(
+            # keep the first element of each equal-fp run; greatest()
+            # avoids element_at(…, 0) on the first element (ANSI)
+            f"IF({hot}, filter(by_fp, (e, i) -> (i = 0) OR "
+            "(e.fp != element_at(by_fp, greatest(i, 1)).fp)), NULL)"
         ),
     )
-    _dup_chain = F.filter(
-        F.zip_with(
-            F.slice(F.col("by_fp"), 1, F.size("by_fp") - 1),
-            F.slice(F.col("by_fp"), 2, F.size("by_fp") - 1),
-            lambda a, b: F.when(a["fp"] == b["fp"], _opair(a, b)),
-        ),
-        lambda p: p.isNotNull(),
+    _dup_chain = (
+        "filter(zip_with("
+        "slice(by_fp, 1, size(by_fp) - 1), "
+        "slice(by_fp, 2, size(by_fp) - 1), "
+        f"(ca, cb) -> IF(ca.fp = cb.fp, {_opair('ca', 'cb')}, NULL)), "
+        "p -> p IS NOT NULL)"
     )
     rep_cap = _rep_expand_cap(_corpus_n_docs(cat))
     # Two-level emission keeps EVERY row bounded.  Each bucket first
@@ -601,56 +586,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The group struct type-unifies the two shapes (ps XOR ch set).
     _pair_arr_t = "array<struct<doc_a:bigint,doc_b:bigint,x:bigint>>"
     _doc_arr_t = "array<struct<doc_id:bigint,fp:bigint,rfp:bigint>>"
-    _pair_group = lambda arr: F.struct(
-        arr.alias("ps"), F.lit(None).cast(_doc_arr_t).alias("ch")
-    )
-    _chunk_group = lambda arr: F.struct(
-        F.lit(None).cast(_pair_arr_t).alias("ps"), arr.alias("ch")
-    )
+    _pair_group = lambda arr: f"struct({arr} AS ps, CAST(NULL AS {_doc_arr_t}) AS ch)"
+    _chunk_group = lambda arr: f"struct(CAST(NULL AS {_pair_arr_t}) AS ps, {arr} AS ch)"
+    _chain_plus_rep_pairs = f"concat({_dup_chain}, {_all_pairs('reps')})"
+    _chunk_slice = f"slice(reps, c * {_WINDOW_CHUNK} + 1, {_WINDOW_CHUNK + _REP_WINDOW})"
     groups = (
-        F.when(~hot, F.array(_pair_group(_all_pairs(F.col("docs")))))
-        .when(
-            F.size("reps") <= rep_cap,
-            F.array(_pair_group(F.concat(_dup_chain, _all_pairs(F.col("reps"))))),
-        )
-        .otherwise(
-            F.concat(
-                F.array(_pair_group(_dup_chain)),
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.floor(
-                            (F.size("reps") - 1) / F.lit(_WINDOW_CHUNK)
-                        ).cast("int"),
-                    ),
-                    lambda c: _chunk_group(
-                        F.slice(
-                            F.col("reps"),
-                            c * _WINDOW_CHUNK + 1,
-                            _WINDOW_CHUNK + _REP_WINDOW,
-                        )
-                    ),
-                ),
-            )
-        )
+        f"CASE WHEN NOT {hot} THEN array({_pair_group(_all_pairs('docs'))}) "
+        f"WHEN size(reps) <= {rep_cap} THEN "
+        f"array({_pair_group(_chain_plus_rep_pairs)}) "
+        "ELSE concat("
+        f"array({_pair_group(_dup_chain)}), "
+        f"transform(sequence(0, CAST(floor((size(reps) - 1) / {_WINDOW_CHUNK}) AS INT)), "
+        f"c -> {_chunk_group(_chunk_slice)})"
+        ") END"
     )
     pairs = (
-        buckets.select("band_id", F.explode(groups).alias("g"))
-        .select(
+        buckets.selectExpr("band_id", f"explode({groups}) AS g")
+        .selectExpr(
             "band_id",
-            F.explode(
-                F.when(F.col("g.ps").isNotNull(), F.col("g.ps")).otherwise(
-                    _window_chunk(F.col("g.ch"))
-                )
-            ).alias("p"),
+            f"explode(IF(g.ps IS NOT NULL, g.ps, {_window_chunk('g.ch')})) AS p",
         )
         .where(
-            (F.bit_count(x) <= 12)
-            & ((F.col("band_id") < 1) | (quarter(0) != 0))
-            & ((F.col("band_id") < 2) | (quarter(1) != 0))
-            & ((F.col("band_id") < 3) | (quarter(2) != 0))
+            "bit_count(p.x) <= 12"
+            f" AND (band_id < 1 OR {quarter(0)} != 0)"
+            f" AND (band_id < 2 OR {quarter(1)} != 0)"
+            f" AND (band_id < 3 OR {quarter(2)} != 0)"
         )
-        .select("p.doc_a", "p.doc_b", F.bit_count(x).alias("hamming"))
+        .selectExpr("p.doc_a", "p.doc_b", "bit_count(p.x) AS hamming")
     )
     return pairs
 

@@ -1132,12 +1132,67 @@ _BPE_ORACLE = (
 
 
 
+#: Vocabulary-row bound for running the BPE merge loop driver-side.
+#: 2^17 words × ~50 bytes of (word, freq, syms) is a few MB — the same
+#: bounded-collect tier as _CC_DRIVER_EDGE_BOUND and the PageRank rank
+#: table.  Below it the per-step dataflow (pair agg + argmax collect +
+#: vocabulary checkpoint, ~4 Spark jobs and ~0.4 s of driver stall per
+#: step measured at r14) collapses into one collect and pure-Python
+#: integer folds; above it (real web-corpus vocabularies) the
+#: distributed loop runs unchanged.  Tests monkeypatch to -1 to force
+#: the distributed route.
+_BPE_DRIVER_VOCAB_BOUND = 1 << 17
+
+
+def _bpe_merge_driver(vocab, steps: int):
+    """Driver twin of the `_bpe_train` dataflow loop over a collected
+    (word, freq, syms) list: per step, frequency-weighted adjacent-pair
+    counts -> argmax (cnt DESC, l, r — Python tuple min on (-cnt, l, r);
+    Spark's UTF8 byte ordering equals Python's code-point ordering, so
+    the lexicographic tie-break is engine-identical) -> leftmost-
+    nonoverlap fold (acc tail == l and next == r merges; the merged
+    symbol cannot re-match l, exactly the dataflow fold's semantics).
+    All arithmetic is exact ints; returns (rules, merged vocab)."""
+    rules = []
+    for step in range(1, steps + 1):
+        cnt: dict = {}
+        for _, freq, syms in vocab:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                cnt[k] = cnt.get(k, 0) + freq
+        if not cnt:
+            break
+        a, b = min(cnt, key=lambda k: (-cnt[k], k))
+        rules.append((step, a, b, a + b, cnt[(a, b)]))
+        merged = []
+        for word, freq, syms in vocab:
+            acc: list = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            merged.append((word, freq, acc))
+        vocab = merged
+    return rules, vocab
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Shared BPE training loop: returns (rules, w_final) where rules
     is the (step, l, r, merged, count) list and w_final the vocabulary
     table (word, freq, syms) AFTER all merges — the word-level encoder
     table vocab_bpe_encode broadcasts.  See vocab_bpe_merges for the
-    algorithm and cross-engine merge-equivalence argument."""
+    algorithm and cross-engine merge-equivalence argument.
+
+    Routing (r14): the corpus-sized work — the word-frequency
+    aggregation — always runs distributed; when the resulting
+    vocabulary is small enough to collect
+    (:data:`_BPE_DRIVER_VOCAB_BOUND`, router-counted on the
+    checkpoint), the merge iterations run driver-side in exact Python
+    ints (:func:`_bpe_merge_driver`) instead of paying ~4 Spark jobs
+    per step to iterate a dim-sized table — the same bounded-collect
+    router as `_connected_components`.  Route parity is pinned by
+    tests (identical rules and final vocabulary)."""
     cat = Catalog(spark, sf_dir)
     tok = cat.documents.select(
         F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias(
@@ -1153,6 +1208,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .select("word", "freq", symbols.alias("syms"))
         .localCheckpoint()
     )
+    if w.count() <= _BPE_DRIVER_VOCAB_BOUND:  # count of a checkpoint: cheap
+        # bounded: router-counted <= _BPE_DRIVER_VOCAB_BOUND vocab rows
+        vocab = [(r["word"], int(r["freq"]), list(r["syms"])) for r in w.collect()]
+        rules, vocab = _bpe_merge_driver(vocab, _BPE_STEPS)
+        w_final = spark.createDataFrame(
+            vocab, "word string, freq bigint, syms array<string>"
+        )
+        return rules, w_final
     rules = []
     for step in range(1, _BPE_STEPS + 1):
         pairs = w.where(F.size("syms") >= 2).select(

@@ -627,6 +627,23 @@ def test_bpe_merges_overlap_semantics(spark, tmp_path):
     assert rows == [(1, "a", "a", "aa", 9), (2, "aa", "aa", "aaaa", 3)]
 
 
+def test_bpe_train_route_parity(spark, monkeypatch):
+    """The r14 driver route (vocabulary collected below
+    _BPE_DRIVER_VOCAB_BOUND, merges folded in exact Python ints) must
+    produce the identical rule list AND final vocabulary as the
+    distributed per-step dataflow loop it shortcuts."""
+    from dirhash_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.01"
+    rules_drv, w_drv = T._bpe_train(spark, sf)
+    assert T._BPE_DRIVER_VOCAB_BOUND > 0  # default routes driver-side here
+    monkeypatch.setattr(T, "_BPE_DRIVER_VOCAB_BOUND", -1)
+    rules_dfl, w_dfl = T._bpe_train(spark, sf)
+    assert rules_drv == rules_dfl
+    key = lambda r: (r["word"], r["freq"], tuple(r["syms"]))
+    assert sorted(map(key, w_drv.collect())) == sorted(map(key, w_dfl.collect()))
+
+
 def test_winnowing_guarantee_shared_substring_collides(spark, tmp_path):
     """The winnowing theorem (Schleimer et al.): two documents sharing
     a substring of length >= k + w - 1 (= 11 chars at k=8, w=4) must
