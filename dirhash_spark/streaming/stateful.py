@@ -801,27 +801,87 @@ def stage_replay_from(
         raise ValueError("stage_replay_from: empty input DataFrame")
     mid = lo + (hi - lo) / 2
 
+    def _stamp(path, order):
+        # deterministic replay order: the file source processes oldest
+        # mtime first, so stamp each wave 100 s apart
+        t = 1_600_000_000 + order * 100
+        os.utime(path, (t, t))
+
     def add_file(df, order):
         known = set()
         if os.path.isdir(src):
             known = {f for f in os.listdir(src) if not f.startswith("_")}
         df.coalesce(1).write.mode("append").parquet(src)
-        # deterministic replay order: the file source processes oldest
-        # mtime first, so stamp each wave 100 s apart
         for f in os.listdir(src):
             if not f.startswith("_") and f not in known:
-                t = 1_600_000_000 + order * 100
-                os.utime(os.path.join(src, f), (t, t))
+                _stamp(os.path.join(src, f), order)
 
-    if 0 in waves:
-        add_file(ev.where(F.col("ts") < F.lit(mid)), 0)
-    if 1 in waves:
-        add_file(ev.where(F.col("ts") >= F.lit(mid)), 1)
+    if 0 in waves and 1 in waves:
+        # Both real waves in one corpus pass (r14): the two where()
+        # writes each re-scanned events — one partitionBy("wave") write
+        # halves the staging scans/jobs; the per-wave files then move
+        # into the flat src layout with the same mtime stamps.  An
+        # empty wave (all-equal timestamps put every event in wave 1)
+        # writes no directory on either path — parity with the old
+        # empty-where() write, which also produced no part file.
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="dirhash_session_waves_")
+        try:
+            (
+                ev.select(
+                    "ts",
+                    "user_id",
+                    F.when(F.col("ts") < F.lit(mid), 0).otherwise(1).alias("wave"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("wave")
+                .parquet(tmp)
+            )
+            os.makedirs(src, exist_ok=True)
+            for order in (0, 1):
+                wdir = os.path.join(tmp, f"wave={order}")
+                if os.path.isdir(wdir):
+                    for f in os.listdir(wdir):
+                        if not f.startswith(("_", ".")):
+                            dst = os.path.join(src, f"wave{order}-{f}")
+                            shutil.move(os.path.join(wdir, f), dst)
+                            _stamp(dst, order)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        if 0 in waves:
+            add_file(ev.where(F.col("ts") < F.lit(mid)), 0)
+        if 1 in waves:
+            add_file(ev.where(F.col("ts") >= F.lit(mid)), 1)
     if 2 in waves:
-        sentinel = spark.sql(
-            f"SELECT timestamp'{hi}' + INTERVAL 365 DAYS AS ts, CAST(-1 AS BIGINT) AS user_id"
+        # One sentinel row 365 days past the corpus max: written
+        # driver-side (bounded: a single literal row) instead of
+        # paying a Spark job + commit for it.  tz="UTC" writes
+        # isAdjustedToUTC micros — the same physical type Spark's own
+        # writer produced; the session is pinned UTC, so the wall
+        # clock is identical to the old timestamp'{hi}' + INTERVAL
+        # 365 DAYS literal.
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(src, exist_ok=True)
+        sent = hi + datetime.timedelta(days=365)
+        path = os.path.join(src, "wave2-sentinel.parquet")
+        _pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([sent], pa.timestamp("us", tz="UTC")),
+                    "user_id": pa.array([-1], pa.int64()),
+                }
+            ),
+            path,
         )
-        add_file(sentinel, 2)
+        _stamp(path, 2)
 
 
 #: Target state rows per state-store commit when deriving the session
