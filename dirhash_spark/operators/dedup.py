@@ -2209,6 +2209,43 @@ def _neardup_cluster(spark: SparkSession, sf_dir: str, include_lsh: bool) -> Dat
     # node list read it, and the CC loop re-reads edges every round —
     # left lazy, the posting+verify lineage would execute 2+ more times.
 
+    # Unlike the canonical/semdedup callers — whose corpus-sized node
+    # tables (singletons included) must stay cluster-side — this graph's
+    # node set IS its edge endpoints.  Below the CC router's edge bound
+    # the whole labeling therefore collapses driver-side: one bounded
+    # collect of the checkpointed pair list (the same rows the generic
+    # route collects anyway), union-find, and a LocalTableScan result.
+    # That removes the edge-symmetrization checkpoint, the endpoint
+    # DISTINCT shuffle (which ran twice: once in the generic route's
+    # initial-label collect and again at the final action re-executing
+    # the lazy join-back), ~1.0 s of the 2.8 s e2e wall at sf0.1.
+    # Above the bound the distributed propagation runs exactly as
+    # before; route parity is pinned by test_neardup_cluster_route_parity.
+    if ver.count() * 2 <= _CC_DRIVER_EDGE_BOUND:  # checkpointed: cheap
+        pairs = ver.collect()  # bounded: router-counted
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for p in pairs:
+            ru, rv = find(p["doc_a"]), find(p["doc_b"])
+            if ru != rv:
+                # union-by-min keeps every root the component minimum,
+                # matching min-label propagation's fixpoint exactly
+                parent[max(ru, rv)] = min(ru, rv)
+        endpoints = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+        t = dict(ver.dtypes)["doc_a"]
+        return spark.createDataFrame(
+            [(d, find(d), d == find(d)) for d in endpoints],
+            f"doc_id {t}, cluster_id {t}, is_canonical boolean",
+        )
+
     edges = ver.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
         ver.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )

@@ -1492,6 +1492,24 @@ def test_cc_fastpath_seeded_labels_and_missing_endpoint(spark, monkeypatch):
         _connected_components(incomplete, edges)
 
 
+def test_neardup_cluster_route_parity(spark, sf_dir, monkeypatch):
+    """_neardup_cluster's full-driver route (endpoint-only node set →
+    bounded collect + union-find + LocalTableScan) must emit the exact
+    row set and schema of the forced distributed CC path, for both the
+    registered posting-only pipeline and the lsh_union variant."""
+    import dirhash_spark.operators.dedup as dedup_mod
+
+    for name in ("pipeline_neardup_e2e", "pipeline_neardup_e2e_lsh_union"):
+        df_fast = QUERIES[name].fn(spark, sf_dir)
+        fast = sorted(map(tuple, df_fast.collect()))
+        monkeypatch.setattr(dedup_mod, "_CC_DRIVER_EDGE_BOUND", -1)
+        df_slow = QUERIES[name].fn(spark, sf_dir)
+        slow = sorted(map(tuple, df_slow.collect()))
+        monkeypatch.setattr(dedup_mod, "_CC_DRIVER_EDGE_BOUND", 1 << 16)
+        assert fast == slow, name
+        assert df_fast.dtypes == df_slow.dtypes, name
+
+
 def test_ann_index_keyed_by_path_identity(tmp_path):
     """Two corpora whose directories share a BASENAME must never share
     a persisted index home — a basename-keyed path silently served
