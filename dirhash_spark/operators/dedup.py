@@ -285,8 +285,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (band, hash) bucket's doc list is ONE sketch pass and ONE shuffle;
     # the i<j pair expansion happens inside the bucket, whose size is
     # bounded by the near-dup group size, not the corpus.
+    # Explicit-width bucket exchange (same fix as dedup_simhash's, same
+    # r14 stagelog evidence): the signature rows are byte-small so AQE's
+    # byte-based coalescing folds the reduce to one task, serializing
+    # the compute-heavy in-row expansion; the explicit count is the
+    # session's configured shuffle width, exempt from coalescing.
+    shuffle_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
     buckets = (
-        sig.groupBy("band_id", "band_hash")
+        sig.repartition(shuffle_w, "band_id", "band_hash")
+        .groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
@@ -469,8 +476,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = fps.selectExpr(f"explode(array({band_structs})) AS band").selectExpr(
         "band.band_id", "band.band_val", "band.doc"
     )
+    # Explicit-width bucket exchange: the banded fingerprints are
+    # byte-small (a struct of three longs per row) but the in-row pair
+    # expansion below them is compute-heavy, so AQE's BYTE-based
+    # partition coalescing is the wrong policy — at sf0.1 it folded the
+    # reduce side to ONE task holding 0.6 s of the query's 1.4 s wall
+    # (r14 stagelog), a serial tail that also flattens the core-count
+    # scaling the driver measures.  repartition with an explicit count
+    # (the session's configured shuffle width — the scale-parameterized
+    # conf, NOT a local constant) is exempt from AQE coalescing, and
+    # hash-partitioning on the bucket key satisfies the groupBy's
+    # distribution so the exchange count is unchanged (plan pin:
+    # test_simhash_bucket_collect_single_fingerprint_pass).
+    shuffle_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
     buckets = (
-        bands.groupBy("band_id", "band_val")
+        bands.repartition(shuffle_w, "band_id", "band_val")
+        .groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .where(F.size("docs") > 1)
     )
