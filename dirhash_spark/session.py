@@ -66,6 +66,22 @@ def get_spark(app_name: str = "dirhash_spark", master: str | None = None) -> Spa
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # Python workers fork from a daemon process; pointing the daemon at
+    # dirhash_spark.worker_preload makes every forked worker inherit the
+    # numpy/pandas/pyarrow imports copy-on-write instead of paying them
+    # per worker (the measured "spawn storm" — see worker_preload.py).
+    # The daemon runs `python -m dirhash_spark.worker_preload`, so the
+    # package parent dir must be on the WORKER's PYTHONPATH; the factory
+    # merges the JVM's inherited PYTHONPATH env, which we extend here
+    # BEFORE the gateway JVM launches (getOrCreate).  If a JVM already
+    # exists neither the env nor the conf reaches it — stock daemon,
+    # same behavior as before.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + py_path if py_path else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -73,6 +89,7 @@ def get_spark(app_name: str = "dirhash_spark", master: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.python.daemon.module", "dirhash_spark.worker_preload")
     )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
