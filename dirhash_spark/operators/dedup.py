@@ -1636,14 +1636,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Explode amplifies each document into ~|tokens| grams, so input
     # bytes under-signal the work: a scan-split sized for bytes leaves
-    # whole cores idle.  Repartitioning the (cheap) pre-explode text by
-    # doc_id buys even gram-stage parallelism for one small shuffle.
+    # whole cores idle.  The pre-explode spread is layout-aware
+    # (spread_for_compute): under-split fixture layouts repartition,
+    # production layouts whose scan already splits skip the shuffle.
     def side(pred):
-        return (
-            cat.documents.where(pred)
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-            .select("doc_id", F.explode(gram_arr).alias("gram"))
-        )
+        return spread_for_compute(
+            cat.documents.where(pred), cat.sf_dir, "documents"
+        ).select("doc_id", F.explode(gram_arr).alias("gram"))
 
     eval_g = side(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("eval_doc"),
@@ -1860,9 +1859,9 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams_of(df):
-        return (
-            df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-            .select("doc_id", F.explode(gram_arr).alias("gram"))
+        # layout-aware pre-explode spread, as decontaminate_ngram_overlap
+        return spread_for_compute(df, cat.sf_dir, "documents").select(
+            "doc_id", F.explode(gram_arr).alias("gram")
         )
 
     eval_grams = (

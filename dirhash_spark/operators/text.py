@@ -459,13 +459,17 @@ def text_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     every gram of every document.  The exploded stream feeds a
     gram-count aggregate whose partial (map-side) combine squashes it
     before the only remaining exchange, and TakeOrderedAndProject keeps
-    the global top-50 from materializing a full sort.  The cheap
-    pre-explode repartition by doc_id spreads the ~|tokens|-per-doc
-    explode amplification across all cores — input bytes under-signal
-    this stage's work, so byte-sized scan splits leave cores idle.
-    Deterministic (n_docs DESC, gram) ordering makes the cutoff
-    reproducible across engines.
+    the global top-50 from materializing a full sort.  The pre-explode
+    spread is LAYOUT-AWARE (:func:`spread_for_compute`): the
+    ~|tokens|-per-doc explode amplification under-signals the stage's
+    work to byte-sized scan splits, so an under-split layout (the
+    one-row-group fixtures) gets repartitioned across all cores, while
+    a production layout whose scan already splits skips the corpus-wide
+    text shuffle entirely.  Deterministic (n_docs DESC, gram) ordering
+    makes the cutoff reproducible across engines.
     """
+    from ..catalog import spread_for_compute
+
     cat = Catalog(spark, sf_dir)
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
     gram_arr = F.array_distinct(
@@ -474,10 +478,8 @@ def text_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
         )
     )
-    grams = (
-        cat.documents
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(gram_arr).alias("gram"))
+    grams = spread_for_compute(cat.documents, cat.sf_dir, "documents").select(
+        "doc_id", F.explode(gram_arr).alias("gram")
     )
     return (
         grams.groupBy("gram")
