@@ -535,49 +535,97 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword-stuffed and template-looping pages before they pollute a
     training mix.
 
-    Both passes are (doc, gram)-keyed: explode → count per (doc, gram)
-    → per-doc max/sum, so cost is linear in corpus tokens and every
-    shuffle key is doc-scoped (no corpus-wide vocabulary state, unlike
-    tf-idf's df table).  The ratios divide exact integers and get one
-    floor-round, so cross-engine values compare bit-identical.
+    Every statistic is DOC-LOCAL (a document's tokens live in one row),
+    so the whole computation is map-side: one corpus scan, tokenization
+    in the JVM (split/lower semantics identical to the oracle's
+    ``string_split_regex``), then an Arrow-batched numpy/pandas stage
+    (:func:`_repetition_batches`) that counts per-document — ZERO
+    exchanges.  The r13 form shuffled the exploded token AND bigram
+    multisets on (doc_id, gram) keys — two corpus-token-sized exchanges
+    plus two doc-level exchanges and a join — to compute numbers that
+    never needed cross-row state (r14 plan audit: 6 jobs → 1, 4
+    Exchange → 0).  The ratios divide exact integers with one IEEE
+    floor-round (identical in numpy float64), so cross-engine values
+    still compare bit-identical; docs with fewer than two tokens have
+    no bigram and are dropped exactly as the old inner join dropped
+    them.
     """
+    from ..catalog import spread_for_compute
+
     cat = Catalog(spark, sf_dir)
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
-    docs = cat.documents.select("doc_id", toks.alias("t"))
+    docs = spread_for_compute(
+        cat.documents.select("doc_id", toks.alias("t")), cat.sf_dir, "documents"
+    )
+    return docs.mapInPandas(
+        _repetition_batches,
+        "doc_id bigint, n_tokens bigint, distinct_frac double, "
+        "top_unigram_frac double, top_bigram_frac double",
+    )
 
-    uni = docs.select("doc_id", F.explode("t").alias("w"))
-    uni_stats = (
-        uni.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("n").alias("top1"),
+
+def _repetition_batches(batches):
+    """(doc_id, t: array<string>) → per-doc repetition stats, Arrow-
+    batched and vectorized (the ``_word5_gram_batches`` pattern: one
+    flat token ndarray per batch, pandas groupby for the per-(doc,gram)
+    counts — no per-token Python).
+
+    Exactness contract with the r13 dataflow form and the DuckDB
+    oracle: docs with < 2 tokens yield nothing (no bigram row ⇒ the old
+    inner join dropped them; NULL text splits to NULL ⇒ explode emitted
+    nothing); fractions are ``floor(n * 10000.0 / den) / 10000`` in
+    float64 — multiply, divide, floor and final divide are each single
+    correctly-rounded IEEE ops in both engines, so the doubles are
+    bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["doc_id", "n_tokens", "distinct_frac", "top_unigram_frac", "top_bigram_frac"]
+    for pdf in batches:
+        lists = [
+            x for x in zip(pdf["doc_id"], pdf["t"]) if x[1] is not None and len(x[1]) >= 2
+        ]
+        if not lists:
+            yield pd.DataFrame({c: [] for c in cols})
+            continue
+        doc_ids = np.fromiter((d for d, _ in lists), dtype=np.int64, count=len(lists))
+        lens = np.fromiter((len(t) for _, t in lists), dtype=np.int64, count=len(lists))
+        off = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        toks = np.empty(off[-1], dtype=object)
+        for j, (_, t) in enumerate(lists):
+            toks[off[j] : off[j + 1]] = t
+        doc_idx = np.repeat(np.arange(len(lists)), lens)
+
+        per = pd.DataFrame({"d": doc_idx, "w": toks}).groupby(
+            ["d", "w"], sort=False
+        ).size()
+        gb = per.groupby(level=0, sort=True)
+        n_distinct = gb.size().to_numpy()
+        top1 = gb.max().to_numpy()
+
+        # bigrams: join each token with its in-doc successor (mask out
+        # the cross-doc seams of the flat array)
+        seam = doc_idx[:-1] == doc_idx[1:]
+        bg = pd.Series(toks[:-1][seam]) + " " + pd.Series(toks[1:][seam])
+        bper = pd.DataFrame({"d": doc_idx[:-1][seam], "g": bg.to_numpy()}).groupby(
+            ["d", "g"], sort=False
+        ).size()
+        btop1 = bper.groupby(level=0, sort=True).max().to_numpy()
+        n_bigrams = lens - 1
+
+        def frac(num, den):
+            return np.floor(num * 10000.0 / den) / 10000
+
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_tokens": lens,
+                "distinct_frac": frac(n_distinct, lens),
+                "top_unigram_frac": frac(top1, lens),
+                "top_bigram_frac": frac(btop1, n_bigrams),
+            }
         )
-    )
-    bigrams = F.transform(
-        gram_start_indices("t", 2),
-        lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
-    )
-    bi_stats = (
-        docs.select("doc_id", F.explode(bigrams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("btop1"))
-    )
-
-    def frac(num, den):
-        return F.floor(num * 10000.0 / den) / 10000
-
-    return uni_stats.join(bi_stats, "doc_id").select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        frac(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_frac"),
-        frac(F.col("top1"), F.col("n_tokens")).alias("top_unigram_frac"),
-        frac(F.col("btop1"), F.col("n_bigrams")).alias("top_bigram_frac"),
-    )
 
 
 @query(

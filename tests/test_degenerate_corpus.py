@@ -169,3 +169,19 @@ def test_null_custkey_matches_oracle(spark, tmp_path):
     sf = _make_sf(tmp_path, patches={"orders": null_one})
     for name in ("quality_expectations", "fn_surrogate_key"):
         _assert_match(spark, sf, name)
+
+
+def test_repetition_score_null_text_dropped_like_oracle(spark, tmp_path):
+    """A NULL text must vanish from text_repetition_score exactly as it
+    does in the oracle (split(NULL) -> NULL -> no token rows).  The r14
+    Arrow rewrite moved the drop from explode semantics into Python
+    (`t is None`), so it needs its own pin."""
+    sf = _make_sf(
+        tmp_path,
+        patches={
+            "documents": lambda df: df.assign(
+                text=[None] + list(df["text"][1:])
+            )
+        },
+    )
+    _assert_match(spark, sf, "text_repetition_score")

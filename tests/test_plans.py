@@ -1167,3 +1167,18 @@ def test_embedding_pca_projection_is_shuffle_free(spark):
     partials and never appears in this plan."""
     p = plan(spark, "embedding_pca", "simple")
     assert "Exchange" not in p, p
+
+
+def test_repetition_score_is_single_pass_no_aggregation_exchange(spark):
+    """text_repetition_score computes doc-local statistics, so its plan
+    must be one scan feeding one Arrow stage — no (doc_id, gram)
+    aggregation exchanges, no join.  The only Exchange permitted is the
+    layout-aware spread in front of the Python stage (fires on the
+    one-row-group fixtures, identity on splittable layouts).  The r13
+    form paid 4 aggregation/join exchanges for numbers that never
+    needed cross-row state."""
+    p = plan(spark, "text_repetition_score", "simple")
+    assert "MapInPandas" in p, p
+    assert "HashAggregate" not in p, p
+    assert "Join" not in p, p
+    assert p.count("Exchange") <= 1, p
