@@ -44,6 +44,73 @@ def test_minhash_deterministic():
     assert _bands([BASE]) == _bands([BASE])
 
 
+def test_minhash_vectorized_parity():
+    """The r14 vectorized sketch (affine-table crc32, cross-document
+    shingle dedup, batched permutations) must be BIT-identical to the
+    original per-document reference form on every text class: normal
+    ASCII, near-dup pairs, empty, shorter than the shingle width,
+    non-ASCII (which takes the per-window zlib fallback), None, and
+    whitespace-heavy strings."""
+    import zlib
+
+    import numpy as np
+
+    from dirhash_spark.operators import dedup as dd
+
+    def reference_bands(pdf):
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            t = " ".join(str(text).lower().split())
+            if len(t) < dd._SHINGLE_K:
+                shingles = {t}
+            else:
+                shingles = {
+                    t[i : i + dd._SHINGLE_K]
+                    for i in range(len(t) - dd._SHINGLE_K + 1)
+                }
+            x = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                dtype=np.int64,
+                count=len(shingles),
+            )
+            sig = dd._axb_mod_p(x).min(axis=1)
+            for band in range(dd._N_BANDS):
+                chunk = sig[band * dd._ROWS_PER_BAND : (band + 1) * dd._ROWS_PER_BAND]
+                out_doc.append(int(doc_id))
+                out_band.append(band)
+                out_hash.append(int(zlib.crc32(chunk.tobytes())))
+        return pd.DataFrame(
+            {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
+        )
+
+    texts = [
+        BASE,
+        NEAR,
+        FAR,
+        "",
+        "ab",
+        "héllo wörld — çe n'est pas ascii mais assez long pour des fenêtres",
+        None,
+        "  spaced    out\ttext\nwith   runs  of whitespace and UPPER Case ",
+        BASE * 40,  # long doc spanning many windows
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ref = reference_bands(pdf).astype(
+        {"doc_id": "int64", "band_id": "int64", "band_hash": "int64"}
+    )
+    got = pd.concat(list(_minhash_bands(iter([pdf])))).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ref.reset_index(drop=True), got)
+
+    # sub-batch boundary: force several sub-batches in one Arrow batch
+    old = dd._SKETCH_SUB_WINDOWS
+    dd._SKETCH_SUB_WINDOWS = 64
+    try:
+        got_small = pd.concat(list(_minhash_bands(iter([pdf])))).reset_index(drop=True)
+    finally:
+        dd._SKETCH_SUB_WINDOWS = old
+    pd.testing.assert_frame_equal(ref.reset_index(drop=True), got_small)
+
+
 def test_ann_recall_vs_exact(spark, sf_dir):
     """LSH candidate generation must recover most of the exact top-10
     (deterministic: fixed data, fixed hyperplanes)."""
