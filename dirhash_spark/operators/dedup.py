@@ -923,7 +923,9 @@ _CC_MAX_ITERS = 20
 _CC_DRIVER_EDGE_BOUND = 1 << 16
 
 
-def _cc_driver_unionfind(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _cc_driver_unionfind(
+    nodes: DataFrame, edges: DataFrame, labels_are_ids: bool = False
+) -> DataFrame:
     """Driver fast path of :func:`_connected_components`: union-find
     (path compression) over an edge list the router just counted at
     <= :data:`_CC_DRIVER_EDGE_BOUND` rows.  Only edge ENDPOINTS enter
@@ -968,20 +970,29 @@ def _cc_driver_unionfind(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     endpoints = {e["u"] for e in rows} | {e["v"] for e in rows}
     t = dict(nodes.dtypes)["doc_id"]
     spark = nodes.sparkSession
-    ep_df = spark.createDataFrame([(x,) for x in endpoints], f"doc_id {t}")
-    init = {
-        r["doc_id"]: r["label"]
-        # bounded: one initial-label row per edge ENDPOINT (<= 2x the
-        # router-counted edge bound), fetched with a broadcast semi-join
-        for r in nodes.join(F.broadcast(ep_df), "doc_id").collect()
-    }
-    missing = endpoints - init.keys()
-    if missing:
-        raise ValueError(
-            f"_connected_components: {len(missing)} edge endpoint(s) absent "
-            f"from nodes (e.g. {next(iter(missing))!r}) — callers must list "
-            "every endpoint in nodes"
-        )
+    if labels_are_ids:
+        # Caller asserts label == doc_id AND endpoints ⊆ nodes (every
+        # in-repo caller constructs nodes exactly that way) — the
+        # initial labels are then the endpoint ids themselves, so the
+        # broadcast-semi-join label fetch below would be a corpus scan
+        # producing an identity map.  Skipping it removes one whole
+        # Spark job per CC (at scale: a full pass over the node table).
+        init = {x: x for x in endpoints}
+    else:
+        ep_df = spark.createDataFrame([(x,) for x in endpoints], f"doc_id {t}")
+        init = {
+            r["doc_id"]: r["label"]
+            # bounded: one initial-label row per edge ENDPOINT (<= 2x the
+            # router-counted edge bound), fetched with a broadcast semi-join
+            for r in nodes.join(F.broadcast(ep_df), "doc_id").collect()
+        }
+        missing = endpoints - init.keys()
+        if missing:
+            raise ValueError(
+                f"_connected_components: {len(missing)} edge endpoint(s) absent "
+                f"from nodes (e.g. {next(iter(missing))!r}) — callers must list "
+                "every endpoint in nodes"
+            )
     comp_min: dict = {}
     for x in endpoints:
         r = find(x)
@@ -995,12 +1006,20 @@ def _cc_driver_unionfind(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _connected_components(
+    nodes: DataFrame, edges: DataFrame, labels_are_ids: bool = False
+) -> DataFrame:
     """Distributed connected components by min-label propagation with
     pointer jumping — or, below a measured edge bound, a driver
     union-find with a broadcast join back (see
     :data:`_CC_DRIVER_EDGE_BOUND`; ``last_iters`` reads 0 on that
-    route).  The large/small-star scale witness
+    route).  ``labels_are_ids=True`` is the caller's assertion that
+    ``label == doc_id`` for every node AND every edge endpoint appears
+    in ``nodes`` (how all in-repo callers construct the node table);
+    the driver route then derives initial labels from the endpoint ids
+    themselves instead of scanning ``nodes`` for them — one whole
+    Spark job (a corpus-sized pass at scale) removed per CC.  The
+    large/small-star scale witness
     (``dedup_cluster_canonical_bigstar``) deliberately does NOT route:
     it exists to demonstrate the distributed algorithm.
 
@@ -1029,7 +1048,7 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     if edges.count() <= _CC_DRIVER_EDGE_BOUND:  # count of a checkpoint:
         # metadata-cheap, and the decision it buys removes whole rounds
         _connected_components.last_iters = 0
-        return _cc_driver_unionfind(nodes, edges)
+        return _cc_driver_unionfind(nodes, edges, labels_are_ids=labels_are_ids)
     labels = nodes
     prev_sum = None
     iters = 0
@@ -1132,7 +1151,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
     nodes = cat.documents.select("doc_id", F.col("doc_id").alias("label"))
-    labels = _connected_components(nodes, edges)
+    labels = _connected_components(nodes, edges, labels_are_ids=True)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
@@ -1616,7 +1635,7 @@ def pipeline_semdedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = cat.embeddings.select(
         F.col("vec_id").alias("doc_id"), F.col("vec_id").alias("label")
     )
-    labels = _connected_components(nodes, edges)
+    labels = _connected_components(nodes, edges, labels_are_ids=True)
     return labels.select(
         F.col("doc_id").alias("vec_id"),
         F.col("label").alias("cluster_id"),
@@ -2382,7 +2401,7 @@ def _neardup_cluster(spark: SparkSession, sf_dir: str, include_lsh: bool) -> Dat
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
     )
-    labels = _connected_components(nodes, edges)
+    labels = _connected_components(nodes, edges, labels_are_ids=True)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
