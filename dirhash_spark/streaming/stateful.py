@@ -782,9 +782,107 @@ def stage_session_replay(
     and RESTARTS from the same checkpoint, so arrival-while-stopped is
     part of the replay.  Staging is incremental: existing files keep
     their stamps.
+
+    Local corpora take a DRIVER-side pyarrow route (r14): the staged
+    payload is two columns of the events table (~1.6 MB at sf0.1), so
+    reading the parquet file in-process and writing the wave files with
+    pyarrow replaces two Spark jobs (the min/max aggregate and the
+    coalesce(1) wave write) plus their commit protocol with
+    sub-100 ms of local I/O.  The route is value-identical to the Spark
+    one by construction — same ``ts div 1000`` nano→micro truncation
+    the catalog applies, the same ``lo + (hi-lo)/2`` Python-datetime
+    midpoint, the same timestamp(us, UTC) physical type the sentinel
+    already writes, rows in file order — and parity is pinned by
+    tests/test_streaming.py::test_driver_staging_matches_spark_route.
+    Non-local layouts (and every synthetic-DataFrame caller) keep the
+    Spark route.
     """
+    if _stage_replay_local(sf_dir, src, waves):
+        return
     cat = Catalog(spark, sf_dir)
     stage_replay_from(spark, cat.events.select("ts", "user_id"), src, waves)
+
+
+def _stage_replay_local(sf_dir: str, src: str, waves: tuple[int, ...]) -> bool:
+    """Driver-side pyarrow staging of the events replay waves.  Returns
+    False (caller falls back to the Spark route) unless the events
+    table is ONE local parquet file — the fixture layout; multi-file or
+    remote layouts keep the distributed route."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.isfile(path):
+        return False
+    try:
+        t = _pq.read_table(path, columns=["ts", "user_id"])
+    except Exception:
+        return False
+    ts = t.column("ts")
+    if ts.null_count or t.column("user_id").null_count:
+        # the Spark route's null semantics (a NULL ts lands in wave 1
+        # via otherwise()) are not worth replicating here — fall back
+        return False
+    unit = getattr(ts.type, "unit", None)
+    if unit == "ns":
+        # the catalog's `ts div 1000` (truncating ns→us, exactly what
+        # DuckDB's reader does); values are positive epochs so numpy
+        # floor-div == Spark's truncating div
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+    elif unit == "us":
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    else:
+        return False
+    if len(us) == 0:
+        raise ValueError("stage_replay_from: empty input DataFrame")
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    epoch = datetime.datetime(1970, 1, 1)
+    lo = epoch + datetime.timedelta(microseconds=int(us.min()))
+    hi = epoch + datetime.timedelta(microseconds=int(us.max()))
+    # the same Python expression the Spark route evaluates for F.lit(mid)
+    mid = lo + (hi - lo) / 2
+    mid_us = (mid - epoch) // datetime.timedelta(microseconds=1)
+
+    def _stamp(p, order):
+        tm = 1_600_000_000 + order * 100
+        os.utime(p, (tm, tm))
+
+    os.makedirs(src, exist_ok=True)
+    masks = {0: us < mid_us, 1: us >= mid_us}
+    for order in (0, 1):
+        if order not in waves:
+            continue
+        m = masks[order]
+        if not m.any():
+            continue  # parity: an empty wave writes no file on either route
+        _pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(us[m], pa.timestamp("us", tz="UTC")),
+                    "user_id": pa.array(uid[m], pa.int64()),
+                }
+            ),
+            os.path.join(src, f"wave{order}-part.parquet"),
+        )
+        _stamp(os.path.join(src, f"wave{order}-part.parquet"), order)
+    if 2 in waves:
+        sent = hi + datetime.timedelta(days=365)
+        p = os.path.join(src, "wave2-sentinel.parquet")
+        _pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([sent], pa.timestamp("us", tz="UTC")),
+                    "user_id": pa.array([-1], pa.int64()),
+                }
+            ),
+            p,
+        )
+        _stamp(p, 2)
+    return True
 
 
 def stage_replay_from(

@@ -498,3 +498,58 @@ def test_stage_replay_from_empty_input_raises(spark, tmp_path):
     empty = spark.createDataFrame([], "ts timestamp, user_id bigint")
     with _pytest.raises(ValueError, match="empty input"):
         stage_replay_from(spark, empty, str(tmp_path / "src"))
+
+
+def test_driver_staging_matches_spark_route(spark, sf_dir, tmp_path):
+    """The r14 driver-side pyarrow staging fast path must stage wave
+    files whose CONTENTS (per wave, as the stream will read them) and
+    mtime replay order are identical to the Spark route's — the
+    nano→micro truncation, the datetime midpoint split, the sentinel
+    value and the empty-wave behavior are all replicated, and this pin
+    is what licenses the route swap."""
+    from pyspark.sql import functions as F
+
+    from dirhash_spark.catalog import Catalog
+    from dirhash_spark.streaming import stateful as st
+
+    fast, slow = str(tmp_path / "fast"), str(tmp_path / "slow")
+    assert st._stage_replay_local(sf_dir, fast, (0, 1, 2))
+    cat = Catalog(spark, sf_dir)
+    st.stage_replay_from(spark, cat.events.select("ts", "user_id"), slow, (0, 1, 2))
+
+    import os
+
+    def by_wave(src):
+        files = sorted(f for f in os.listdir(src) if not f.startswith("_"))
+        # replay order = mtime order, one file per wave on the fixture
+        files.sort(key=lambda f: os.path.getmtime(os.path.join(src, f)))
+        return files
+
+    ffiles, sfiles = by_wave(fast), by_wave(slow)
+    assert len(ffiles) == len(sfiles) == 3
+    for fa, fb in zip(ffiles, sfiles):
+        a = sorted(
+            map(
+                tuple,
+                spark.read.schema("ts TIMESTAMP, user_id BIGINT")
+                .parquet(os.path.join(fast, fa))
+                .collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                spark.read.schema("ts TIMESTAMP, user_id BIGINT")
+                .parquet(os.path.join(slow, fb))
+                .collect(),
+            )
+        )
+        assert a == b, f"wave file mismatch: {fa} vs {fb}"
+
+
+def test_driver_staging_falls_back_on_nonlocal(tmp_path):
+    """A corpus without a local single-file events.parquet must decline
+    the fast path (the caller then takes the Spark route)."""
+    from dirhash_spark.streaming import stateful as st
+
+    assert not st._stage_replay_local(str(tmp_path), str(tmp_path / "src"), (0, 1, 2))
