@@ -210,6 +210,25 @@ def main() -> int:
     headline_v2 = dict(timings, **{n: extra[n] for n in HEADLINE_V2_PROMOTED})
     canary = _cpu_canary_mbps()
     canary_mt = _cpu_canary_mt_mbps()
+    # Compact totals line FIRST: if the driver's fixed-size tail capture
+    # truncates the stdout (the r7 failure mode), the totals + canaries
+    # survive somewhere in the tail.  The FULL per-query JSON is the
+    # LAST line because the driver parses the final JSON line — r14's
+    # PERF artifact lost per-query and scaling comparisons when the
+    # compact trailer sat last (r14 verdict item 1).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_totals_compact",
+                "value": total,
+                "unit": "sec",
+                "headline_v2_total": round(sum(headline_v2.values()), 3),
+                "sf": sf,
+                "canary_sha256_mbps": canary,
+                "canary_mt_mbps": canary_mt,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -221,23 +240,6 @@ def main() -> int:
                 "extra_queries": extra,
                 "headline_v2_total": round(sum(headline_v2.values()), 3),
                 "headline_v2_members": sorted(headline_v2),
-                "sf": sf,
-                "canary_sha256_mbps": canary,
-                "canary_mt_mbps": canary_mt,
-            }
-        )
-    )
-    # Compact trailer AFTER the full JSON line: the driver's fixed-size
-    # tail capture truncated r7's artifact to the last keys only, losing
-    # the headline total — this line keeps the totals + canary in the
-    # tail no matter where truncation lands (r7 verdict item 7).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_totals_compact",
-                "value": total,
-                "unit": "sec",
-                "headline_v2_total": round(sum(headline_v2.values()), 3),
                 "sf": sf,
                 "canary_sha256_mbps": canary,
                 "canary_mt_mbps": canary_mt,

@@ -1,9 +1,12 @@
-"""bench.py output contract — the driver parses the FIRST JSON line
-from stdout per run, and (since r8) a compact totals trailer follows
-so the driver's fixed-size tail capture can never truncate away the
-headline numbers (it lost them in the r7 artifact).  A silent format
-regression would lose the round's performance record, so the contract
-is tested end-to-end (subprocess, tiny SF).
+"""bench.py output contract — the driver parses the LAST JSON line
+from stdout per run, so the FINAL line must be the full per-query
+record (the r14 PERF artifact lost per-query and scaling comparisons
+when a compact trailer sat last — r14 verdict item 1).  The compact
+totals line comes FIRST so the driver's fixed-size tail capture can
+never truncate away the headline numbers (it lost them in the r7
+artifact).  A silent format regression would lose the round's
+performance record, so the contract is tested end-to-end
+(subprocess, tiny SF).
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ import subprocess
 import sys
 
 
-def test_bench_emits_one_valid_json_line():
+def test_bench_emits_full_json_last():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -27,9 +30,10 @@ def test_bench_emits_one_valid_json_line():
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 2, lines
-    d = json.loads(lines[0])
-    # trailer: compact totals that must agree with the full line
-    t = json.loads(lines[1])
+    # leading line: compact totals that must agree with the full line
+    t = json.loads(lines[0])
+    # LAST line: the full record the driver parses — must carry "queries"
+    d = json.loads(lines[1])
     assert t["metric"] == "headline_totals_compact"
     assert t["value"] == d["value"]
     assert t["headline_v2_total"] == d["headline_v2_total"]
