@@ -190,6 +190,44 @@ def parquet_split_count(sf_dir: str, name: str) -> int | None:
     return out
 
 
+#: (sf_dir, table) -> on-disk bytes (or None); metadata-only, cached.
+_BYTES_CACHE: dict[tuple[str, str], int | None] = {}
+
+
+def parquet_table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk byte size of catalog table ``name`` — the scale signal
+    for routes that trade extra map passes against shuffle volume
+    (e.g. dedup_verbatim_runs' hash pre-pass).  Same local-file /
+    hidden-file rules as :func:`parquet_split_count`; ``None`` for
+    non-local layouts (callers must then assume the corpus is
+    production-sized)."""
+    key = (sf_dir, name)
+    if key in _BYTES_CACHE:
+        return _BYTES_CACHE[key]
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    out: int | None
+    try:
+        if os.path.isfile(path):
+            out = os.path.getsize(path)
+        elif os.path.isdir(path):
+            total, n_files = 0, 0
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += os.path.getsize(os.path.join(root, f))
+                        n_files += 1
+            out = total if n_files else None
+        else:
+            out = None
+    except Exception:
+        out = None
+    _BYTES_CACHE[key] = out
+    return out
+
+
 def spread_for_compute(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     """Round-robin repartition ``df`` to the session's core count — but
     ONLY when table ``name``'s physical layout cannot feed enough scan

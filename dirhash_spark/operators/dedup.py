@@ -29,6 +29,7 @@ Scale design (the point of each variant at 100 TB):
 
 from __future__ import annotations
 
+import os
 import zlib
 from collections.abc import Iterator
 
@@ -2665,6 +2666,60 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VERBATIM_W = 12  # anchor window length (words)
 
+#: Broadcast cap for the matched-window-hash table (8-byte keys).  The
+#: table is the AGGREGATED set of window hashes seen >= 2 times, so its
+#: size is bounded by the corpus's distinct duplicated windows, not its
+#: postings; 1<<22 hashes is ~32 MB framed — comfortably broadcastable.
+#: Above the cap (pathologically boilerplate-dense corpora) the
+#: survivor filter degrades to a sort-merge semi-join on the 8-byte
+#: hash, which still never shuffles window STRINGS corpus-wide.
+_VERBATIM_BROADCAST_MAX_HASHES = 1 << 22
+
+#: Corpus-size crossover for the hash pre-pass route: the pre-pass pays
+#: a SECOND tokenization scan (map-side, scales linearly with workers)
+#: to keep window strings out of the corpus-wide bucket exchange
+#: (shuffles do NOT scale — guide §2.2).  Below this documents-table
+#: byte size the whole string shuffle is a few MB of node-local memcpy
+#: and the extra scan costs more than it saves (paired A/B at sf0.1,
+#: 11 MB table: single-pass 1.62 s vs pre-pass 2.93 s), so small local
+#: corpora keep the single-pass form; at/above it — and on non-local
+#: layouts, whose size is unknowable from footers and which are
+#: production-sized by assumption — the pre-pass route runs.  Routes
+#: are bit-identical by construction (equal strings hash equal; the
+#: definitional per-string bucketing runs unchanged over survivors),
+#: pinned by tests/test_llm_ops.py::test_verbatim_runs_route_parity.
+#: Env-overridable for deployments whose shuffle/scan cost ratio
+#: differs (faster networks → raise it, slower → lower it).
+_VERBATIM_PREPASS_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_VERBATIM_PREPASS_MIN_BYTES", str(1 << 30))
+)
+
+
+def _verbatim_window_hashes(ws_col, wh_col):
+    """8-byte rolling window hash per {w}-word window: fold the
+    xxhash64 of each word through rotate-left-7 XOR — pure bitwise
+    (ANSI-safe, no overflow) and deterministic, so equal word windows
+    always hash equal; UNequal windows may collide, which is harmless
+    because every consumer re-groups survivors by the definitional
+    window STRING (collisions only admit a few extra postings to that
+    exact pass).""".format(w=_VERBATIM_W)
+
+    def _rot7(a):
+        return F.shiftleft(a, 7).bitwiseOR(F.shiftrightunsigned(a, 57))
+
+    def _fold(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: _rot7(acc).bitwiseXOR(x)
+        )
+
+    return F.when(
+        F.size(ws_col) >= _VERBATIM_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws_col) - (_VERBATIM_W - 1)),
+            lambda i: _fold(F.slice(wh_col, i, _VERBATIM_W)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+
 
 @query(
     "dedup_verbatim_runs",
@@ -2723,52 +2778,128 @@ def dedup_verbatim_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score the same Jaccard as a 60-word verbatim quote, but only the
     quote yields max_run_words = 60.
 
-    Algorithm (all exact integers): explode every {w}-word window with
-    its position; bucket by window string (df-capped, the
-    dedup_containment guard) and expand cross-doc position pairs
-    in-row; matches at positions (pa, pb) with equal diagonal pa-pb
-    that are CONSECUTIVE in pa belong to one verbatim run, stitched by
-    the gaps-and-islands trick (pa - row_number over the diagonal);
-    island of n windows = run of n + {w} - 1 words.  At 100 TB the
-    window strings would be 8-byte rolling hashes with a verify pass
-    (same topology, one more broadcast join); strings here keep the
-    oracle equality definitional.
+    Algorithm (all exact integers): a COUNT pre-pass over 8-byte
+    rolling window hashes decides WHICH windows are shared, then the
+    definitional string algorithm runs over only those survivors —
+    explode every {w}-word window with its position; bucket by window
+    string (df-capped, the dedup_containment guard) and expand
+    cross-doc position pairs in-row; matches at positions (pa, pb)
+    with equal diagonal pa-pb that are CONSECUTIVE in pa belong to one
+    verbatim run, stitched by the gaps-and-islands trick
+    (pa - row_number over the diagonal); island of n windows = run of
+    n + {w} - 1 words.
 
-    Scale shape: one shuffle on the window key (bounded buckets →
+    The hash pre-pass (r15, guide §8 "decide with small rows, move big
+    rows once"), routed by corpus size
+    (:data:`_VERBATIM_PREPASS_MIN_BYTES`): the single-pass form
+    shuffles EVERY window string corpus-wide into the bucket groupBy,
+    though on real corpora only a few percent of windows are shared.
+    At production sizes pass 1 explodes only the 8-byte window hash
+    and partially-aggregates counts (the only corpus-wide exchange
+    carries (hash, count) pairs); the hashes seen >= 2 times broadcast
+    back (merge-join fallback above
+    :data:`_VERBATIM_BROADCAST_MAX_HASHES`), and pass 2 rebuilds the
+    window strings map-side, keeps only postings whose hash matched,
+    and runs the UNCHANGED string bucketing on them.  Exactness: equal
+    strings always hash equal, so every truly-shared window survives;
+    hash collisions only admit extra postings whose per-STRING count
+    is 1 and which the definitional ``>= 2`` bucket filter then drops
+    — results are bit-identical by construction, and the df cap stays
+    per-string.  The corpus is token-scanned twice (map-side, scales
+    linearly) in exchange for never shuffling window strings — the
+    guide-§2.2 trade, which inverts on small local corpora (see the
+    bound's docstring), so those keep the single-pass form.
+
+    Scale shape (pre-pass route): one 8-byte-key count exchange, one
+    shuffle on the window key over SURVIVORS only (bounded buckets →
     bounded in-row expansion), one shuffle on the (pair, diagonal)
     window, one pair rollup — linear in postings + matched windows,
     never all-pairs.
     """.format(w=_VERBATIM_W)
+    from ..catalog import parquet_table_bytes
+
     cat = Catalog(spark, sf_dir)
+
     # token array pinned behind the exchange: the window lambda
     # references it per element and the NORM regex chain must run once
     # per row, not once per window slot (measured on the e2e pipeline)
-    base = spread_for_compute(
-        cat.documents.select(
-            "doc_id",
-            F.filter(
-                F.split(_NORM_SPARK(F.col("text")), " "), lambda x: x != ""
-            ).alias("ws"),
-        ),
-        cat.sf_dir,
-        "documents",
-    )
-    win_t = "ARRAY<STRUCT<pos: INT, win: STRING>>"
-    wins = F.when(
-        F.size("ws") >= _VERBATIM_W,
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - (_VERBATIM_W - 1)),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.array_join(F.slice(F.col("ws"), i, _VERBATIM_W), " ").alias("win"),
+    def tokens():
+        return spread_for_compute(
+            cat.documents.select(
+                "doc_id",
+                F.filter(
+                    F.split(_NORM_SPARK(F.col("text")), " "), lambda x: x != ""
+                ).alias("ws"),
             ),
-        ),
-    ).otherwise(F.expr(f"CAST(array() AS {win_t})"))
-    e = base.select("doc_id", F.explode(wins).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win")
-    )
+            cat.sf_dir,
+            "documents",
+        )
+
+    tbl_bytes = parquet_table_bytes(cat.sf_dir, "documents")
+    if tbl_bytes is not None and tbl_bytes < _VERBATIM_PREPASS_MIN_BYTES:
+        # Small local corpus: window strings cost less to shuffle than
+        # a second tokenization scan — single-pass definitional form.
+        win_t = "ARRAY<STRUCT<pos: INT, win: STRING>>"
+        wins = F.when(
+            F.size("ws") >= _VERBATIM_W,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (_VERBATIM_W - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.array_join(F.slice(F.col("ws"), i, _VERBATIM_W), " ").alias("win"),
+                ),
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {win_t})"))
+        surv = tokens().select("doc_id", F.explode(wins).alias("w")).select(
+            "doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win")
+        )
+    else:
+        # -- pass 1: count window HASHES (8 bytes each) corpus-wide.
+        #    The exchange is map-side partially aggregated
+        #    (hash, count) pairs; no doc_id, position, or string
+        #    crosses the wire.
+        p1 = tokens().select(F.transform("ws", lambda w: F.xxhash64(w)).alias("wh"))
+        matched = (
+            p1.select(
+                F.explode(_verbatim_window_hashes("wh", F.col("wh"))).alias("h")
+            )
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 2)
+            .select("h")
+            .localCheckpoint()  # materialized once: the router count
+            # below is metadata-cheap and the survivor filter re-reads it
+        )
+        # -- pass 2: rebuild windows WITH strings map-side, keep only
+        #    postings whose window hash matched, then the definitional
+        #    string algorithm over the survivors.
+        base = tokens().select(
+            "doc_id", "ws", F.transform("ws", lambda w: F.xxhash64(w)).alias("wh")
+        )
+        win_t = "ARRAY<STRUCT<pos: INT, win: STRING, h: BIGINT>>"
+        hashes = _verbatim_window_hashes("ws", F.col("wh"))
+        wins = F.when(
+            F.size("ws") >= _VERBATIM_W,
+            F.zip_with(
+                F.sequence(F.lit(1), F.size("ws") - (_VERBATIM_W - 1)),
+                hashes,
+                lambda i, h: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.array_join(F.slice(F.col("ws"), i, _VERBATIM_W), " ").alias("win"),
+                    h.alias("h"),
+                ),
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {win_t})"))
+        e = base.select("doc_id", F.explode(wins).alias("w")).select(
+            "doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"),
+            F.col("w.h").alias("h"),
+        )
+        if matched.count() <= _VERBATIM_BROADCAST_MAX_HASHES:
+            surv = e.join(F.broadcast(matched), "h")
+        else:  # boilerplate-dense degenerate corpora: 8-byte merge join
+            surv = e.hint("merge").join(matched, "h")
     buckets = (
-        e.groupBy("win")
+        surv.groupBy("win")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= CONTAINMENT_DF_CAP))
     )

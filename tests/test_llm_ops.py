@@ -2197,3 +2197,26 @@ def test_simhash_window_chunking_is_output_invisible(spark, tmp_path, monkeypatc
         for r in QUERIES["dedup_simhash"].fn(spark, str(tmp_path)).collect()
     }
     assert one_chunk == many_chunks == {(0, 1): 1}
+
+
+def test_verbatim_runs_route_parity(spark, monkeypatch):
+    """The corpus-size route of dedup_verbatim_runs is bit-identical:
+    single-pass string form (small local corpora), hash pre-pass with
+    broadcast survivor filter (production sizes, forced by zeroing the
+    byte crossover), and the pre-pass's merge-join fallback
+    (boilerplate-dense corpora, forced by zeroing the broadcast cap)
+    must all emit exactly the same rows."""
+    import dirhash_spark.operators.dedup as dedup_mod
+
+    sf = "/root/testdata/sf0.01"
+    fn = QUERIES["dedup_verbatim_runs"].fn
+
+    def rows():
+        return sorted(map(tuple, fn(spark, sf).collect()))
+
+    base = rows()
+    assert base, "fixture corpus must contain verbatim runs"
+    monkeypatch.setattr(dedup_mod, "_VERBATIM_PREPASS_MIN_BYTES", 0)
+    assert rows() == base
+    monkeypatch.setattr(dedup_mod, "_VERBATIM_BROADCAST_MAX_HASHES", -1)
+    assert rows() == base

@@ -856,12 +856,38 @@ def test_bloom_probe_manifest_broadcasts(spark):
 
 
 def test_verbatim_runs_no_join_topology(spark):
-    """Verbatim-run stitching is bucket-collect + in-row expansion +
-    one windowed island pass: no join operator anywhere, no
+    """Verbatim-run stitching on a SMALL local corpus (below the hash
+    pre-pass crossover) is bucket-collect + in-row expansion + one
+    windowed island pass: no join operator anywhere, no
     nested-loop/cartesian fallback."""
     p = plan(spark, "dedup_verbatim_runs", "simple")
     assert "CartesianProduct" not in p
     assert "Join" not in p, p
+
+
+def test_verbatim_runs_prepass_route_topology(spark, monkeypatch):
+    """Production-size route (forced by zeroing the byte crossover):
+    the matched-hash set joins back BROADCAST, so the only corpus-wide
+    exchange before the survivor bucketing carries the 8-byte window
+    hash — window strings never shuffle.  No sort-merge join, no
+    cartesian."""
+    import dirhash_spark.operators.dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "_VERBATIM_PREPASS_MIN_BYTES", 0)
+    p = plan(spark, "dedup_verbatim_runs")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # the count pre-pass ran eagerly inside the matched-hash
+    # localCheckpoint (its 8-byte-key exchange is behind this
+    # ExistingRDD scan); the string-side explode feeds the broadcast
+    # join DIRECTLY — no exchange may sit between the window explode
+    # and the survivor filter, i.e. window strings never shuffle
+    # before the (survivor-only) bucket groupBy.
+    assert "ExistingRDD" in p, p
+    join_above_explode = re.search(r"BroadcastHashJoin[\s\S]*?Generate", p)
+    assert join_above_explode, p
+    assert "Exchange" not in join_above_explode.group(0), p
 
 
 def test_vocab_coverage_corpus_touched_once(spark):
