@@ -35,7 +35,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1045,9 +1045,12 @@ def _connected_components(
     SoCC 2014) — same primitives, provably fewer rounds on skewed
     degree distributions.
     """
-    edges = edges.localCheckpoint()
-    if edges.count() <= _CC_DRIVER_EDGE_BOUND:  # count of a checkpoint:
-        # metadata-cheap, and the decision it buys removes whole rounds
+    # The router count rides the checkpoint's own materialization job as
+    # an observed metric (r15) — the separate count() job it replaces
+    # was cheap per call but every CC caller paid it once per query.
+    n_edges_obs = Observation()
+    edges = edges.observe(n_edges_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    if int(n_edges_obs.get["n"]) <= _CC_DRIVER_EDGE_BOUND:
         _connected_components.last_iters = 0
         return _cc_driver_unionfind(nodes, edges, labels_are_ids=labels_are_ids)
     labels = nodes
@@ -1067,8 +1070,13 @@ def _connected_components(
         labels = labels.join(jump, labels["label"] == jump["pj_doc"], "left").select(
             "doc_id", F.coalesce("pj_label", "label").alias("label")
         )
-        labels = labels.localCheckpoint()
-        s = labels.agg(F.sum("label")).first()[0]
+        # convergence sum observed on the checkpoint job itself (r15):
+        # one Spark job per round instead of two (checkpoint + agg)
+        sum_obs = Observation()
+        labels = labels.observe(
+            sum_obs, F.sum("label").alias("s")
+        ).localCheckpoint()
+        s = sum_obs.get["s"]
         if s == prev_sum:
             break
         prev_sum = s
@@ -2351,10 +2359,17 @@ def pipeline_neardup_e2e_lsh_union(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _neardup_cluster(spark: SparkSession, sf_dir: str, include_lsh: bool) -> DataFrame:
-    ver = _neardup_verified_pairs(spark, sf_dir, include_lsh=include_lsh).localCheckpoint()
+    ver_obs = Observation()
+    ver = (
+        _neardup_verified_pairs(spark, sf_dir, include_lsh=include_lsh)
+        .observe(ver_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     # materialized ONCE (localCheckpoint): both the edge list and the
     # node list read it, and the CC loop re-reads edges every round —
     # left lazy, the posting+verify lineage would execute 2+ more times.
+    # The router count below rides the checkpoint job as an observed
+    # metric (r15) — the separate count() job is gone.
 
     # Unlike the canonical/semdedup callers — whose corpus-sized node
     # tables (singletons included) must stay cluster-side — this graph's
@@ -2368,7 +2383,7 @@ def _neardup_cluster(spark: SparkSession, sf_dir: str, include_lsh: bool) -> Dat
     # the lazy join-back), ~1.0 s of the 2.8 s e2e wall at sf0.1.
     # Above the bound the distributed propagation runs exactly as
     # before; route parity is pinned by test_neardup_cluster_route_parity.
-    if ver.count() * 2 <= _CC_DRIVER_EDGE_BOUND:  # checkpointed: cheap
+    if int(ver_obs.get["n"]) * 2 <= _CC_DRIVER_EDGE_BOUND:
         pairs = ver.collect()  # bounded: router-counted
         parent: dict = {}
 
@@ -2473,9 +2488,15 @@ def _neardup_verified_pairs(
     if include_lsh:
         cand_lsh = REGISTRY["dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
         cand = cand.unionByName(cand_lsh)
-    # Checkpointed so the runtime count below is free AND the verify
-    # join doesn't re-execute the candidate lineage per join side.
-    cand = cand.distinct().localCheckpoint()
+    # Checkpointed so the verify join doesn't re-execute the candidate
+    # lineage per join side; the runtime count rides the checkpoint job
+    # as an observed metric (r15) — one job instead of two.
+    cand_obs = Observation()
+    cand = (
+        cand.distinct()
+        .observe(cand_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
 
     # -- exact verify on candidates only (integer comparison, no floats).
     #    Join strategy decided at RUNTIME from the actual candidate
@@ -2485,7 +2506,7 @@ def _neardup_verified_pairs(
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("sz").alias("sa"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("sz").alias("sb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    if cand.count() <= VERIFY_BROADCAST_MAX_PAIRS:
+    if int(cand_obs.get["n"]) <= VERIFY_BROADCAST_MAX_PAIRS:
         joined = a.join(F.broadcast(cand), "doc_a").join(b, "doc_b")
     else:
         joined = a.hint("merge").join(cand, "doc_a").join(b.hint("merge"), "doc_b")
@@ -2859,6 +2880,7 @@ def dedup_verbatim_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         #    (hash, count) pairs; no doc_id, position, or string
         #    crosses the wire.
         p1 = tokens().select(F.transform("ws", lambda w: F.xxhash64(w)).alias("wh"))
+        match_obs = Observation()
         matched = (
             p1.select(
                 F.explode(_verbatim_window_hashes("wh", F.col("wh"))).alias("h")
@@ -2867,8 +2889,10 @@ def dedup_verbatim_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") >= 2)
             .select("h")
-            .localCheckpoint()  # materialized once: the router count
-            # below is metadata-cheap and the survivor filter re-reads it
+            # materialized once; the router count below rides the
+            # checkpoint job as an observed metric
+            .observe(match_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
         )
         # -- pass 2: rebuild windows WITH strings map-side, keep only
         #    postings whose window hash matched, then the definitional
@@ -2894,7 +2918,7 @@ def dedup_verbatim_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"),
             F.col("w.h").alias("h"),
         )
-        if matched.count() <= _VERBATIM_BROADCAST_MAX_HASHES:
+        if int(match_obs.get["n"]) <= _VERBATIM_BROADCAST_MAX_HASHES:
             surv = e.join(F.broadcast(matched), "h")
         else:  # boilerplate-dense degenerate corpora: 8-byte merge join
             surv = e.hint("merge").join(matched, "h")
