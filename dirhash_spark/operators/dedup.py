@@ -944,10 +944,16 @@ def _cc_driver_unionfind(
     the routes can diverge — the distributed route's pointer-jump step
     joins label VALUES against doc_ids, so a seeded label equal to a
     foreign component's doc_id can adopt that component's label, which
-    this route never does.  An edge endpoint absent from ``nodes``
-    raises loudly rather than silently diverging from what propagation
-    would emit for it (no in-repo caller constructs that; the error
-    keeps the routes answer-identical by construction).  The result is a LAZY plan —
+    this route never does.  With ``labels_are_ids=False`` an edge
+    endpoint absent from ``nodes`` raises loudly rather than silently
+    diverging from what propagation would emit for it (no in-repo
+    caller constructs that; the error keeps the routes
+    answer-identical by construction).  ``labels_are_ids=True`` is the
+    caller ALSO asserting endpoints ⊆ nodes: the assertion is what
+    lets this route skip the corpus-sized label fetch, so there is no
+    cluster-free way to re-check it here — a violating caller gets the
+    left-join's silent semantics (missing endpoints dropped from the
+    output) instead of the loud raise.  The result is a LAZY plan —
     one broadcast join over nodes — unlike the distributed route,
     whose per-iteration localCheckpoints materialize as a side effect;
     re-execution here is one cheap map-side join, so callers need no

@@ -807,16 +807,36 @@ def _stage_replay_local(sf_dir: str, src: str, waves: tuple[int, ...]) -> bool:
     """Driver-side pyarrow staging of the events replay waves.  Returns
     False (caller falls back to the Spark route) unless the events
     table is ONE local parquet file — the fixture layout; multi-file or
-    remote layouts keep the distributed route."""
+    remote layouts keep the distributed route.
+
+    Route preconditions (fall back when violated, so the Spark route
+    stays the single source of truth for exotic inputs): UTC host
+    clock (the Spark route round-trips the midpoint through naive
+    Python datetimes in the DRIVER's zone — on a non-UTC/DST host a
+    boundary event could land in a different wave between routes),
+    non-negative epochs (numpy's ``// 1000`` floors where the
+    catalog's ``div 1000`` truncates — they differ below 1970), and a
+    ``src`` containing only THIS route's wave files (Spark-route part
+    names are UUIDs; mixing routes would stage duplicate events).
+    Waves whose file already exists are skipped — staging is
+    incremental, existing files keep their mtime stamps."""
     import datetime
+    import time as _time
 
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as _pq
 
+    if _time.timezone != 0 or _time.daylight != 0:
+        return False
     path = os.path.join(sf_dir, "events.parquet")
     if not os.path.isfile(path):
         return False
+    ours = {"wave0-part.parquet", "wave1-part.parquet", "wave2-sentinel.parquet"}
+    if os.path.isdir(src):
+        staged = {f for f in os.listdir(src) if not f.startswith(("_", "."))}
+        if staged - ours:
+            return False
     try:
         t = _pq.read_table(path, columns=["ts", "user_id"])
     except Exception:
@@ -828,12 +848,19 @@ def _stage_replay_local(sf_dir: str, src: str, waves: tuple[int, ...]) -> bool:
         return False
     unit = getattr(ts.type, "unit", None)
     if unit == "ns":
+        raw = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(raw) and raw.min() < 0:
+            # numpy floor-div differs from the catalog's truncating
+            # div on pre-1970 nanos — precondition, not replication
+            return False
         # the catalog's `ts div 1000` (truncating ns→us, exactly what
-        # DuckDB's reader does); values are positive epochs so numpy
-        # floor-div == Spark's truncating div
-        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        # DuckDB's reader does); values are positive epochs (checked
+        # above) so numpy floor-div == Spark's truncating div
+        us = raw // 1000
     elif unit == "us":
         us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(us) and us.min() < 0:
+            return False
     else:
         return False
     if len(us) == 0:
@@ -856,6 +883,9 @@ def _stage_replay_local(sf_dir: str, src: str, waves: tuple[int, ...]) -> bool:
     for order in (0, 1):
         if order not in waves:
             continue
+        wp = os.path.join(src, f"wave{order}-part.parquet")
+        if os.path.exists(wp):
+            continue  # incremental staging: keep the file and its stamp
         m = masks[order]
         if not m.any():
             continue  # parity: an empty wave writes no file on either route
@@ -866,10 +896,10 @@ def _stage_replay_local(sf_dir: str, src: str, waves: tuple[int, ...]) -> bool:
                     "user_id": pa.array(uid[m], pa.int64()),
                 }
             ),
-            os.path.join(src, f"wave{order}-part.parquet"),
+            wp,
         )
-        _stamp(os.path.join(src, f"wave{order}-part.parquet"), order)
-    if 2 in waves:
+        _stamp(wp, order)
+    if 2 in waves and not os.path.exists(os.path.join(src, "wave2-sentinel.parquet")):
         sent = hi + datetime.timedelta(days=365)
         p = os.path.join(src, "wave2-sentinel.parquet")
         _pq.write_table(
