@@ -87,70 +87,69 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: tests/test_entry.py::test_window_covers_stalest_driver_rows enforces
 #: the rotation policy against the committed CORRECTNESS_r*.json files.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 39 remaining r9-code rows — MUST tier at r14 close
-    "corpus_temperature_sampling",
-    "dedup_containment",
-    "dedup_embedding_ann",
-    "dirhash_chunk_digests",
-    "dirhash_full",
-    "filter_in_like",
-    "filter_null",
-    "fn_array",
-    "mm_meta_extract",
-    "mm_resize",
-    "pack_sequences",
-    "pipeline_incremental_refresh",
-    "pipeline_semdedup_e2e",
-    "query_observe_metrics",
-    "recursive_listing",
-    "scan_cached_branches",
-    "scd2_history",
-    "sessionize_batch",
-    "sim_ann_ivfpq",
-    "sink_time_travel",
-    "sort_multi",
-    "sql_correlated_exists",
-    "sql_scalar_subquery",
-    "stream_foreach_batch_sink",
-    "stream_python_datasource",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful_running",
-    "stream_static_join",
-    "stream_tumbling",
-    "stream_watermark_dedup",
-    "text_perplexity_bigram",
-    "text_repetition_score",
-    "ts_interpolate_linear",
-    "ts_zscore",
-    "ts_zscore_window",
-    "udtf_cogroup_asof",
-    "udtf_group_apply_arrow",
-    "udtf_python_chunker",
-    # (b) slack → pre-emptive rotation of the oldest r10-code rows
-    # (age 4 at r14 close = MAY-front tier; first 11 of 50
+    # (a) the 39 remaining r10-code rows — MUST tier the moment
+    # CORRECTNESS_r15 lands (age 5); alphabetical
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_pca",
+    "fn_math_cond",
+    "fn_string",
+    "join_anti",
+    "join_asof_forward",
+    "join_broadcast",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_hash",
+    "join_left_outer",
+    "join_semi",
+    "join_theta_range",
+    "limit_topk",
+    "merge_upsert",
+    "mm_frame_sample",
+    "project_rename",
+    "scan_binary_file",
+    "scan_csv_infer",
+    "scan_fixed_binary",
+    "scan_parquet",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_dist",
+    "sim_ann_ivf_distfit",
+    "sink_parquet",
+    "text_span_dedup",
+    "topk_per_group",
+    "ts_anomaly_mad",
+    "ts_seasonal_decompose",
+    "win_first_last",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_percent_rank",
+    "win_range_frame",
+    "win_rank",
+    "win_running",
+    # (b) slack -> pre-emptive rotation of the oldest r11-code rows
+    # (age 4 at r15 close = MAY-front tier; first 11 of 50
     # alphabetically)
-    "agg_mode_median",
-    "agg_pivot",
-    "agg_regression",
-    "agg_skew_salted",
-    "chunk_split_text",
-    "corpus_drift_chi2",
-    "corpus_dsir_importance",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash",
+    "agg_approx_top_k",
+    "agg_bitmap_distinct",
+    "agg_boolean",
+    "agg_corr_matrix",
+    "agg_filtered",
+    "agg_grouping_id",
+    "agg_hll_sketch_merge",
+    "agg_listagg",
+    "corpus_cross_source_overlap",
+    "corpus_vocab_coverage",
+    "dirhash_full_streamed",
 )
-# r15 rotation backlog: after r14's window lands, the oldest driver rows
-# are the 39 remaining r10-code queries (the 50 r10 rows minus the 11
-# fronted above; alphabetically they run dedup_ngram_jaccard ...
-# through the rest of the r10 cohort) — they hit MUST age 5 when
-# CORRECTNESS_r15 lands — with remaining slack on the oldest r11 rows
-# and any queries registered during r14.
-# Backlog arithmetic after r14's window: 239 registered = 39 (r9
-# remainder, this window) + 11 (r10, this window) + 39 (r10 remainder,
-# r15 MUST) + 50 (r11) + 50 (r12) + 50 (r13) — every query has either
+# r16 rotation backlog: after r15's window lands, the oldest driver
+# rows are the 39 remaining r11-code queries (the 50 r11 rows minus
+# the 11 fronted above) — they hit MUST age 5 when CORRECTNESS_r16
+# lands — with remaining slack on the oldest r12 rows.
+# Backlog arithmetic after r15's window: 239 registered = 39 (r10
+# remainder, this window) + 11 (r11, this window) + 39 (r11 remainder,
+# r16 MUST) + 50 (r12) + 50 (r13) + 50 (r14) — every query has either
 # a driver row or a dated slot here.
 
 

@@ -28,7 +28,7 @@ def test_every_oracle_has_a_query():
 def test_priority_order_names_all_registered():
     """Every PRIORITY_ORDER name resolves — all_queries() raises on
     phantoms, so a stale planned-query name can't silently drop its
-    intended driver-row coverage (round-2 postmortem).  The round-14
+    intended driver-row coverage (round-2 postmortem).  The round-15
     window's hand-picked anchors must sit inside the 50-entry prefix."""
     from dirhash_spark.registry import PRIORITY_ORDER, all_queries
 
@@ -37,14 +37,14 @@ def test_priority_order_names_all_registered():
     assert len(PRIORITY_ORDER) == 50  # exactly one driver window
     window = list(qs)[:50]
     for must in (
-        # r9-code rows that hit MUST age 5 when CORRECTNESS_r14 lands
-        "corpus_temperature_sampling",
-        "dirhash_full",
-        "sim_ann_ivfpq",
-        "udtf_python_chunker",
-        # pre-emptive r10-code rotation fills the slack
-        "agg_mode_median",
-        "dedup_minhash",
+        # r10-code rows that hit MUST age 5 when CORRECTNESS_r15 lands
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "ts_anomaly_mad",
+        "win_running",
+        # pre-emptive r11-code rotation fills the slack
+        "agg_approx_top_k",
+        "dirhash_full_streamed",
     ):
         assert must in window, must
 
