@@ -2,9 +2,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints TWO JSON lines — a compact totals line first (truncation
+insurance for fixed-size tail captures), then the FULL record LAST,
+because the driver parses the final JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+   "queries": {"<name>": sec, ...}, "extra_queries": {...},
+   "sf": <scale factor>, ...}
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver collect bottleneck, mirroring a cluster write).  Every query runs
